@@ -1,0 +1,86 @@
+"""Shared fixtures: one SparkSession per test session + the DuckDB-oracle
+comparator (SURVEY.md §5 step 0 — the harness precedes the engine).
+
+The comparator mimics the driver's t2 gate: run the Spark query and the
+oracle SQL over the identical parquet files, sort columns by name, compare
+canonicalized values order-insensitively.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from datetime import date, datetime
+from decimal import Decimal
+
+import duckdb
+import pytest
+
+from snowflake_cdc_spark.engine import TPCH_TABLES
+from snowflake_cdc_spark.session import get_spark
+
+SF_SMOKE = os.environ.get("SPARK_GRAFT_SMOKE_DIR", "/root/testdata/sf0.001")
+SF_ORACLE = os.environ.get("SPARK_GRAFT_ORACLE_DIR", "/root/testdata/sf0.01")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="tests")
+    yield s
+
+
+@pytest.fixture(scope="session")
+def duck():
+    con = duckdb.connect()
+    for name in TPCH_TABLES:
+        path = f"{SF_ORACLE}/{name}.parquet"
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
+            )
+    yield con
+    con.close()
+
+
+def canon_cell(v) -> str:
+    if v is None:
+        return "<NULL>"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "<NaN>"
+        return repr(v)
+    if isinstance(v, Decimal):
+        return str(v.normalize())
+    if isinstance(v, datetime):
+        return v.replace(tzinfo=None).isoformat(timespec="microseconds")
+    if isinstance(v, date):
+        return v.isoformat()
+    if isinstance(v, bool):
+        return str(bool(v))
+    return str(v)
+
+
+def canon_rows(cols: list[str], rows: list[tuple]) -> list[tuple[str, ...]]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(canon_cell(r[i]) for i in order) for r in rows]
+    return sorted(out)
+
+
+def assert_matches_oracle(spark, duck, spark_fn, oracle: str, sf_dir: str = SF_ORACLE):
+    sdf = spark_fn(spark, sf_dir)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    res = duck.execute(oracle)
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"column mismatch: spark={sorted(spark_cols)} duck={sorted(duck_cols)}"
+    )
+    a = canon_rows(spark_cols, spark_rows)
+    b = canon_rows(duck_cols, duck_rows)
+    assert len(a) == len(b), f"row count mismatch: spark={len(a)} duck={len(b)}"
+    if a != b:
+        diffs = [(x, y) for x, y in zip(a, b) if x != y][:5]
+        raise AssertionError(f"value mismatch; first diffs (spark, duck): {diffs}")
