@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 def latest_by_key(
     df: DataFrame,
     key_cols: list[str],
-    seq_col: str = "seq",
+    seq_col: str | list[str] = "seq",
     use_window: bool = False,
 ) -> DataFrame:
     """Reduce a change log to the single newest row per key.
@@ -37,19 +37,27 @@ def latest_by_key(
     the classic ``row_number() over (partition by key order by seq desc)``
     plan for comparison/testing; it shuffles every change row.
 
-    Ties on ``seq_col`` are broken arbitrarily by max_by and by
-    row_number alike — CDC sequence numbers (binlog positions) are unique
-    per key by construction.
+    ``seq_col`` may be a list for compound ordering (lexicographic, via
+    struct comparison) — used by the sink merge to break seq ties in
+    favor of incoming changes (schema-drift backfill replays the same seq
+    with more columns). Plain CDC sequence numbers are unique per key by
+    construction, so the single-column form is the common case.
     """
+    order_cols = [seq_col] if isinstance(seq_col, str) else list(seq_col)
     if use_window:
-        w = Window.partitionBy(*key_cols).orderBy(F.col(seq_col).desc())
+        w = Window.partitionBy(*key_cols).orderBy(*[F.col(c).desc() for c in order_cols])
         return (
             df.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
     payload = F.struct(*[F.col(c) for c in df.columns])
-    out = df.groupBy(*key_cols).agg(F.max_by(payload, F.col(seq_col)).alias("__row"))
+    rank = (
+        F.col(order_cols[0])
+        if len(order_cols) == 1
+        else F.struct(*[F.col(c) for c in order_cols])
+    )
+    out = df.groupBy(*key_cols).agg(F.max_by(payload, rank).alias("__row"))
     return out.select("__row.*")
 
 

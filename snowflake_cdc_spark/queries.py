@@ -496,6 +496,36 @@ def q19b(spark, sf_dir):
     return nation.exceptAll(cust).distinct().orderBy("k")
 
 
+@register(
+    "q13b_anti_join_nonempty",
+    """SELECT o_orderkey FROM orders
+       WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
+       ORDER BY o_orderkey""",
+    "J2 left-anti join with a non-degenerate (non-empty) result: orders with no lineitems",
+)
+def q13b(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_anti")
+        .select("o_orderkey")
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "q19_except_nonempty",
+    """SELECT o_orderkey AS k FROM orders
+       EXCEPT
+       SELECT l_orderkey FROM lineitem ORDER BY k""",
+    "U2 except with a non-empty result",
+)
+def q19c(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k"))
+    li = _t(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("k"))
+    return orders.exceptAll(li).distinct().orderBy("k")
+
+
 # --------------------------------------------------------------------------
 # Q20/Q21 — JSON + date functions
 # --------------------------------------------------------------------------

@@ -1,0 +1,139 @@
+"""Local materialized-table sink: versioned parquet snapshots with MERGE
+semantics (SURVEY.md §4 custom piece #1, local emulation).
+
+Layout per table::
+
+    <root>/<TABLE>/v=<n>/part-*.parquet   # snapshot versions
+    <root>/<TABLE>/_CURRENT               # text file: current version n
+
+A merge writes version n+1 from (current ∪ changes) → latest-by-key, then
+atomically flips the pointer — readers never see a partial snapshot
+(the rename-free pointer flip is the same trick Delta's _last_checkpoint
+uses). In production this class is swapped for the Snowflake adapter
+(sinks/snowflake.py) or a real lakehouse table; the pipeline code is
+sink-agnostic.
+
+Schema evolution (E2): ``merge`` aligns old and new schemas with
+``unionByName(allowMissingColumns=True)`` — a column appearing
+mid-stream widens the snapshot, with NULLs for history until backfill.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from snowflake_cdc_spark.operators.upsert import latest_by_key
+
+# Internal column marking hard-deleted keys. Tombstones are RETAINED in the
+# stored snapshot and filtered at read time: if deletes were physically
+# dropped, a delete arriving in an *earlier* micro-batch than a stale
+# insert/update for the same key (out-of-order replay, backfill overlap)
+# would lose its memory and the stale row would resurrect. Keeping the
+# (key, seq, deleted) row makes the merge commutative across batches —
+# correctness can't depend on delivery order at 100 TB.
+TOMBSTONE = "_tombstone"
+
+
+class ParquetSnapshotSink:
+    def __init__(self, root: str) -> None:
+        self.root = root
+
+    # ---- version bookkeeping -------------------------------------------
+
+    def _table_dir(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def current_version(self, table: str) -> int:
+        ptr = os.path.join(self._table_dir(table), "_CURRENT")
+        if not os.path.exists(ptr):
+            return -1
+        with open(ptr) as fh:
+            return int(fh.read().strip())
+
+    def _flip(self, table: str, version: int) -> None:
+        d = self._table_dir(table)
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, "_CURRENT.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(str(version))
+        os.replace(tmp, os.path.join(d, "_CURRENT"))  # atomic pointer flip
+
+    # ---- read / write ---------------------------------------------------
+
+    def exists(self, table: str) -> bool:
+        return self.current_version(table) >= 0
+
+    def read(self, spark: SparkSession, table: str) -> DataFrame:
+        """User-facing snapshot: tombstones filtered out (hard-deleted keys
+        are invisible but retained internally — see ``merge``)."""
+        df = self._read_raw(spark, table)
+        if TOMBSTONE in df.columns:
+            df = df.filter(~F.col(TOMBSTONE)).drop(TOMBSTONE)
+        return df
+
+    def _read_raw(self, spark: SparkSession, table: str) -> DataFrame:
+        v = self.current_version(table)
+        if v < 0:
+            raise FileNotFoundError(f"no snapshot for table {table!r} under {self.root}")
+        return spark.read.parquet(os.path.join(self._table_dir(table), f"v={v}"))
+
+    def overwrite(self, df: DataFrame, table: str) -> int:
+        v = self.current_version(table) + 1
+        df.write.mode("overwrite").parquet(
+            os.path.join(self._table_dir(table), f"v={v}")
+        )
+        self._flip(table, v)
+        return v
+
+    def merge(
+        self,
+        changes: DataFrame,
+        table: str,
+        key_cols: list[str],
+        seq_col: str = "seq",
+        delete_col: str = "is_delete",
+        hard_delete: bool = True,
+        logical_col: str = "is_deleted",
+    ) -> int:
+        """MERGE one micro-batch of changes into the snapshot.
+
+        next = latest_by_key(current_raw ∪ changes). Hard deletes become
+        retained tombstone rows (filtered by ``read``); logical deletes
+        materialize as ``logical_col``. Because the stored seq (including
+        tombstones') participates in the latest-by-key race, the merge is
+        idempotent AND commutative across batches: replaying an old batch
+        or receiving events out of order cannot regress a row — effective
+        exactly-once on top of at-least-once delivery (SURVEY.md §2.8).
+        """
+        spark = changes.sparkSession
+        delete_marker = F.coalesce(F.col(delete_col), F.lit(False))
+
+        if hard_delete:
+            staged = changes.withColumn(TOMBSTONE, delete_marker)
+        else:
+            staged = changes.withColumn(logical_col, delete_marker)
+        # incoming changes win seq ties against stored rows: a drift
+        # backfill (E3) replays already-applied events that now carry new
+        # columns — same seq, more data (see latest_by_key compound order)
+        staged = staged.drop(delete_col).withColumn("__src", F.lit(1))
+
+        if self.exists(table):
+            current = self._read_raw(spark, table).withColumn("__src", F.lit(0))
+            # E2 widen: schema drift handled by name-based union
+            combined = current.unionByName(staged, allowMissingColumns=True)
+        else:
+            combined = staged
+
+        latest = latest_by_key(combined, key_cols, [seq_col, "__src"]).drop("__src")
+        if hard_delete:
+            latest = latest.withColumn(
+                TOMBSTONE, F.coalesce(F.col(TOMBSTONE), F.lit(False))
+            )
+        else:
+            latest = latest.withColumn(
+                logical_col, F.coalesce(F.col(logical_col), F.lit(False))
+            )
+        return self.overwrite(latest, table)

@@ -1,0 +1,119 @@
+"""Schema drift: detect / widen / backfill (SURVEY.md §2.7 E1-E3).
+
+The reference's drift loop (check_and_update_output,
+add_output.py:154-206): list current output columns, diff against the
+source catalog case-insensitively (add_output.py:188-189), add each
+missing column in edit mode, then redeploy from
+``AtTime(earliest_first_seen - 1min)`` so history backfills
+(add_output.py:656, 660-667).
+
+Spark-native translation:
+- E1 detect: compare catalog columns vs the materialized snapshot schema
+  (case-insensitive set diff);
+- E2 widen: the parquet sink widens automatically on the next merge via
+  ``unionByName(allowMissingColumns=True)`` (Snowflake: ALTER TABLE ADD
+  COLUMN, emitted by ``widen_ddl``);
+- E3 backfill: bounded batch re-run over the raw landed events filtered
+  to ``seq/event_time >= first_seen - pad`` — a stream can't mutate its
+  plan mid-flight (SURVEY.md §7 hard-point 3), so the controller restarts
+  the stream after the backfill completes.
+"""
+
+from __future__ import annotations
+
+from datetime import timedelta
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from snowflake_cdc_spark.catalog import TableMeta
+from snowflake_cdc_spark.sinks.parquet_sink import ParquetSnapshotSink
+from snowflake_cdc_spark.streaming.pipeline import CdcPipeline
+
+
+def detect_new_columns(meta: TableMeta, target_schema_names: list[str]) -> list[str]:
+    """E1: source-catalog columns missing from the target, compared
+    case-insensitively (add_output.py:188-189)."""
+    existing = {c.lower() for c in target_schema_names}
+    return [c.name for c in meta.columns if c.name.lower() not in existing]
+
+
+def widen_ddl(table: str, new_columns: list[tuple[str, str]]) -> list[str]:
+    """E2 for a warehouse target: ALTER TABLE ADD COLUMN statements
+    (identifier upper-casing per add_output.py:305)."""
+    return [
+        f"ALTER TABLE {table.upper()} ADD COLUMN IF NOT EXISTS {name.upper()} {sf_type}"
+        for name, sf_type in new_columns
+    ]
+
+
+def first_seen_time(
+    events: DataFrame, field_path: str, ts_col: str = "event_time"
+):
+    """Earliest event time at which the (new) field held data — the
+    get_first_field_time probe (add_output.py:264-274) as an aggregation.
+    Returns None when the field never held data (the reference crashes
+    here, TODO add_output.py:272)."""
+    row = (
+        events.filter(F.col(field_path).isNotNull())
+        .agg(F.min(ts_col).alias("first_seen"))
+        .collect()[0]
+    )
+    return row["first_seen"]
+
+
+def backfill(
+    spark: SparkSession,
+    pipeline: CdcPipeline,
+    raw_path: str,
+    first_seen,
+    ts_col: str = "event_time",
+    pad_minutes: int = 1,
+) -> None:
+    """E3: bounded re-run from first_seen − pad (add_output.py:656).
+
+    Replays raw events through the same idempotent merge — rows already
+    at their newest state are untouched (seq guard); rows predating the
+    drift gain the new column's values.
+    """
+    events = spark.read.option("mergeSchema", "true").parquet(raw_path)
+    if first_seen is not None:
+        start = first_seen - timedelta(minutes=pad_minutes)
+        events = events.filter(F.col(ts_col) >= F.lit(start))
+    pipeline.materialize_batch(events)
+
+
+def reconcile(
+    spark: SparkSession,
+    pipeline: CdcPipeline,
+    sink: ParquetSnapshotSink,
+    meta: TableMeta,
+    target_table: str,
+    raw_path: str,
+    ts_col: str | None = None,
+) -> list[str]:
+    """The full E1→E2→E3 loop for one table. Returns the new columns
+    found (empty → nothing to do, matching check_and_update_output's
+    no-op path)."""
+    target_cols = (
+        sink.read(spark, target_table).columns if sink.exists(target_table) else []
+    )
+    new_cols = detect_new_columns(meta, target_cols)
+    if not new_cols:
+        return []
+    # pre-drift files lack the new column: schema-merge the raw zone
+    raw = spark.read.option("mergeSchema", "true").parquet(raw_path)
+    first_seens = []
+    for c in new_cols:
+        try:
+            fs = first_seen_time(raw, f"data.row.{c}", ts_col or "seq")
+        except Exception:
+            fs = None
+        first_seens.append(fs)
+    usable = [f for f in first_seens if f is not None]
+    if ts_col and usable:
+        backfill(spark, pipeline, raw_path, min(usable), ts_col)
+    else:
+        # seq-based or unknown first-seen: replay everything (InputStart)
+        pipeline.materialize_batch(raw)
+    return new_cols

@@ -1,0 +1,164 @@
+"""CdcPipeline — demux → flatten → upsert-materialize, batch or streaming.
+
+The per-batch function is shared verbatim between batch mode and
+Structured Streaming ``foreachBatch`` (SURVEY.md §7 step 3/4): batch is
+trivially debuggable, streaming reuses the exact same code under a
+checkpoint, and the two are asserted identical by the parity test.
+
+Fan-out strategy (K6, SURVEY.md §4 #4): ONE stream + one foreachBatch that
+loops over the N table specs against a persisted batch — not N concurrent
+queries — so a 500-table source costs one source scan and one checkpoint
+per micro-batch. The reference loops table-by-table at the control plane
+only (add_output.py:540-561); data-plane fan-out is per micro-batch here.
+
+Scale posture:
+- the batch is ``persist()``-ed before the per-table loop (each table's
+  filter re-reads memory, not the source);
+- each table's changes are pre-reduced to latest-by-key *before* the
+  sink merge (map-side combine — the merge joins ≤1 row/key);
+- demux filter is a pushed-down equality predicate on
+  ``full_table_name`` (P1), so with a source partitioned by table the
+  scan prunes to that table's files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from snowflake_cdc_spark.functions.strings import actual_full_table_name
+from snowflake_cdc_spark.operators.flatten import expand_struct
+from snowflake_cdc_spark.operators.upsert import latest_by_key
+from snowflake_cdc_spark.plans.spec import DeleteStrategy, PipelineSpec, StartPosition
+from snowflake_cdc_spark.sinks.parquet_sink import ParquetSnapshotSink
+
+
+class CdcPipeline:
+    """Materialize one multiplexed CDC envelope stream into per-table
+    snapshots according to a list of PipelineSpecs."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        specs: list[PipelineSpec],
+        sink: ParquetSnapshotSink,
+    ) -> None:
+        self.spark = spark
+        self.specs = specs
+        self.sink = sink
+
+    # ---- per-table transform (pure, testable) ---------------------------
+
+    def transform(self, events: DataFrame, spec: PipelineSpec) -> DataFrame:
+        """envelope events → flat change rows for one table.
+
+        Filter on the shard-merged table identity (README.md:29-31), then
+        star-expand ``data.row`` (README.md:34) plus the key/seq/delete
+        metadata columns.
+        """
+        if spec.merge_shards:
+            ident = actual_full_table_name(
+                F.col("data.database_name"), F.col("data.table_name")
+            )
+        else:
+            ident = F.col("data.full_table_name")
+        filtered = events.filter(ident == F.lit(spec.full_table_name))
+
+        keep = [
+            F.col("data.primary_key").alias("primary_key"),
+            F.col(spec.seq_column).alias("seq"),
+            F.coalesce(F.col("data.metadata.is_delete"), F.lit(False)).alias("is_delete"),
+        ]
+        flat = expand_struct(filtered, "data.row", "", keep=keep)
+        if spec.columns is not None:
+            flat = flat.select(
+                "primary_key", "seq", "is_delete",
+                *[F.col(src).alias(dst) for src, dst in spec.columns],
+            )
+        return flat
+
+    def _key_cols(self, spec: PipelineSpec) -> list[str]:
+        if spec.use_synthetic_key or not spec.key_columns:
+            return ["primary_key"]  # K2 (add_output.py:132-136)
+        return spec.key_columns
+
+    # ---- the shared micro-batch function --------------------------------
+
+    def materialize_batch(self, events: DataFrame, batch_id: int = 0) -> None:
+        """Apply one batch of envelope events to every table snapshot."""
+        events = events.persist()
+        try:
+            for spec in self.specs:
+                changes = self.transform(events, spec)
+                keys = self._key_cols(spec)
+                # pre-reduce before the sink merge: ≤1 row/key enters MERGE
+                reduced = latest_by_key(changes, keys, "seq")
+                self.sink.merge(
+                    reduced,
+                    spec.target_table,
+                    key_cols=keys,
+                    seq_col="seq",
+                    delete_col="is_delete",
+                    hard_delete=spec.delete_strategy is DeleteStrategy.HARD,
+                    logical_col=spec.logical_delete_col,
+                )
+        finally:
+            events.unpersist()
+
+    # ---- entry points ----------------------------------------------------
+
+    def _apply_start_position(self, events: DataFrame, event_time_col: str | None) -> DataFrame:
+        spec0 = self.specs[0]
+        if (
+            spec0.start_position is StartPosition.AT_TIME
+            and spec0.start_time is not None
+            and event_time_col
+        ):
+            # S2 bounded backfill: AtTime (add_output.py:260,666)
+            return events.filter(F.col(event_time_col) >= F.lit(spec0.start_time))
+        return events
+
+    def run_batch(self, source_path: str, event_time_col: str | None = None) -> None:
+        """Bounded run over landed envelope events (backfill / tests).
+        ``mergeSchema`` on: the raw zone may mix pre- and post-drift files."""
+        events = self.spark.read.option("mergeSchema", "true").parquet(source_path)
+        self.materialize_batch(self._apply_start_position(events, event_time_col))
+
+    def start_stream(
+        self,
+        source_path: str,
+        checkpoint: str,
+        schema=None,
+        available_now: bool = False,
+        max_files_per_trigger: int | None = None,
+    ) -> StreamingQuery:
+        """Deploy (add_output.py:440-448 → writeStream.start()).
+
+        ``available_now=True`` = bounded replay of everything landed
+        (InputStart semantics with a clean shutdown); otherwise a
+        continuous micro-batch stream with the spec's processing-time
+        trigger (S6, outputInterval → trigger(processingTime=...)).
+        Checkpointed offsets + the idempotent seq-guarded merge give
+        effective exactly-once (SURVEY.md §2.8).
+        """
+        reader = self.spark.readStream
+        if schema is not None:
+            reader = reader.schema(schema)
+        else:
+            # schema-on-read for files: infer from what's landed
+            reader = reader.schema(self.spark.read.parquet(source_path).schema)
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        events = reader.parquet(source_path)
+
+        writer = events.writeStream.foreachBatch(self.materialize_batch).option(
+            "checkpointLocation", checkpoint
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        else:
+            writer = writer.trigger(
+                processingTime=f"{self.specs[0].output_interval_minutes} minutes"
+            )
+        return writer.start()
