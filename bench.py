@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract, BASELINE.md).
+
+Runs every declared query at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` plus the CDC
+end-to-end materializations, and prints ONE JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Timing methodology: one warm-up of the session (JIT + codegen caches),
+then each query executed once to a ``noop`` sink — measures full plan
+execution without py4j row-serialization noise. Set BENCH_RUNS>1 for
+medians.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import tempfile
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+RUNS = int(os.environ.get("BENCH_RUNS", "1"))
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def time_df(fn, runs: int = RUNS) -> float:
+    times = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        df = fn()
+        df.write.mode("overwrite").format("noop").save()
+        times.append(time.perf_counter() - t0)
+    return statistics.median(times)
+
+
+def bench_cdc_e2e(spark) -> dict[str, float]:
+    """E2E-1/2 (BASELINE.md): CDC snapshot, batch and streaming."""
+    from pyspark.sql import functions as F
+
+    from snowflake_cdc_spark.plans.spec import DeleteStrategy, PipelineSpec
+    from snowflake_cdc_spark.sinks.parquet_sink import ParquetSnapshotSink
+    from snowflake_cdc_spark.sources.cdc import cdc_events_nested
+    from snowflake_cdc_spark.streaming.pipeline import CdcPipeline
+
+    out: dict[str, float] = {}
+    with tempfile.TemporaryDirectory() as work:
+        raw = f"{work}/raw"
+        cdc_events_nested(spark, SF_DIR).withColumn(
+            "__c", F.col("seq") % 8
+        ).repartition(8, "__c").drop("__c").write.parquet(raw)
+
+        spec = [
+            PipelineSpec(
+                full_table_name="tpch.orders",
+                use_synthetic_key=True,
+                delete_strategy=DeleteStrategy.HARD,
+            )
+        ]
+        t0 = time.perf_counter()
+        CdcPipeline(spark, spec, ParquetSnapshotSink(f"{work}/snap_b")).run_batch(raw)
+        out["e2e_cdc_batch"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        q = CdcPipeline(spark, spec, ParquetSnapshotSink(f"{work}/snap_s")).start_stream(
+            raw, checkpoint=f"{work}/ckpt", available_now=True
+        )
+        q.awaitTermination(600)
+        out["e2e_cdc_stream"] = time.perf_counter() - t0
+    return out
+
+
+def main() -> None:
+    from snowflake_cdc_spark.queries import oracle_sql, queries
+    from snowflake_cdc_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", cpus=int(CPUS))
+    spark.range(10_000_000).selectExpr("sum(id)").collect()  # warm-up
+
+    results: dict[str, float] = {}
+    failures: dict[str, str] = {}
+    for name, fn in sorted(queries().items()):
+        try:
+            results[name] = round(time_df(lambda: fn(spark, SF_DIR)), 3)
+        except Exception as e:  # keep benching; report the failure
+            failures[name] = str(e).split("\n")[0][:200]
+    try:
+        results.update({k: round(v, 3) for k, v in bench_cdc_e2e(spark).items()})
+    except Exception as e:
+        failures["e2e_cdc"] = str(e).split("\n")[0][:200]
+
+    payload = {
+        "metric": "sec_per_query_total",
+        "value": round(sum(results.values()), 3),
+        "unit": "sec",
+        "queries": results,
+        "sf": _sf_from_dir(SF_DIR),
+        "n_queries": len(results),
+        "oracle_backed": len(oracle_sql()),
+        "cpus": int(CPUS),
+    }
+    if failures:
+        payload["failures"] = failures
+    print(json.dumps(payload))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

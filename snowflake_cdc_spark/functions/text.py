@@ -1,0 +1,122 @@
+"""Text-analysis function surface (SURVEY.md §2.8 N5) — all built-in
+column expressions (JVM-side, codegen'd); no Python in the hot path.
+
+Hashing note: every content hash here is md5 — the one hash function
+whose output is bit-identical across Spark, DuckDB, and Snowflake, which
+makes MinHash/fingerprint results oracle-checkable across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# A tiny per-language stopword table for the n-gram/stopword language-ID
+# heuristic. Real pipelines plug in fastText etc. via a Pandas UDF; the
+# heuristic keeps the operator dependency-free and deterministic.
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "is"],
+    "es": ["el", "la", "de", "y", "es"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "de", "et", "est"],
+}
+LANG_FALLBACK = "zh"
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def words(col: Column | str) -> Column:
+    """Whitespace tokenization (single-space convention of the fixtures)."""
+    return F.split(_c(col), " ")
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count without materializing the array."""
+    c = _c(col)
+    return F.length(c) - F.length(F.replace(c, F.lit(" "), F.lit(""))) + 1
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """BPE-style pre-tokenizer count: letter runs, digit runs, single
+    punctuation marks (the GPT-2 pre-tokenizer shape, minus unicode
+    categories)."""
+    return F.regexp_count(_c(col), F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"))
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct n-word shingles, built from n shifted array slices zipped
+    together.
+
+    Why slices+zip_with and not ``transform(sequence(...), i ->
+    element_at(ws, i+j)...)``: expressions referenced inside a
+    higher-order-function lambda are re-evaluated PER ELEMENT (no common
+    subexpression elimination crosses the lambda boundary), so the
+    element_at form re-runs the full ``split`` ~3× per shingle — measured
+    ~20× slower on the documents fixture. Here ``split`` is evaluated
+    O(n) times per row and the zip lambdas touch only bound variables.
+    Short documents yield an empty array (Spark's ``sequence(1, 0)``
+    would descend!)."""
+    ws = words(col)
+    k = F.size(ws)
+    length = k - (n - 1)
+    zipped = F.slice(ws, 1, length)
+    for j in range(1, n):
+        zipped = F.zip_with(
+            zipped, F.slice(ws, j + 1, length), lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    return F.when(k >= n, F.array_distinct(zipped)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def stopword_hits(col: Column | str, stopwords: list[str]) -> Column:
+    """Occurrences of any of ``stopwords`` among the tokens."""
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    return F.size(F.filter(words(col), lambda w: F.array_contains(sw, w)))
+
+
+def language_scores(col: Column | str) -> dict[str, Column]:
+    return {lang: stopword_hits(col, sws) for lang, sws in STOPWORDS.items()}
+
+
+def language_id(col: Column | str) -> Column:
+    """Deterministic stopword-score argmax with a fixed evaluation order
+    (en > es > de > fr > fallback on ties), zero hits → fallback."""
+    s = language_scores(col)
+    ordered = ["en", "es", "de", "fr"]
+    expr = F.lit(LANG_FALLBACK)
+    # build the cascade back-to-front so earlier langs win ties
+    for lang in reversed(ordered):
+        others = [o for o in ordered if o != lang]
+        cond = s[lang] > 0
+        for o in others:
+            cond = cond & (s[lang] >= s[o])
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def punct_ratio(col: Column | str) -> Column:
+    c = _c(col)
+    n_punct = F.regexp_count(c, F.lit(r"[^\w\s]"))
+    return n_punct.cast("double") / F.greatest(F.length(c), F.lit(1)).cast("double")
+
+
+def avg_token_len(col: Column | str) -> Column:
+    c = _c(col)
+    return (
+        F.length(F.replace(c, F.lit(" "), F.lit(""))).cast("double")
+        / token_count(c).cast("double")
+    )
+
+
+def stopword_ratio(col: Column | str, stopwords: list[str] | None = None) -> Column:
+    sws = stopwords or STOPWORDS["en"]
+    return stopword_hits(col, sws).cast("double") / token_count(col).cast("double")
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Document fingerprint: md5 over whitespace-normalized lowercased
+    content — stable across engines and whitespace variants."""
+    return F.md5(F.lower(F.regexp_replace(_c(col), r"\s+", " ")))

@@ -1,0 +1,103 @@
+"""Embedding-space near-duplicate detection + bucketed ANN
+(SURVEY.md §2.8 N2/N3 scale path).
+
+Random-hyperplane LSH is the textbook approach; for oracle parity we use
+the degenerate-but-deterministic variant where the "hyperplanes" are the
+coordinate axes: bucket = sign bits of the first ``dims`` components.
+Near-identical vectors (the near-dup regime, cosine ≈ 1) agree on almost
+every sign, so they share a bucket; the bucket join replaces the O(n²)
+cross product. ``cosine_topk_bucketed`` generalizes to query sets too
+large to broadcast-cross-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from snowflake_cdc_spark.functions.vectors import cosine_similarity
+
+
+def sign_bucket(vec: Column | str, dims: int = 16) -> Column:
+    """Sign-bit bucket id over the first ``dims`` components (packed int)."""
+    v = F.col(vec) if isinstance(vec, str) else vec
+    # 2^(i-1) via pow (exact in double up to 2^52); the Python shiftleft
+    # API can't take a lambda-variable shift amount
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(dims)),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + F.when(
+            F.element_at(v, i).cast("double") > 0,
+            F.pow(F.lit(2.0), (i - 1).cast("double")).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.999,
+    dims: int = 16,
+    round_to: int | None = 4,
+) -> DataFrame:
+    """Pairs with cosine ≥ threshold found via sign-bucket blocking.
+    Output (a, b, sim), a < b."""
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        sign_bucket(vec_col, dims).alias("bucket"),
+    )
+    x, y = base.alias("x"), base.alias("y")
+    sim = cosine_similarity(F.col("x.v"), F.col("y.v"))
+    if round_to is not None:
+        sim = F.round(sim, round_to)
+    return (
+        x.join(
+            y,
+            (F.col("x.bucket") == F.col("y.bucket")) & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"), sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
+        .orderBy("a", "b")
+    )
+
+
+def cosine_topk_bucketed(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    dims: int = 8,
+) -> DataFrame:
+    """Approximate top-k: join corpus and queries on the sign bucket
+    (coarse, ``2**dims`` cells) instead of a cross product — the scale
+    path when the query set itself is large. Recall is bucket-bound; use
+    fewer dims for higher recall. Output (query_id, vec_id, sim)."""
+    from pyspark.sql import Window
+
+    c = corpus.select(
+        F.col(corpus_id).alias(corpus_id),
+        F.col(corpus_vec).alias("__cv"),
+        sign_bucket(corpus_vec, dims).alias("__bucket"),
+    )
+    q = queries.select(
+        F.col(query_id).alias(query_id),
+        F.col(query_vec).alias("__qv"),
+        sign_bucket(query_vec, dims).alias("__bucket"),
+    )
+    scored = c.join(q, "__bucket").select(
+        query_id,
+        corpus_id,
+        F.round(cosine_similarity(F.col("__cv"), F.col("__qv")), 4).alias("sim"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.col(corpus_id))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

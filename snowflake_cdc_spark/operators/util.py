@@ -1,0 +1,21 @@
+"""Shared operator plumbing."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Ensure CPU-bound per-row work gets cluster-wide parallelism.
+
+    Small-but-expensive inputs (one parquet file of documents feeding
+    millions of md5 calls; the probe side of a broadcast join) arrive as
+    a handful of scan partitions — Spark sizes scans by *bytes*
+    (maxPartitionBytes), not by downstream compute. One round-robin
+    shuffle of the narrow input is noise next to the per-row work it
+    parallelizes. No-op when the input is already wide enough (at real
+    scale, a 100 TB scan has thousands of partitions and skips this)."""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)

@@ -626,8 +626,16 @@ def q24(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _load_extended()
     return {name: spec.spark_fn for name, spec in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
+    _load_extended()
     return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle}
+
+
+def _load_extended() -> None:
+    """Register the north-star query family (defined in a sibling module
+    to keep this file navigable; imported lazily to avoid a cycle)."""
+    import snowflake_cdc_spark.queries_northstar  # noqa: F401

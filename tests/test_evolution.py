@@ -40,8 +40,10 @@ def drift_raw(spark, tmp_path_factory):
     events = cdc_events_nested(spark, SF_SMOKE)
     median = events.agg(F.expr("percentile_approx(seq, 0.5)")).collect()[0][0]
 
+    # two explicit generations: reading gen0 alone is schema-deterministic
+    # (a bare read of the mixed root picks an arbitrary file's schema)
     pre = events.filter(F.col("seq") < median)
-    pre.coalesce(2).write.mode("overwrite").parquet(path)
+    pre.coalesce(2).write.mode("overwrite").parquet(f"{path}/gen0")
 
     post = events.filter(F.col("seq") >= median)
     with_comment = post.select(
@@ -72,8 +74,8 @@ def drift_raw(spark, tmp_path_factory):
         ).alias("data"),
         "seq",
     )
-    with_comment.coalesce(2).write.mode("append").parquet(path)
-    return path, int(median)
+    with_comment.coalesce(2).write.mode("overwrite").parquet(f"{path}/gen1")
+    return f"{path}/gen*", int(median)
 
 
 def make_pipeline(spark, tmp_path):
@@ -90,7 +92,7 @@ def test_e1_detect_and_ddl(spark, drift_raw, tmp_path):
     path, median = drift_raw
     pipe, sink = make_pipeline(spark, tmp_path)
     # materialize only the pre-drift generation (no o_comment anywhere)
-    pre = spark.read.parquet(path).filter(F.col("seq") < median)
+    pre = spark.read.parquet(path.replace("gen*", "gen0"))
     pipe.materialize_batch(pre)
     assert "o_comment" not in sink.read(spark, "ORDERS").columns
 
@@ -105,7 +107,7 @@ def test_e2_e3_widen_and_backfill(spark, drift_raw, tmp_path):
     path, median = drift_raw
     pipe, sink = make_pipeline(spark, tmp_path)
     # generation 1: pre-drift events only
-    pre = spark.read.parquet(path).filter(F.col("seq") < median)
+    pre = spark.read.parquet(path.replace("gen*", "gen0"))
     pipe.materialize_batch(pre)
 
     meta = Catalog.from_columns_csv(COLUMNS_CSV).get("tpch.orders")

@@ -5,9 +5,10 @@ from __future__ import annotations
 
 import pytest
 
-from snowflake_cdc_spark.queries import REGISTRY
+from snowflake_cdc_spark.queries import REGISTRY, _load_extended
 from tests.conftest import assert_matches_oracle
 
+_load_extended()
 ORACLE_BACKED = [name for name, spec in REGISTRY.items() if spec.oracle]
 
 
