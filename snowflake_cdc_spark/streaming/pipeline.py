@@ -43,10 +43,21 @@ class CdcPipeline:
         spark: SparkSession,
         specs: list[PipelineSpec],
         sink: ParquetSnapshotSink,
+        fail_on_write_error: bool = True,
+        quarantine_dir: str | None = None,
     ) -> None:
+        """``fail_on_write_error`` mirrors the reference's
+        ``failOnWriteError: True`` default (add_output.py:115): a failing
+        table merge aborts the batch (and the stream). The permissive mode
+        writes the failed table's changes to ``quarantine_dir`` and keeps
+        the remaining tables flowing — one poisoned table must not stall
+        the other 499 at scale."""
         self.spark = spark
         self.specs = specs
         self.sink = sink
+        self.fail_on_write_error = fail_on_write_error
+        self.quarantine_dir = quarantine_dir
+        self.write_errors: list[tuple[str, int, str]] = []  # (table, batch, err)
 
     # ---- per-table transform (pure, testable) ---------------------------
 
@@ -94,15 +105,24 @@ class CdcPipeline:
                 keys = self._key_cols(spec)
                 # pre-reduce before the sink merge: ≤1 row/key enters MERGE
                 reduced = latest_by_key(changes, keys, "seq")
-                self.sink.merge(
-                    reduced,
-                    spec.target_table,
-                    key_cols=keys,
-                    seq_col="seq",
-                    delete_col="is_delete",
-                    hard_delete=spec.delete_strategy is DeleteStrategy.HARD,
-                    logical_col=spec.logical_delete_col,
-                )
+                try:
+                    self.sink.merge(
+                        reduced,
+                        spec.target_table,
+                        key_cols=keys,
+                        seq_col="seq",
+                        delete_col="is_delete",
+                        hard_delete=spec.delete_strategy is DeleteStrategy.HARD,
+                        logical_col=spec.logical_delete_col,
+                    )
+                except Exception as e:  # noqa: BLE001 - policy decides
+                    if self.fail_on_write_error:
+                        raise
+                    self.write_errors.append((spec.target_table, batch_id, str(e)))
+                    if self.quarantine_dir:
+                        reduced.write.mode("overwrite").parquet(
+                            f"{self.quarantine_dir}/{spec.target_table}/batch={batch_id}"
+                        )
         finally:
             events.unpersist()
 
