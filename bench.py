@@ -86,7 +86,17 @@ def main() -> None:
     from snowflake_cdc_spark.session import get_spark
 
     spark = get_spark(app_name="bench", cpus=int(CPUS))
-    spark.range(10_000_000).selectExpr("sum(id)").collect()  # warm-up
+    # Warm-up absorbs one-time session costs so they don't land on whichever
+    # query happens to run first: JVM/codegen (range agg), Hadoop FS + parquet
+    # reader init (small scan), Python worker pool startup (tiny mapInPandas).
+    spark.range(10_000_000).selectExpr("sum(id)").collect()
+    try:
+        import pandas as _pd
+
+        warm = spark.read.parquet(f"{SF_DIR}/region.parquet")
+        warm.mapInPandas(lambda it: it, schema=warm.schema).collect()
+    except Exception:
+        pass
 
     results: dict[str, float] = {}
     failures: dict[str, str] = {}
@@ -95,6 +105,10 @@ def main() -> None:
             results[name] = round(time_df(lambda: fn(spark, SF_DIR)), 3)
         except Exception as e:  # keep benching; report the failure
             failures[name] = str(e).split("\n")[0][:200]
+        finally:
+            # operators persist() intermediates; drop them so queries are
+            # timed independently instead of competing for cache memory
+            spark.catalog.clearCache()
     try:
         results.update({k: round(v, 3) for k, v in bench_cdc_e2e(spark).items()})
     except Exception as e:

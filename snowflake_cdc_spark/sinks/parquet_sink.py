@@ -80,6 +80,47 @@ class ParquetSnapshotSink:
             raise FileNotFoundError(f"no snapshot for table {table!r} under {self.root}")
         return spark.read.parquet(os.path.join(self._table_dir(table), f"v={v}"))
 
+    def read_version(self, spark: SparkSession, table: str, version: int) -> DataFrame:
+        """Time travel: read a specific retained snapshot version."""
+        path = os.path.join(self._table_dir(table), f"v={version}")
+        if not os.path.isdir(path):
+            raise FileNotFoundError(f"version {version} of {table!r} not found")
+        df = spark.read.parquet(path)
+        if TOMBSTONE in df.columns:
+            df = df.filter(~F.col(TOMBSTONE)).drop(TOMBSTONE)
+        return df
+
+    def versions(self, table: str) -> list[int]:
+        d = self._table_dir(table)
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            int(name[2:]) for name in os.listdir(d) if name.startswith("v=")
+        )
+
+    def vacuum(self, table: str, keep_last: int = 2) -> list[int]:
+        """Drop all but the newest ``keep_last`` snapshot versions (never
+        the current pointer's target). Old versions are what give replay /
+        time travel; at scale they're also storage — same trade Delta's
+        VACUUM makes."""
+        import shutil
+
+        current = self.current_version(table)
+        removable = [
+            v for v in self.versions(table)[:-keep_last] if v != current
+        ]
+        for v in removable:
+            shutil.rmtree(os.path.join(self._table_dir(table), f"v={v}"))
+        return removable
+
+    def compact(self, spark: SparkSession, table: str, target_files: int = 8) -> int:
+        """Rewrite the current snapshot into ``target_files`` files — the
+        small-file compaction every micro-batch MERGE sink needs (each
+        merge writes shuffle.partitions files; hundreds of batches →
+        thousands of small files → scan death at scale)."""
+        df = self._read_raw(spark, table).coalesce(target_files)
+        return self.overwrite(df, table)
+
     def overwrite(self, df: DataFrame, table: str) -> int:
         v = self.current_version(table) + 1
         df.write.mode("overwrite").parquet(
