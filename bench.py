@@ -91,8 +91,6 @@ def main() -> None:
     # reader init (small scan), Python worker pool startup (tiny mapInPandas).
     spark.range(10_000_000).selectExpr("sum(id)").collect()
     try:
-        import pandas as _pd
-
         warm = spark.read.parquet(f"{SF_DIR}/region.parquet")
         warm.mapInPandas(lambda it: it, schema=warm.schema).collect()
     except Exception:

@@ -1,0 +1,59 @@
+"""Bucketed co-located joins: the join and the aggregation on the bucket
+key must plan without a shuffle Exchange."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from snowflake_cdc_spark.operators.bucketing import (
+    bucketed_join,
+    shuffle_exchanges_in_plan,
+    write_bucketed,
+)
+from snowflake_cdc_spark.sources.io import read_table
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, tmp_path_factory):
+    orders = read_table(spark, SF_SMOKE, "orders")
+    lineitem = read_table(spark, SF_SMOKE, "lineitem")
+    write_bucketed(orders, "b_orders", "o_orderkey", buckets=8)
+    write_bucketed(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "b_lineitem",
+        "o_orderkey",
+        buckets=8,
+    )
+    yield "b_orders", "b_lineitem"
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_bucketed_join_has_no_shuffle(spark, bucketed_tables):
+    lt, rt = bucketed_tables
+    joined = bucketed_join(spark, lt, rt, "o_orderkey")
+    assert shuffle_exchanges_in_plan(joined) == 0, "bucketed join must not shuffle"
+    # and it computes the same thing as the plain join
+    orders = read_table(spark, SF_SMOKE, "orders")
+    lineitem = read_table(spark, SF_SMOKE, "lineitem")
+    want = orders.join(
+        lineitem, orders.o_orderkey == lineitem.l_orderkey
+    ).count()
+    assert joined.count() == want
+
+
+def test_unbucketed_join_does_shuffle(spark):
+    """Control: the same join over raw parquet shuffles (broadcast
+    disabled to force the comparison)."""
+    orders = read_table(spark, SF_SMOKE, "orders").hint("merge")
+    lineitem = read_table(spark, SF_SMOKE, "lineitem")
+    joined = orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+    assert shuffle_exchanges_in_plan(joined) > 0
+
+
+def test_bucketed_aggregation_has_no_shuffle(spark, bucketed_tables):
+    _, rt = bucketed_tables
+    agg = spark.table(rt).groupBy("o_orderkey").agg(F.sum("l_quantity").alias("q"))
+    assert shuffle_exchanges_in_plan(agg) == 0, "group-by on bucket key must not shuffle"
