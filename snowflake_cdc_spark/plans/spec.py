@@ -46,6 +46,11 @@ class PipelineSpec:
     start_time: datetime | None = None  # for AT_TIME
     seq_column: str = "seq"
     merge_shards: bool = True  # strip _part_N and merge (README.md:29-31)
+    # E4: a configured constant column appended to every row AND to the
+    # upsert key (EXTRA_PK_COLUMN, add_output.py:9-18, applied 553-555) —
+    # e.g. a tenant/keyspace discriminator when several sources share one
+    # target table
+    extra_key_column: tuple[str, str] | None = None  # (name, constant value)
 
     @property
     def target_table(self) -> str:

@@ -116,6 +116,25 @@ def q48(spark, sf_dir):
 
 
 @register(
+    "q49_approx_distinct",
+    None,  # HLL sketch values are engine-specific — rows-only check
+    "A-family scale path: approx_count_distinct (HyperLogLog++) per group — "
+    "constant memory per group vs the exact shuffle; exactness checked "
+    "separately in tests against count_distinct within 5% rsd",
+)
+def q49(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
     "q48b_cube",
     """SELECT o_orderstatus, o_orderpriority, count(*) AS n
        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)

@@ -87,12 +87,20 @@ class CdcPipeline:
                 "primary_key", "seq", "is_delete",
                 *[F.col(src).alias(dst) for src, dst in spec.columns],
             )
+        if spec.extra_key_column is not None:  # E4 (add_output.py:9-18)
+            name, value = spec.extra_key_column
+            flat = flat.withColumn(name, F.lit(value))
         return flat
 
     def _key_cols(self, spec: PipelineSpec) -> list[str]:
-        if spec.use_synthetic_key or not spec.key_columns:
-            return ["primary_key"]  # K2 (add_output.py:132-136)
-        return spec.key_columns
+        keys = (
+            ["primary_key"]  # K2 (add_output.py:132-136)
+            if spec.use_synthetic_key or not spec.key_columns
+            else list(spec.key_columns)
+        )
+        if spec.extra_key_column is not None:
+            keys.append(spec.extra_key_column[0])
+        return keys
 
     # ---- the shared micro-batch function --------------------------------
 

@@ -1,0 +1,50 @@
+"""E4 extra key column + approx_count_distinct accuracy bound."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from snowflake_cdc_spark.plans.spec import PipelineSpec
+from snowflake_cdc_spark.queries import REGISTRY, _load_extended
+from snowflake_cdc_spark.sinks.parquet_sink import ParquetSnapshotSink
+from snowflake_cdc_spark.sources.cdc import cdc_events_nested
+from snowflake_cdc_spark.sources.io import read_table
+from snowflake_cdc_spark.streaming.pipeline import CdcPipeline
+from tests.conftest import SF_SMOKE
+
+_load_extended()
+
+
+def test_e4_extra_key_column(spark, tmp_path):
+    """The configured constant column lands on every row and joins the
+    upsert key (EXTRA_PK_COLUMN, add_output.py:9-18)."""
+    events = cdc_events_nested(spark, SF_SMOKE)
+    sink = ParquetSnapshotSink(str(tmp_path / "snap"))
+    spec = PipelineSpec(
+        "tpch.orders",
+        use_synthetic_key=True,
+        extra_key_column=("ksname", "tenant_a"),
+    )
+    pipe = CdcPipeline(spark, [spec], sink)
+    assert pipe._key_cols(spec) == ["primary_key", "ksname"]
+    pipe.materialize_batch(events)
+    snap = sink.read(spark, "ORDERS")
+    assert "ksname" in snap.columns
+    assert snap.filter(F.col("ksname") != "tenant_a").count() == 0
+    assert snap.count() == 1285  # same snapshot semantics as without E4
+
+
+def test_approx_distinct_within_rsd(spark):
+    got = {
+        r.l_returnflag: r.approx_parts
+        for r in REGISTRY["q49_approx_distinct"].spark_fn(spark, SF_SMOKE).collect()
+    }
+    exact = {
+        r.l_returnflag: r.n
+        for r in read_table(spark, SF_SMOKE, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.count_distinct("l_partkey").alias("n"))
+        .collect()
+    }
+    for flag, n in exact.items():
+        assert abs(got[flag] - n) / n < 0.05, (flag, got[flag], n)
