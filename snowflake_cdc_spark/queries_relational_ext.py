@@ -251,6 +251,55 @@ def q43(spark, sf_dir):
 
 
 @register(
+    "q50_outer_joins",
+    """SELECT coalesce(n.n_nationkey, s.s_nationkey) AS k,
+              count(n.n_name) AS n_nations, count(s.s_suppkey) AS n_suppliers
+       FROM nation n FULL OUTER JOIN supplier s ON n.n_nationkey = s.s_nationkey
+       GROUP BY 1 ORDER BY 1""",
+    "J1 completion: full outer join with unmatched sides on both ends",
+)
+def q50(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        n.join(s, n.n_nationkey == s.s_nationkey, "full_outer")
+        .groupBy(F.coalesce(n.n_nationkey, s.s_nationkey).alias("k"))
+        .agg(
+            F.count("n_name").alias("n_nations"),
+            F.count("s_suppkey").alias("n_suppliers"),
+        )
+        .orderBy("k")
+    )
+
+
+@register(
+    "q51_pivot",
+    """SELECT user_id,
+              count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+              count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+              count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view
+       FROM events GROUP BY user_id ORDER BY user_id""",
+    "pivot with explicit value list (wide conditional aggregation)",
+)
+def q51(spark, sf_dir):
+    out = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", ["purchase", "click", "view"])
+        .count()
+    )
+    return (
+        out.select(
+            "user_id",
+            F.coalesce("purchase", F.lit(0)).alias("n_purchase"),
+            F.coalesce("click", F.lit(0)).alias("n_click"),
+            F.coalesce("view", F.lit(0)).alias("n_view"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
     "q44_higher_order_arrays",
     """SELECT doc_id,
               list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS total_chars,

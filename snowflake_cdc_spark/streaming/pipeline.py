@@ -160,6 +160,7 @@ class CdcPipeline:
         schema=None,
         available_now: bool = False,
         max_files_per_trigger: int | None = None,
+        processing_time: str | None = None,  # override spec's minute cadence
     ) -> StreamingQuery:
         """Deploy (add_output.py:440-448 → writeStream.start()).
 
@@ -187,6 +188,7 @@ class CdcPipeline:
             writer = writer.trigger(availableNow=True)
         else:
             writer = writer.trigger(
-                processingTime=f"{self.specs[0].output_interval_minutes} minutes"
+                processingTime=processing_time
+                or f"{self.specs[0].output_interval_minutes} minutes"
             )
         return writer.start()
