@@ -116,4 +116,17 @@ def reconcile(
     else:
         # seq-based or unknown first-seen: replay everything (InputStart)
         pipeline.materialize_batch(raw)
+    # E2 for columns no event carries yet: the reference ALTERs the target
+    # immediately (add_output.py:198-199) and values stay NULL until data
+    # arrives — mirror that by widening the snapshot schema explicitly
+    # (the data-driven unionByName widen can only see columns present in
+    # the raw zone).
+    snap = sink._read_raw(spark, target_table)  # keep tombstones intact
+    still_missing = [c for c in new_cols if c.lower() not in {x.lower() for x in snap.columns}]
+    if still_missing:
+        by_name = {c.name: c for c in meta.columns}
+        for c in still_missing:
+            spec = by_name[c].resolved()
+            snap = snap.withColumn(c, F.lit(None).cast(spec.type_info.spark_type))
+        sink.overwrite(snap, target_table)
     return new_cols

@@ -81,12 +81,24 @@ class CdcPipeline:
             F.col(spec.seq_column).alias("seq"),
             F.coalesce(F.col("data.metadata.is_delete"), F.lit(False)).alias("is_delete"),
         ]
+        # Natural-key columns must survive deletes: a delete event's
+        # after-image (data.row) is NULL, so each key falls back to the
+        # before-image — otherwise a delete groups under a NULL key and
+        # never beats its own insert in the latest-by-key race.
+        keep += [
+            F.col(f"data.old_row.{k}").alias(f"__old_{k}") for k in spec.key_columns
+        ]
         flat = expand_struct(filtered, "data.row", "", keep=keep)
         if spec.columns is not None:
             flat = flat.select(
                 "primary_key", "seq", "is_delete",
+                *[F.col(f"__old_{k}").alias(f"__old_{k}") for k in spec.key_columns],
                 *[F.col(src).alias(dst) for src, dst in spec.columns],
             )
+        for k in spec.key_columns:
+            if k in flat.columns:
+                flat = flat.withColumn(k, F.coalesce(F.col(k), F.col(f"__old_{k}")))
+        flat = flat.drop(*[f"__old_{k}" for k in spec.key_columns])
         if spec.extra_key_column is not None:  # E4 (add_output.py:9-18)
             name, value = spec.extra_key_column
             flat = flat.withColumn(name, F.lit(value))
