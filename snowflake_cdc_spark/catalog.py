@@ -48,7 +48,10 @@ class Catalog:
         return full_table_name.lower() in self._tables
 
     def tables(self) -> list[str]:
-        return sorted(self._tables)
+        """Original-case table names (lookups are case-insensitive, but
+        consumers — e.g. the demux filter, which compares data VALUES —
+        need the name as the source spells it)."""
+        return sorted(m.full_table_name for m in self._tables.values())
 
     # ---- loaders -------------------------------------------------------
 

@@ -87,17 +87,35 @@ class PipelineController:
         not already materialized; optionally run the batch materialization
         (run_output analog). Returns the new specs."""
         events = self.spark.read.option("mergeSchema", "true").parquet(raw_path)
-        discovered = set(self.discover_tables(events)) | set(include or ())
+        # identifiers compare case-insensitively everywhere (catalog.py);
+        # dedup discovered ∪ include by lowercase, keeping the first
+        # spelling seen (data's spelling wins over the include list's)
+        by_ci: dict[str, str] = {}
+        for t in [*self.discover_tables(events), *sorted(include or ())]:
+            by_ci.setdefault(t.lower(), t)
         exclude_ci = {t.lower() for t in (exclude or ())}
         new = sorted(
             t
-            for t in discovered
-            if t.lower() not in exclude_ci
+            for ci, t in by_ci.items()
+            if ci not in exclude_ci
             and not self.sink.exists(  # "already handled" (add_output.py:512-516)
                 PipelineSpec(full_table_name=t).target_table
             )
         )
         specs = [self._spec_for(t) for t in new]
+        # target names keep only the table segment (upper-cased, matching
+        # the reference's warehouse naming, add_output.py:437) — two
+        # schemas sharing a table name would silently interleave into one
+        # snapshot; fail loudly instead
+        by_target: dict[str, str] = {}
+        for s in specs:
+            if s.target_table in by_target:
+                raise ValueError(
+                    f"target table collision: {by_target[s.target_table]!r} and "
+                    f"{s.full_table_name!r} both materialize to {s.target_table!r}; "
+                    "exclude one or map it to a distinct target"
+                )
+            by_target[s.target_table] = s.full_table_name
         if run and specs:
             CdcPipeline(self.spark, specs, self.sink).materialize_batch(events)
         return specs
@@ -109,16 +127,20 @@ class PipelineController:
         raw_path: str,
         include: set[str] | None = None,
         exclude: set[str] | None = None,
+        event_time_col: str | None = None,
     ) -> dict[str, list[str]]:
         """Run E1→E3 for every cataloged table that already has a
-        snapshot. Returns {full_table_name: [new columns added]} for
-        tables that changed."""
+        snapshot. ``event_time_col`` (e.g. an ingest timestamp on the
+        envelope) enables the bounded first-seen−pad backfill; without it
+        drift triggers a full InputStart replay. Returns
+        {full_table_name: [new columns added]} for tables that changed."""
+        include_ci = {t.lower() for t in (include or ())}
         exclude_ci = {t.lower() for t in (exclude or ())}
         out: dict[str, list[str]] = {}
-        for table in self.catalog.tables():
+        for table in self.catalog.tables():  # original-case names
             if exclude_ci and table.lower() in exclude_ci:
                 continue
-            if include and table not in include:
+            if include_ci and table.lower() not in include_ci:
                 continue
             spec = self._spec_for(table)
             if not self.sink.exists(spec.target_table):
@@ -131,6 +153,7 @@ class PipelineController:
                 self.catalog.get(table),
                 spec.target_table,
                 raw_path,
+                ts_col=event_time_col,
             )
             if added:
                 out[table] = added

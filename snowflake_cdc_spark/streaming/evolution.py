@@ -103,18 +103,19 @@ def reconcile(
         return []
     # pre-drift files lack the new column: schema-merge the raw zone
     raw = spark.read.option("mergeSchema", "true").parquet(raw_path)
-    first_seens = []
-    for c in new_cols:
-        try:
-            fs = first_seen_time(raw, f"data.row.{c}", ts_col or "seq")
-        except Exception:
-            fs = None
-        first_seens.append(fs)
-    usable = [f for f in first_seens if f is not None]
+    usable = []
+    if ts_col:  # first-seen probes are full scans — only pay when bounded
+        for c in new_cols:  # backfill is actually possible
+            try:
+                usable.append(first_seen_time(raw, f"data.row.{c}", ts_col))
+            except Exception:
+                pass
+        usable = [f for f in usable if f is not None]
     if ts_col and usable:
         backfill(spark, pipeline, raw_path, min(usable), ts_col)
     else:
-        # seq-based or unknown first-seen: replay everything (InputStart)
+        # no event-time column or unknown first-seen: replay everything
+        # (InputStart)
         pipeline.materialize_batch(raw)
     # E2 for columns no event carries yet: the reference ALTERs the target
     # immediately (add_output.py:198-199) and values stay NULL until data

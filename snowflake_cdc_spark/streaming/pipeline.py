@@ -95,8 +95,12 @@ class CdcPipeline:
                 *[F.col(f"__old_{k}").alias(f"__old_{k}") for k in spec.key_columns],
                 *[F.col(src).alias(dst) for src, dst in spec.columns],
             )
+        cols_ci = {c.lower() for c in flat.columns}
         for k in spec.key_columns:
-            if k in flat.columns:
+            # identifiers are case-insensitive (catalog.py); a Python
+            # case-sensitive membership test here would silently skip the
+            # coalesce when catalog casing differs from the data's
+            if k.lower() in cols_ci:
                 flat = flat.withColumn(k, F.coalesce(F.col(k), F.col(f"__old_{k}")))
         flat = flat.drop(*[f"__old_{k}" for k in spec.key_columns])
         if spec.extra_key_column is not None:  # E4 (add_output.py:9-18)
