@@ -152,7 +152,11 @@ def minhash_lsh_pairs(
     # cache barrier at the shingle level: downstream expressions reference
     # "shingles" 9 times (8 minhash transforms + the hashed set); without
     # the barrier Catalyst's projection collapse would inline — and
-    # re-evaluate — the whole split/slice pipeline at every reference
+    # re-evaluate — the whole split/slice pipeline at every reference.
+    # Lifecycle note: the caches are deliberately NOT unpersisted here
+    # (the returned DataFrame still reads them lazily); long-lived drivers
+    # looping over corpora should call spark.catalog.clearCache() between
+    # calls, as bench.py does — LRU eviction otherwise reclaims them.
     sh_raw = (
         fan_out(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t")))
         .select("id", word_shingles("__t", shingle_n).alias("shingles"))

@@ -73,11 +73,15 @@ def cosine_topk_bucketed(
     query_id: str = "query_id",
     query_vec: str = "query_vec",
     dims: int = 8,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Approximate top-k: join corpus and queries on the sign bucket
     (coarse, ``2**dims`` cells) instead of a cross product — the scale
     path when the query set itself is large. Recall is bucket-bound; use
-    fewer dims for higher recall. Output (query_id, vec_id, sim)."""
+    fewer dims for higher recall. ``exclude_self`` drops the guaranteed
+    sim=1.0 self match when queries are drawn from the corpus (matching
+    ``cosine_topk``'s default — otherwise every query wastes one of its
+    k slots on itself). Output (query_id, vec_id, sim)."""
     from pyspark.sql import Window
 
     c = corpus.select(
@@ -90,7 +94,10 @@ def cosine_topk_bucketed(
         F.col(query_vec).alias("__qv"),
         sign_bucket(query_vec, dims).alias("__bucket"),
     )
-    scored = c.join(q, "__bucket").select(
+    joined = c.join(q, "__bucket")
+    if exclude_self:
+        joined = joined.filter(F.col(corpus_id) != F.col(query_id))
+    scored = joined.select(
         query_id,
         corpus_id,
         F.round(cosine_similarity(F.col("__cv"), F.col("__qv")), 4).alias("sim"),

@@ -54,9 +54,11 @@ def count_distinct_two_phase(
 ) -> DataFrame:
     """Exact distinct count per group without shuffling every duplicate
     value: phase 1 dedups (group, value) pairs (map-side combine eats the
-    duplicates), phase 2 counts the survivors. Output: group_cols + n."""
+    duplicates), phase 2 counts the survivors. NULL values are excluded,
+    matching SQL ``COUNT(DISTINCT x)``. Output: group_cols + n."""
     return (
         df.select(*group_cols, value_col)
+        .filter(F.col(value_col).isNotNull())
         .dropDuplicates([*group_cols, value_col])
         .groupBy(*group_cols)
         .agg(F.count(F.lit(1)).alias("n"))

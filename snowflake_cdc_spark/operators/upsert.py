@@ -118,13 +118,16 @@ def merge_upsert(
 
     ``target`` rows are treated as changes with seq = their stored seq, so
     out-of-order/late batches can never regress a row (late event = lower
-    seq loses; SURVEY.md §2.8).
+    seq loses; SURVEY.md §2.8). Schemas are aligned by name with missing
+    columns NULL-filled on either side, so late old-schema batches (or
+    batches carrying newly drifted columns) merge instead of crashing —
+    same posture as the snapshot sink.
     """
     # Target snapshot rows carry no delete marker → mark not-deleted.
     t = target
     if delete_col not in t.columns:
         t = t.withColumn(delete_col, F.lit(False))
-    aligned = t.unionByName(changes.select(*t.columns), allowMissingColumns=False)
+    aligned = t.unionByName(changes, allowMissingColumns=True)
     latest = latest_by_key(aligned, key_cols, seq_col)
     if hard_delete:
         return latest.filter(~F.coalesce(F.col(delete_col), F.lit(False))).drop(delete_col)

@@ -138,6 +138,7 @@ class ParquetSnapshotSink:
         delete_col: str = "is_delete",
         hard_delete: bool = True,
         logical_col: str = "is_deleted",
+        prefer_incoming_on_tie: bool = False,
     ) -> int:
         """MERGE one micro-batch of changes into the snapshot.
 
@@ -156,13 +157,17 @@ class ParquetSnapshotSink:
             staged = changes.withColumn(TOMBSTONE, delete_marker)
         else:
             staged = changes.withColumn(logical_col, delete_marker)
-        # incoming changes win seq ties against stored rows: a drift
-        # backfill (E3) replays already-applied events that now carry new
-        # columns — same seq, more data (see latest_by_key compound order)
-        staged = staged.drop(delete_col).withColumn("__src", F.lit(1))
+        # Seq-tie semantics: by DEFAULT the stored row wins ties, so an
+        # at-least-once redelivery of an already-applied event (possibly
+        # missing columns added since) can never regress the snapshot —
+        # that's the idempotency contract. A drift backfill (E3) replays
+        # the same seqs deliberately carrying MORE data and opts into
+        # ``prefer_incoming_on_tie`` (see latest_by_key compound order).
+        incoming_rank = 2 if prefer_incoming_on_tie else 0  # stored rank is 1
+        staged = staged.drop(delete_col).withColumn("__src", F.lit(incoming_rank))
 
         if self.exists(table):
-            current = self._read_raw(spark, table).withColumn("__src", F.lit(0))
+            current = self._read_raw(spark, table).withColumn("__src", F.lit(1))
             # E2 widen: schema drift handled by name-based union
             combined = current.unionByName(staged, allowMissingColumns=True)
         else:

@@ -80,7 +80,9 @@ def backfill(
     if first_seen is not None:
         start = first_seen - timedelta(minutes=pad_minutes)
         events = events.filter(F.col(ts_col) >= F.lit(start))
-    pipeline.materialize_batch(events)
+    # replayed seqs carry newly-discovered columns: they must beat the
+    # already-stored rows at equal seq
+    pipeline.materialize_batch(events, prefer_incoming_on_tie=True)
 
 
 def reconcile(
@@ -115,8 +117,8 @@ def reconcile(
         backfill(spark, pipeline, raw_path, min(usable), ts_col)
     else:
         # no event-time column or unknown first-seen: replay everything
-        # (InputStart)
-        pipeline.materialize_batch(raw)
+        # (InputStart); replayed seqs with new columns beat stored rows
+        pipeline.materialize_batch(raw, prefer_incoming_on_tie=True)
     # E2 for columns no event carries yet: the reference ALTERs the target
     # immediately (add_output.py:198-199) and values stay NULL until data
     # arrives — mirror that by widening the snapshot schema explicitly

@@ -120,8 +120,16 @@ class CdcPipeline:
 
     # ---- the shared micro-batch function --------------------------------
 
-    def materialize_batch(self, events: DataFrame, batch_id: int = 0) -> None:
-        """Apply one batch of envelope events to every table snapshot."""
+    def materialize_batch(
+        self,
+        events: DataFrame,
+        batch_id: int = 0,
+        prefer_incoming_on_tie: bool = False,
+    ) -> None:
+        """Apply one batch of envelope events to every table snapshot.
+        ``prefer_incoming_on_tie`` is set only by the E3 drift backfill,
+        which replays already-applied seqs carrying new columns; normal
+        batches leave it off so redeliveries can never regress a row."""
         events = events.persist()
         try:
             for spec in self.specs:
@@ -138,6 +146,7 @@ class CdcPipeline:
                         delete_col="is_delete",
                         hard_delete=spec.delete_strategy is DeleteStrategy.HARD,
                         logical_col=spec.logical_delete_col,
+                        prefer_incoming_on_tie=prefer_incoming_on_tie,
                     )
                 except Exception as e:  # noqa: BLE001 - policy decides
                     if self.fail_on_write_error:

@@ -139,11 +139,12 @@ def test_seq_tie_backfill_wins(spark, drift_raw, tmp_path):
     before = sink.read(spark, "ORDERS")
     assert "o_comment" not in before.columns
 
-    # replay the same seq range, now carrying o_comment
+    # replay the same seq range, now carrying o_comment — an E3 backfill,
+    # which explicitly opts into incoming-wins-ties
     post_rich = spark.read.option("mergeSchema", "true").parquet(path).filter(
         F.col("seq") >= median
     )
-    pipe.materialize_batch(post_rich)
+    pipe.materialize_batch(post_rich, prefer_incoming_on_tie=True)
     after = sink.read(spark, "ORDERS")
     assert "o_comment" in after.columns
     assert after.filter(F.col("o_comment").isNull()).count() == 0

@@ -60,12 +60,16 @@ def test_multimodal_feature_shape_and_determinism(spark):
     assert [r.feature for r in rows] == [r.feature for r in rows2]
 
 
-def test_ann_bucketed_self_hit(spark):
-    """A query vector always shares its own bucket → rank-1 self hit."""
+def test_ann_bucketed_self_exclusion(spark):
+    """A query vector always shares its own bucket; with exclusion off it
+    ranks first at sim=1.0, and by DEFAULT it never appears (a corpus
+    query must not waste a k slot on itself)."""
     emb = read_table(spark, SF_SMOKE, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    out = cosine_topk_bucketed(emb, queries, k=1, dims=6).collect()
-    for r in out:
+    raw = cosine_topk_bucketed(emb, queries, k=1, dims=6, exclude_self=False).collect()
+    for r in raw:
         assert r.query_id == r.vec_id and r.sim == 1.0
+    out = cosine_topk_bucketed(emb, queries, k=3, dims=6).collect()
+    assert out and all(r.query_id != r.vec_id for r in out)
