@@ -371,6 +371,24 @@ def q34(spark, sf_dir):
 
 
 @register(
+    "q52_ivf_ann",
+    None,  # approximate (k-means cells + nprobe) — rows-only check
+    "N3 scale path #2: IVF-Flat ANN — k-means inverted file, nprobe nearest "
+    "cells probed per query (nprobe=n_cells degenerates to exact, tested); "
+    "approximate recall → no SQL oracle",
+)
+def q52(spark, sf_dir):
+    from snowflake_cdc_spark.operators.ivf import build_ivf, ivf_search
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    idx = build_ivf(emb, n_cells=16)
+    return ivf_search(idx, queries, k=3, nprobe=4)
+
+
+@register(
     "q35_ann_bucketed",
     None,  # approximate by construction — rows-only check
     "N3 scale path: sign-bucket ANN join (corpus ⋈ queries on LSH cell, no cross "
