@@ -105,6 +105,73 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("meta", MEDIA_META),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("frame_payload", T.BinaryType()),
+    ]
+)
+
+
+def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize stage: Arrow-batched ``mapInPandas`` keeping the (payload,
+    meta) shape so stages compose. The pixel work is STUBBED (no PIL in
+    this container): the stand-in truncates/pads the payload to
+    width*height bytes and rewrites the metadata — deterministic, so the
+    plumbing (schema evolution of meta, batch shapes, composability with
+    ``extract_features``) is fully testable; swap the body for
+    ``PIL.Image.resize`` in production."""
+    from snowflake_cdc_spark.operators.util import fan_out
+
+    target = width * height
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            out["payload"] = out["payload"].map(
+                lambda b: bytes(b)[:target].ljust(target, b"\0")
+            )
+            out["meta"] = out["meta"].map(
+                lambda m: {**m, "width": width, "height": height}
+            )
+            yield out
+
+    return fan_out(media).mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame sampling: one media row → ``n_frames`` rows of equal payload
+    slices (the video-decode stand-in; real impl: pyav keyframe grab).
+    Demonstrates the 1→N ``mapInPandas`` output shape (no explode of a
+    pre-built array — frames never materialize as one giant row)."""
+    from snowflake_cdc_spark.operators.util import fan_out
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, payloads = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload)
+                step = max(len(raw) // n_frames, 1)
+                for i in range(n_frames):
+                    ids.append(mid)
+                    idxs.append(i)
+                    payloads.append(raw[i * step : (i + 1) * step])
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_index": idxs, "frame_payload": payloads}
+            )
+
+    return fan_out(media).mapInPandas(run, schema=FRAME_SCHEMA)
+
+
 def documents_as_media(docs: DataFrame) -> DataFrame:
     """Adapter used by tests/queries: treat each document's utf-8 bytes as
     an opaque payload with image-ish metadata — exercises the real binary

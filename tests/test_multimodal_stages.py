@@ -1,0 +1,62 @@
+"""Multimodal stage composition (resize → features, frame sampling) and
+streaming dedup parity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from snowflake_cdc_spark.operators.multimodal import (
+    documents_as_media,
+    extract_features,
+    resize_media,
+    sample_frames,
+)
+from snowflake_cdc_spark.sources.io import read_table
+from snowflake_cdc_spark.streaming.dedup_stream import dedup_stream
+from tests.conftest import SF_SMOKE
+
+
+def test_resize_composes_with_features(spark):
+    media = documents_as_media(read_table(spark, SF_SMOKE, "documents")).limit(50)
+    resized = resize_media(media, width=16, height=4)
+    rows = resized.collect()
+    assert all(len(r.payload) == 64 for r in rows)
+    assert all(r.meta.width == 16 and r.meta.height == 4 for r in rows)
+    # the resized output feeds the feature stage unchanged (same shape)
+    feats = extract_features(resized, dim=4).collect()
+    assert all(r.n_bytes == 64 and len(r.feature) == 4 for r in feats)
+
+
+def test_frame_sampling_one_to_n(spark):
+    media = documents_as_media(read_table(spark, SF_SMOKE, "documents")).limit(20)
+    frames = sample_frames(media, n_frames=4)
+    per = frames.groupBy("media_id").count().collect()
+    assert all(r["count"] == 4 for r in per)
+    # frames are disjoint slices: re-concatenation is a prefix of payload
+    one = frames.filter(F.col("media_id") == per[0].media_id).orderBy("frame_index").collect()
+    joined = b"".join(bytes(r.frame_payload) for r in one)
+    original = bytes(
+        media.filter(F.col("media_id") == per[0].media_id).collect()[0].payload
+    )
+    assert joined == original[: len(joined)]
+
+
+def test_dedup_stream_batch_and_stream_agree(spark, tmp_path):
+    events = read_table(spark, SF_SMOKE, "events").select("ts", "user_id", "event_type")
+    doubled = events.unionByName(events)  # every row duplicated
+    src = str(tmp_path / "src")
+    doubled.coalesce(2).write.parquet(src)
+
+    batch = dedup_stream(doubled, ["user_id", "event_type"]).count()
+
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    out = dedup_stream(stream, ["user_id", "event_type"])
+    counts = []
+    q = (
+        out.writeStream.foreachBatch(lambda df, _: counts.append(df.count()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert sum(counts) == batch  # stream dedup state matches global dedup
