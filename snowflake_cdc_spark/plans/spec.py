@@ -44,6 +44,10 @@ class PipelineSpec:
     output_interval_minutes: int = 1  # S6 micro-batch trigger (README.md:60)
     start_position: StartPosition = StartPosition.INPUT_START
     start_time: datetime | None = None  # for AT_TIME
+    # envelope column carrying event/ingest time; required for AT_TIME
+    # (the filter is applied per spec inside the demux transform, so each
+    # table in a shared pipeline gets its own replay horizon)
+    event_time_column: str | None = None
     seq_column: str = "seq"
     merge_shards: bool = True  # strip _part_N and merge (README.md:29-31)
     # E4: a configured constant column appended to every row AND to the

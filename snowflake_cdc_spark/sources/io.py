@@ -31,12 +31,28 @@ def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
     )
 
 
+_NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir}/{name}.parquet"
     nanos = _nanos_timestamp_cols(path)
-    if nanos:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
+    if not nanos:
+        return spark.read.parquet(path)
+    # The conf is captured into the scan at DataFrame-creation time
+    # (verified: executing the returned frame after restore still works),
+    # so restore it immediately — leaving it set session-wide would make
+    # every LATER read of a nanos file silently yield epoch-long columns
+    # instead of failing loudly.
+    prior = spark.conf.get(_NANOS_CONF, None)
+    spark.conf.set(_NANOS_CONF, "true")
+    try:
+        df = spark.read.parquet(path)
+    finally:
+        if prior is None:
+            spark.conf.unset(_NANOS_CONF)
+        else:
+            spark.conf.set(_NANOS_CONF, prior)
     for c in nanos:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
     return df

@@ -106,13 +106,22 @@ def reconcile(
     # pre-drift files lack the new column: schema-merge the raw zone
     raw = spark.read.option("mergeSchema", "true").parquet(raw_path)
     usable = []
-    if ts_col:  # first-seen probes are full scans — only pay when bounded
-        for c in new_cols:  # backfill is actually possible
-            try:
-                usable.append(first_seen_time(raw, f"data.row.{c}", ts_col))
-            except Exception:
-                pass
-        usable = [f for f in usable if f is not None]
+    if ts_col:  # first-seen probes scan the raw zone — only pay when a
+        # bounded backfill is actually possible, and probe ALL new columns
+        # in ONE aggregation job (k separate min() scans would multiply
+        # reconciliation I/O by k)
+        row_fields = {f.name.lower() for f in raw.schema["data"].dataType["row"].dataType.fields}
+        probeable = [c for c in new_cols if c.lower() in row_fields]
+        if probeable:
+            agg_row = raw.agg(
+                *[
+                    F.min(
+                        F.when(F.col(f"data.row.{c}").isNotNull(), F.col(ts_col))
+                    ).alias(c)
+                    for c in probeable
+                ]
+            ).collect()[0]
+            usable = [agg_row[c] for c in probeable if agg_row[c] is not None]
     if ts_col and usable:
         backfill(spark, pipeline, raw_path, min(usable), ts_col)
     else:

@@ -75,6 +75,17 @@ class CdcPipeline:
         else:
             ident = F.col("data.full_table_name")
         filtered = events.filter(ident == F.lit(spec.full_table_name))
+        # S2 AtTime replay horizon, PER SPEC: each table in a shared
+        # pipeline can start from its own timestamp (a global filter would
+        # silently truncate INPUT_START tables sharing the stream)
+        if (
+            spec.start_position is StartPosition.AT_TIME
+            and spec.start_time is not None
+            and spec.event_time_column
+        ):
+            filtered = filtered.filter(
+                F.col(spec.event_time_column) >= F.lit(spec.start_time)
+            )
 
         keep = [
             F.col("data.primary_key").alias("primary_key"),
@@ -153,30 +164,36 @@ class CdcPipeline:
                         raise
                     self.write_errors.append((spec.target_table, batch_id, str(e)))
                     if self.quarantine_dir:
-                        reduced.write.mode("overwrite").parquet(
-                            f"{self.quarantine_dir}/{spec.target_table}/batch={batch_id}"
-                        )
+                        # the quarantine write re-executes the failing plan;
+                        # if the failure is in the data itself (not the
+                        # sink), this raises again — and must not take the
+                        # other tables (or the stream) down with it
+                        try:
+                            reduced.write.mode("overwrite").parquet(
+                                f"{self.quarantine_dir}/{spec.target_table}/batch={batch_id}"
+                            )
+                        except Exception as qe:  # noqa: BLE001
+                            self.write_errors.append(
+                                (spec.target_table, batch_id, f"quarantine failed: {qe}")
+                            )
         finally:
             events.unpersist()
 
     # ---- entry points ----------------------------------------------------
 
-    def _apply_start_position(self, events: DataFrame, event_time_col: str | None) -> DataFrame:
-        spec0 = self.specs[0]
-        if (
-            spec0.start_position is StartPosition.AT_TIME
-            and spec0.start_time is not None
-            and event_time_col
-        ):
-            # S2 bounded backfill: AtTime (add_output.py:260,666)
-            return events.filter(F.col(event_time_col) >= F.lit(spec0.start_time))
-        return events
-
     def run_batch(self, source_path: str, event_time_col: str | None = None) -> None:
         """Bounded run over landed envelope events (backfill / tests).
-        ``mergeSchema`` on: the raw zone may mix pre- and post-drift files."""
+        ``mergeSchema`` on: the raw zone may mix pre- and post-drift files.
+
+        AtTime replay horizons (add_output.py:260,666) are applied per
+        spec inside ``transform`` — ``event_time_col`` here is a
+        convenience that fills any AT_TIME spec lacking one."""
+        if event_time_col:
+            for s in self.specs:
+                if s.event_time_column is None:
+                    s.event_time_column = event_time_col
         events = self.spark.read.option("mergeSchema", "true").parquet(source_path)
-        self.materialize_batch(self._apply_start_position(events, event_time_col))
+        self.materialize_batch(events)
 
     def start_stream(
         self,
