@@ -1,0 +1,422 @@
+"""Subquery / advanced-join / sampling coverage Q53-Q65.
+
+Correlated-subquery shapes (EXISTS / NOT EXISTS / scalar-agg / IN-HAVING,
+the TPC-H Q4/Q17/Q18 skeletons) expressed Spark-first as semi/anti joins
+and broadcast scalar joins; the as-of join custom operator
+(operators/asof.py) with a native DuckDB ``ASOF JOIN`` as its independent
+oracle; a broadcast band (range) join; exact interpolated percentiles;
+the remaining rank window functions; a RANGE-frame running aggregate;
+deterministic hash sampling (operators/sampling.py); GROUPING SETS with
+grouping() flags; and decimal-exact correlation moments.
+
+Determinism follows queries.py module rules: DECIMAL(18,2) before
+aggregation, ROUND(x, 4) on float outputs, identical aliases both sides.
+The correlation query computes Pearson r from *exact decimal moments*
+(n, Σx, Σy, Σxy, Σx², Σy²) and only converts to double for the final
+arithmetic, written token-identically on both sides so IEEE rounding
+agrees — a direct ``corr()`` would depend on accumulation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from snowflake_cdc_spark.operators.asof import asof_join
+from snowflake_cdc_spark.operators.sampling import hash_sample
+from snowflake_cdc_spark.queries import DEC, _t, register
+
+# --------------------------------------------------------------------------
+# Correlated subquery shapes (decorrelated to semi/anti/broadcast joins)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q53_exists_semi",
+    """SELECT o_orderpriority, count(*) AS n
+       FROM orders
+       WHERE EXISTS (SELECT 1 FROM lineitem
+                     WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+       GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "TPC-H Q4 shape: correlated EXISTS -> left-semi join (no dedup pass needed)",
+)
+def q53(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    hits = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return (
+        orders.join(hits, orders.o_orderkey == hits.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q54_not_exists_anti",
+    """SELECT o_orderpriority, count(*) AS n
+       FROM orders
+       WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                         WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
+       GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "correlated NOT EXISTS -> left-anti join",
+)
+def q54(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    hits = _t(spark, sf_dir, "lineitem").filter(F.col("l_discount") > 0.05)
+    return (
+        orders.join(hits, orders.o_orderkey == hits.l_orderkey, "left_anti")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q55_scalar_subquery",
+    """SELECT count(*) AS n_above
+       FROM orders
+       WHERE CAST(o_totalprice AS DECIMAL(18,2)) * (SELECT count(*) FROM orders)
+             > (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders)""",
+    "scalar-agg subquery (above-global-average), division-free decimal compare; "
+    "Spark: broadcast single-row aggregate cross join",
+)
+def q55(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    scalars = orders.agg(
+        F.count("*").alias("_n"),
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("_total"),
+    )
+    return (
+        orders.crossJoin(F.broadcast(scalars))
+        .filter(F.col("o_totalprice").cast(DEC) * F.col("_n") > F.col("_total"))
+        .agg(F.count("*").alias("n_above"))
+    )
+
+
+@register(
+    "q56_having_in",
+    """SELECT c_name, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+       FROM customer JOIN orders ON c_custkey = o_custkey
+       WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                            GROUP BY l_orderkey
+                            HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 180)
+       ORDER BY price DESC, o_orderkey LIMIT 20""",
+    "TPC-H Q18 shape: IN over a HAVING aggregate -> semi join against the agg",
+)
+def q56(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    big = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("_sq"))
+        .filter(F.col("_sq") > 180)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.col("o_totalprice").cast(DEC).alias("price"),
+        )
+        .orderBy(F.desc("price"), "o_orderkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q57_q17_shape",
+    """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2))
+                  AS small_qty_revenue,
+              count(*) AS n
+       FROM lineitem l
+       JOIN (SELECT l_partkey AS pk,
+                    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq,
+                    count(*) AS cnt
+             FROM lineitem GROUP BY l_partkey) a
+         ON l.l_partkey = a.pk
+       WHERE CAST(l.l_quantity AS DECIMAL(18,2)) * 5 * cnt < sq""",
+    "TPC-H Q17 shape: per-part avg-quantity scalar subquery, decorrelated to a "
+    "self-join against the grouped aggregate; division-free (q*5*n < Σq ⟺ q < 0.2·avg)",
+)
+def q57(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(F.col("l_quantity").cast(DEC)).alias("sq"),
+        F.count("*").alias("cnt"),
+    )
+    return (
+        li.join(per_part, li.l_partkey == per_part.pk)
+        .filter(F.col("l_quantity").cast(DEC) * 5 * F.col("cnt") < F.col("sq"))
+        .agg(
+            F.sum(F.col("l_extendedprice").cast(DEC))
+            .cast(T.DecimalType(28, 2))
+            .alias("small_qty_revenue"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# As-of join and band (range) join
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q58_asof_join",
+    """SELECT e.event_id, p.event_id AS last_purchase_id
+       FROM events e
+       ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+         ON e.user_id = p.user_id AND e.ts > p.ts
+       ORDER BY e.event_id""",
+    "as-of join (operators/asof.py single-shuffle union-merge); oracle is "
+    "DuckDB's native ASOF JOIN — an independent algorithm, not a mirror",
+)
+def q58(spark, sf_dir):
+    events = _t(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase")
+    return (
+        asof_join(
+            events,
+            purchases,
+            on="user_id",
+            left_ts="ts",
+            right_ts="ts",
+            value_cols={"event_id": "last_purchase_id"},
+            tie_col="event_id",
+            strict=True,
+        )
+        .select("event_id", "last_purchase_id")
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "q59_band_join",
+    """SELECT t.tier, count(*) AS n,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS total
+       FROM orders
+       JOIN (VALUES ('low', 0.0, 50000.0),
+                    ('mid', 50000.0, 200000.0),
+                    ('high', 200000.0, 1e18)) AS t(tier, lo, hi)
+         ON o_totalprice >= lo AND o_totalprice < hi
+       GROUP BY t.tier ORDER BY t.tier""",
+    "band/range join: broadcast nested-loop against a tiny tier table — the "
+    "right plan at scale (dim rows ~constant, fact never shuffles for the join)",
+)
+def q59(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    tiers = spark.createDataFrame(
+        [("low", 0.0, 50000.0), ("mid", 50000.0, 200000.0), ("high", 200000.0, 1e18)],
+        "tier string, lo double, hi double",
+    )
+    return (
+        orders.join(
+            F.broadcast(tiers),
+            (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
+        )
+        .groupBy("tier")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast(DEC))
+            .cast(T.DecimalType(28, 2))
+            .alias("total"),
+        )
+        .orderBy("tier")
+    )
+
+
+# --------------------------------------------------------------------------
+# Percentiles, rank functions, RANGE frames
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q60_percentiles",
+    """SELECT o_orderpriority,
+              ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+              ROUND(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+              ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+              ROUND(quantile_cont(o_totalprice, 0.95), 4) AS p95
+       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "exact interpolated percentiles (Spark percentile == DuckDB quantile_cont, "
+    "both linear-interpolation type 7); per-group, order-independent",
+)
+def q60(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    pct = F.percentile(F.col("o_totalprice"), F.lit([0.25, 0.50, 0.75, 0.95]))
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(pct.alias("_p"))
+        .select(
+            "o_orderpriority",
+            F.round(F.col("_p")[0], 4).alias("p25"),
+            F.round(F.col("_p")[1], 4).alias("p50"),
+            F.round(F.col("_p")[2], 4).alias("p75"),
+            F.round(F.col("_p")[3], 4).alias("p95"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q61_rank_fns",
+    """SELECT o_orderkey,
+              ntile(4)        OVER w AS tile,
+              ROUND(percent_rank() OVER w, 4) AS pr,
+              ROUND(cume_dist()    OVER w, 4) AS cd
+       FROM orders
+       WINDOW w AS (PARTITION BY o_orderpriority
+                    ORDER BY o_totalprice DESC, o_orderkey)
+       ORDER BY o_orderkey""",
+    "remaining rank window functions: ntile / percent_rank / cume_dist over a "
+    "total (tie-free) per-partition order",
+)
+def q61(spark, sf_dir):
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.ntile(4).over(w).alias("tile"),
+            F.round(F.percent_rank().over(w), 4).alias("pr"),
+            F.round(F.cume_dist().over(w), 4).alias("cd"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "q62_range_frame",
+    """SELECT event_id, user_id,
+              CAST(sum(CAST(value AS DECIMAL(18,4)))
+                   OVER (PARTITION BY user_id ORDER BY event_id
+                         RANGE BETWEEN 100 PRECEDING AND CURRENT ROW)
+                   AS DECIMAL(28,4)) AS running_value
+       FROM events ORDER BY event_id""",
+    "RANGE frame (value-based window bounds, not row counts) with exact "
+    "decimal accumulation",
+)
+def q62(spark, sf_dir):
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rangeBetween(-100, Window.currentRow)
+    )
+    return (
+        _t(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "user_id",
+            F.sum(F.col("value").cast(T.DecimalType(18, 4)))
+            .over(w)
+            .cast(T.DecimalType(28, 4))
+            .alias("running_value"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic sampling, grouping sets, exact-moment correlation
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q63_hash_sample",
+    """SELECT count(*) AS n,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS total
+       FROM orders
+       WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 4) < '1999'""",
+    "deterministic ~10% hash sample (operators/sampling.py): reproducible "
+    "across engines/runs/partitionings, pure scan filter (no shuffle)",
+)
+def q63(spark, sf_dir):
+    sampled = hash_sample(
+        _t(spark, sf_dir, "orders"), "o_orderkey", 0x1999 / 65536
+    )
+    return sampled.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast(DEC))
+        .cast(T.DecimalType(28, 2))
+        .alias("total"),
+    )
+
+
+@register(
+    "q64_grouping_sets",
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+              coalesce(o_orderpriority, 'ALL') AS prio,
+              grouping(o_orderstatus) AS g_status,
+              grouping(o_orderpriority) AS g_prio,
+              count(*) AS n
+       FROM orders
+       GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                               (o_orderstatus), ())
+       ORDER BY status, prio, g_status, g_prio""",
+    "explicit GROUPING SETS with grouping() flags disambiguating real NULL "
+    "group values from roll-up rows",
+)
+def q64(spark, sf_dir):
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("_q64_orders")
+    return spark.sql(
+        """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                  coalesce(o_orderpriority, 'ALL') AS prio,
+                  grouping(o_orderstatus) AS g_status,
+                  grouping(o_orderpriority) AS g_prio,
+                  count(*) AS n
+           FROM _q64_orders
+           GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                   (o_orderstatus), ())
+           ORDER BY status, prio, g_status, g_prio"""
+    )
+
+
+_CORR_EXPR = (
+    "round((nd * sxy - sx * sy) / "
+    "sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy)), 4)"
+)
+
+
+@register(
+    "q65_corr_moments",
+    f"""SELECT l_returnflag, {_CORR_EXPR} AS corr_qty_price
+        FROM (SELECT l_returnflag,
+                     CAST(count(*) AS DOUBLE) AS nd,
+                     CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+                     CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+                     CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                              * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+                     CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                              * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+                     CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                              * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+              FROM lineitem GROUP BY l_returnflag)
+        ORDER BY l_returnflag""",
+    "Pearson correlation from exact decimal moments: sums are "
+    "order-independent decimals, only the final closed-form arithmetic runs "
+    "in double (token-identical on both sides, so IEEE rounding agrees); a "
+    "direct corr() would be accumulation-order-dependent",
+)
+def q65(spark, sf_dir):
+    q = F.col("l_quantity").cast(DEC)
+    p = F.col("l_extendedprice").cast(DEC)
+    moments = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("double").alias("nd"),
+            F.sum(q).cast("double").alias("sx"),
+            F.sum(p).cast("double").alias("sy"),
+            F.sum(q * p).cast("double").alias("sxy"),
+            F.sum(q * q).cast("double").alias("sxx"),
+            F.sum(p * p).cast("double").alias("syy"),
+        )
+    )
+    return moments.select(
+        "l_returnflag", F.expr(_CORR_EXPR).alias("corr_qty_price")
+    ).orderBy("l_returnflag")
