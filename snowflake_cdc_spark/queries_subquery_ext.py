@@ -420,3 +420,52 @@ def q65(spark, sf_dir):
     return moments.select(
         "l_returnflag", F.expr(_CORR_EXPR).alias("corr_qty_price")
     ).orderBy("l_returnflag")
+
+
+# --------------------------------------------------------------------------
+# Generator / array-surface remainder
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q66_posexplode",
+    r"""SELECT doc_id, pos, sentence
+        FROM (SELECT doc_id,
+                     unnest(regexp_split_to_array(text, '\s+(?:the|a)\s+')) AS sentence,
+                     unnest(range(len(regexp_split_to_array(text, '\s+(?:the|a)\s+')))) AS pos
+              FROM documents)
+        WHERE sentence <> '' ORDER BY doc_id, pos""",
+    "posexplode (generator with ordinality): stopword-delimited segment split "
+    "carrying the position index; DuckDB oracle zips unnest with a range list",
+)
+def q66(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.posexplode(F.split("text", r"\s+(?:the|a)\s+")).alias("pos", "sentence"))
+        .filter(F.col("sentence") != "")
+        .select("doc_id", F.col("pos").cast("bigint").alias("pos"), "sentence")
+        .orderBy("doc_id", "pos")
+    )
+
+
+@register(
+    "q67_array_surface",
+    """SELECT doc_id,
+              len(list_distinct(string_split(text, ' '))) AS n_unique,
+              array_to_string(list_slice(list_sort(list_distinct(string_split(text, ' '))), 1, 5), ',')
+                  AS first5
+       FROM documents ORDER BY doc_id""",
+    "array surface remainder: array_distinct / sort_array / slice / "
+    "array_join over tokenized text (binary collation on both engines)",
+)
+def q67(spark, sf_dir):
+    words = F.array_distinct(F.split("text", " "))
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.size(words).cast("bigint").alias("n_unique"),
+            F.array_join(F.slice(F.sort_array(words), 1, 5), ",").alias("first5"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,83 @@
+"""Stream-stream interval join (streaming/joins.py): watermarked two-stream
+join executes under availableNow and matches the identical batch join —
+Spark's batch/stream contract for the same expression."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from snowflake_cdc_spark.sources.io import read_table
+from snowflake_cdc_spark.streaming.joins import interval_join
+from tests.conftest import SF_SMOKE
+
+
+def _sources(spark, tmp_path):
+    """Split events into clicks (left) and purchases (right), landed as
+    micro-batchable parquet with plain micros timestamps."""
+    ev = read_table(spark, SF_SMOKE, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    left_dir, right_dir = str(tmp_path / "clicks"), str(tmp_path / "purchases")
+    ev.filter(F.col("event_type") == "click").coalesce(3).write.mode(
+        "overwrite"
+    ).parquet(left_dir)
+    ev.filter(F.col("event_type") == "purchase").coalesce(3).write.mode(
+        "overwrite"
+    ).parquet(right_dir)
+    return left_dir, right_dir
+
+
+def _canon(rows):
+    return sorted((r["event_id"], r["r_event_id"]) for r in rows)
+
+
+def test_interval_join_stream_matches_batch(spark, tmp_path):
+    left_dir, right_dir = _sources(spark, tmp_path)
+    lb, rb = spark.read.parquet(left_dir), spark.read.parquet(right_dir)
+
+    kwargs = dict(
+        key="user_id", left_ts="ts", right_ts="ts",
+        max_lag="30 minutes", watermark="1 hour",
+    )
+    want = _canon(
+        interval_join(lb, rb, **kwargs)
+        .select(F.col("l_event_id").alias("event_id"), "r_event_id")
+        .collect()
+    )
+    assert want, "fixture should produce at least one click<-purchase match"
+
+    ls = spark.readStream.schema(lb.schema).option("maxFilesPerTrigger", 1).parquet(left_dir)
+    rs = spark.readStream.schema(rb.schema).option("maxFilesPerTrigger", 1).parquet(right_dir)
+    out = interval_join(ls, rs, **kwargs).select(
+        F.col("l_event_id").alias("event_id"), "r_event_id"
+    )
+
+    got = []
+
+    def sink(df, _bid):
+        got.extend(df.collect())
+
+    q = (
+        out.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    assert _canon(got) == want
+
+
+def test_interval_join_requires_range_bound(spark, tmp_path):
+    """The helper always emits the range predicate — the plan must carry a
+    time-interval condition (state-eviction requirement), visible as a
+    watermark in the streaming plan."""
+    left_dir, right_dir = _sources(spark, tmp_path)
+    lb = spark.read.parquet(left_dir)
+    ls = spark.readStream.schema(lb.schema).parquet(left_dir)
+    rs = spark.readStream.schema(lb.schema).parquet(right_dir)
+    out = interval_join(ls, rs, key="user_id", left_ts="ts", right_ts="ts")
+    assert out.isStreaming
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert "watermark" in plan.lower()
