@@ -400,3 +400,84 @@ def q35(spark, sf_dir):
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     return cosine_topk_bucketed(emb, queries, k=3, dims=6)
+
+
+# --------------------------------------------------------------------------
+# Q68/Q69 — the remaining Python-UDF surface (SURVEY.md §2.8): scalar
+# pandas_udf and stateless grouped applyInPandas, both oracle-checked.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q68_pandas_cosine",
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+       SELECT e.vec_id,
+              ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[]))
+                    / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                       * sqrt(list_dot_product(CAST(q.qe AS DOUBLE[]), CAST(q.qe AS DOUBLE[])))), 4) AS sim
+       FROM embeddings e, q
+       WHERE e.vec_id <> 0
+       ORDER BY e.vec_id""",
+    "N3 via the vectorized-UDF path: Arrow-batched scalar pandas_udf computing "
+    "cosine against a broadcast query vector with one numpy matmul per batch — "
+    "the 10-100x-over-row-UDF lane for math the built-ins can't express; "
+    "rounding applied JVM-side after the UDF",
+)
+def q68(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = np.array(
+        emb.filter(F.col("vec_id") == 0).select("embedding").head()[0],
+        dtype=np.float64,
+    )
+    qn = float(np.sqrt(qv @ qv))
+
+    # no pd.Series type hints: module-level `from __future__ import
+    # annotations` stringifies them and the locally-imported pd can't
+    # resolve — explicit returnType + hintless signature selects SCALAR
+    def _cos(col):
+        m = np.vstack(col.to_numpy()).astype(np.float64)
+        return pd.Series((m @ qv) / (np.sqrt((m * m).sum(axis=1)) * qn))
+
+    cos_sim = F.pandas_udf(_cos, DoubleType())
+
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .select("vec_id", F.round(cos_sim("embedding"), 4).alias("sim"))
+        .orderBy("vec_id")
+    )
+
+
+@register(
+    "q69_grouped_pandas_norm",
+    """SELECT doc_id, lang,
+              ROUND(CAST(n_chars - mn AS DOUBLE)
+                    / CASE WHEN mx = mn THEN 1 ELSE mx - mn END, 4) AS norm
+       FROM (SELECT doc_id, lang, n_chars,
+                    min(n_chars) OVER (PARTITION BY lang) AS mn,
+                    max(n_chars) OVER (PARTITION BY lang) AS mx
+             FROM documents)
+       ORDER BY doc_id""",
+    "stateless grouped applyInPandas: per-language min-max normalization — "
+    "whole-group pandas logic (integer min/max exact, one IEEE division per "
+    "row, round applied JVM-side); oracle decorrelates to window min/max",
+)
+def q69(spark, sf_dir):
+    def norm(pdf):
+        mn, mx = pdf["n_chars"].min(), pdf["n_chars"].max()
+        rng = (mx - mn) or 1
+        out = pdf[["doc_id", "lang"]].copy()
+        out["norm"] = (pdf["n_chars"] - mn) / rng
+        return out
+
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .groupBy("lang")
+        .applyInPandas(norm, "doc_id long, lang string, norm double")
+        .select("doc_id", "lang", F.round("norm", 4).alias("norm"))
+        .orderBy("doc_id")
+    )
