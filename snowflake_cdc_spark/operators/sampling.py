@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hash_bucket_threshold", "hash_sample"]
+__all__ = ["hash_bucket_threshold", "hash_sample", "stratified_hash_sample"]
 
 
 def hash_bucket_threshold(fraction: float) -> str:
@@ -47,3 +47,38 @@ def hash_sample(df: DataFrame, key: str | Column, fraction: float) -> DataFrame:
     """
     key_col = F.col(key) if isinstance(key, str) else key
     return df.filter(_selector(key_col, fraction))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (``sampleBy`` without the seed
+    lottery): each stratum gets its own md5 threshold, the key is salted
+    with the stratum so the same key draws independently per stratum.
+
+    The training-data shape this serves: rebalancing a corpus by
+    language/source — "keep 5% of English, 100% of Maltese" — where the
+    selection must stay reproducible across engines and re-partitions.
+    Still a pure scan filter: no shuffle, no sampleBy seed dependence.
+    """
+    hash_col = F.substring(
+        F.md5(F.concat_ws("\x1f", F.col(strata_col), F.col(key).cast("string"))),
+        1,
+        4,
+    )
+    thr = None
+    for stratum, frac in fractions.items():
+        t = F.lit(hash_bucket_threshold(frac))
+        thr = F.when(F.col(strata_col) == stratum, t) if thr is None else thr.when(
+            F.col(strata_col) == stratum, t
+        )
+    thr = (
+        thr.otherwise(F.lit(hash_bucket_threshold(default_fraction)))
+        if thr is not None
+        else F.lit(hash_bucket_threshold(default_fraction))
+    )
+    return df.filter(hash_col < thr)

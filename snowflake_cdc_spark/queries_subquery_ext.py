@@ -1,4 +1,4 @@
-"""Subquery / advanced-join / sampling coverage Q53-Q65.
+"""Subquery / advanced-join / sampling coverage Q53-Q71.
 
 Correlated-subquery shapes (EXISTS / NOT EXISTS / scalar-agg / IN-HAVING,
 the TPC-H Q4/Q17/Q18 skeletons) expressed Spark-first as semi/anti joins
@@ -468,4 +468,74 @@ def q67(spark, sf_dir):
             F.array_join(F.slice(F.sort_array(words), 1, 5), ",").alias("first5"),
         )
         .orderBy("doc_id")
+    )
+
+
+@register(
+    "q70_stratified_sample",
+    """SELECT lang, count(*) AS n
+       FROM documents
+       WHERE substring(md5(concat(lang, chr(31), CAST(doc_id AS VARCHAR))), 1, 4)
+             < CASE lang WHEN 'en' THEN '0ccc'
+                         WHEN 'de' THEN '8000'
+                         ELSE 'ffff' END
+       GROUP BY lang ORDER BY lang""",
+    "stratified deterministic sampling (operators/sampling.py): per-language "
+    "fractions (5% en, 50% de, 100% rest) with stratum-salted keys — "
+    "sampleBy semantics without the seed lottery, reproducible everywhere",
+)
+def q70(spark, sf_dir):
+    from snowflake_cdc_spark.operators.sampling import stratified_hash_sample
+
+    sampled = stratified_hash_sample(
+        _t(spark, sf_dir, "documents"),
+        key="doc_id",
+        strata_col="lang",
+        fractions={"en": 0x0CCC / 65536, "de": 0x8000 / 65536},
+        default_fraction=1.0,
+    )
+    return sampled.groupBy("lang").agg(F.count("*").alias("n")).orderBy("lang")
+
+
+@register(
+    "q71_disjunctive_predicates",
+    """SELECT count(*) AS n,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS total
+       FROM lineitem JOIN part ON p_partkey = l_partkey
+       WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+              AND l_quantity >= 1 AND l_quantity <= 11)
+          OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+              AND l_quantity >= 10 AND l_quantity <= 20)
+          OR (p_type LIKE 'PROMO%' AND l_quantity > 45)""",
+    "TPC-H Q19 shape: OR-of-ANDs across both join sides — exercises CNF "
+    "conversion: the optimizer must derive the per-table residuals it can "
+    "push below the join from a predicate it cannot fully push",
+)
+def q71(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    pred = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & (F.col("l_quantity") >= 1)
+            & (F.col("l_quantity") <= 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & (F.col("l_quantity") >= 10)
+            & (F.col("l_quantity") <= 20)
+        )
+        | (F.col("p_type").like("PROMO%") & (F.col("l_quantity") > 45))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(pred)
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_extendedprice").cast(DEC))
+            .cast(T.DecimalType(28, 2))
+            .alias("total"),
+        )
     )

@@ -109,3 +109,27 @@ class TestHashSample:
 
         with pytest.raises(ValueError):
             hash_bucket_threshold(1.5)
+
+    def test_stratified_fractions_and_determinism(self, spark):
+        from pyspark.sql import functions as F
+
+        from snowflake_cdc_spark.operators.sampling import stratified_hash_sample
+
+        df = spark.range(0, 4000).select(
+            F.col("id").alias("k"),
+            F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("g"),
+        )
+        out = stratified_hash_sample(
+            df, key="k", strata_col="g", fractions={"a": 0.1}, default_fraction=1.0
+        )
+        counts = {r["g"]: r["n"] for r in out.groupBy("g").agg(F.count("*").alias("n")).collect()}
+        assert counts["b"] == 2000  # default 100%
+        assert 100 <= counts["a"] <= 320  # ~10% of 2000
+        # layout-invariant
+        again = stratified_hash_sample(
+            df.repartition(13), key="k", strata_col="g",
+            fractions={"a": 0.1}, default_fraction=1.0,
+        )
+        assert sorted(r["k"] for r in out.collect()) == sorted(
+            r["k"] for r in again.collect()
+        )
