@@ -539,3 +539,80 @@ def q71(spark, sf_dir):
             .alias("total"),
         )
     )
+
+
+@register(
+    "q72_q15_shape",
+    """WITH rev AS (SELECT l_suppkey AS sk,
+                           sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                               * CAST(1 - l_discount AS DECIMAL(18,2))) AS total
+                    FROM lineitem GROUP BY l_suppkey)
+       SELECT s_suppkey, s_name, CAST(total AS DECIMAL(38,4)) AS total_rev
+       FROM supplier JOIN rev ON s_suppkey = sk
+       WHERE total = (SELECT max(total) FROM rev)
+       ORDER BY s_suppkey""",
+    "TPC-H Q15 shape: argmax against a reused grouped view — the view is "
+    "computed once and its scalar max broadcasts back over it (decimal-exact "
+    "so the equality is well-defined)",
+)
+def q72(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("sk"))
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast(DEC)
+                * (F.lit(1) - F.col("l_discount")).cast(DEC)
+            ).alias("total")
+        )
+    )
+    top = rev.agg(F.max("total").alias("_mx"))
+    return (
+        rev.crossJoin(F.broadcast(top))
+        .filter(F.col("total") == F.col("_mx"))
+        .join(F.broadcast(sup), F.col("sk") == sup.s_suppkey)
+        .select(
+            "s_suppkey", "s_name",
+            F.col("total").cast(T.DecimalType(38, 4)).alias("total_rev"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q73_q22_shape",
+    """SELECT substring(c_name, 1, 1) AS cc, count(*) AS n,
+              CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS totbal
+       FROM customer
+       WHERE CAST(c_acctbal AS DECIMAL(18,2))
+                 * (SELECT count(*) FROM customer WHERE c_acctbal > 0.0)
+             > (SELECT sum(CAST(c_acctbal AS DECIMAL(18,2)))
+                FROM customer WHERE c_acctbal > 0.0)
+         AND NOT EXISTS (SELECT 1 FROM orders
+                         WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+       GROUP BY cc ORDER BY cc""",
+    "TPC-H Q22 shape: above-average-balance customers with no large orders — "
+    "scalar-agg compare (division-free) fused with an anti join",
+)
+def q73(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    big_orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    pos = cust.filter(F.col("c_acctbal") > 0.0)
+    scalars = pos.agg(
+        F.count("*").alias("_n"),
+        F.sum(F.col("c_acctbal").cast(DEC)).alias("_total"),
+    )
+    return (
+        cust.crossJoin(F.broadcast(scalars))
+        .filter(F.col("c_acctbal").cast(DEC) * F.col("_n") > F.col("_total"))
+        .join(big_orders, cust.c_custkey == big_orders.o_custkey, "left_anti")
+        .groupBy(F.substring("c_name", 1, 1).alias("cc"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("c_acctbal").cast(DEC))
+            .cast(T.DecimalType(28, 2))
+            .alias("totbal"),
+        )
+        .orderBy("cc")
+    )
