@@ -81,10 +81,8 @@ def language_scores(col: Column | str) -> dict[str, Column]:
     return {lang: stopword_hits(col, sws) for lang, sws in STOPWORDS.items()}
 
 
-def language_id(col: Column | str) -> Column:
-    """Deterministic stopword-score argmax with a fixed evaluation order
-    (en > es > de > fr > fallback on ties), zero hits → fallback."""
-    s = language_scores(col)
+def _lang_argmax(s: dict[str, Column]) -> Column:
+    """Tie-ordered argmax cascade over per-language score columns."""
     ordered = ["en", "es", "de", "fr"]
     expr = F.lit(LANG_FALLBACK)
     # build the cascade back-to-front so earlier langs win ties
@@ -95,6 +93,33 @@ def language_id(col: Column | str) -> Column:
             cond = cond & (s[lang] >= s[o])
         expr = F.when(cond, F.lit(lang)).otherwise(expr)
     return expr
+
+
+def language_id(col: Column | str) -> Column:
+    """Deterministic stopword-score argmax with a fixed evaluation order
+    (en > es > de > fr > fallback on ties), zero hits → fallback.
+
+    Single-Column form: the cascade references every score ~7 times and a
+    Column tree has no sharing, so the token filter is evaluated ~28x per
+    row. Fine for occasional use; hot paths should use
+    ``with_language_id`` (two-projection form, each score computed once).
+    """
+    return _lang_argmax(language_scores(col))
+
+
+def with_language_id(df, col: str, out: str = "predicted_lang"):
+    """Two-projection language ID: score columns materialize in their own
+    SELECT, the argmax cascade references them by attribute. Spark's
+    CollapseProject keeps multiply-referenced non-cheap aliases
+    un-inlined, so each stopword filter runs once per row instead of once
+    per cascade reference (~7x less expression work than language_id)."""
+    scored = df.select(
+        "*", *[stopword_hits(col, sws).alias(f"__s_{l}") for l, sws in STOPWORDS.items()]
+    )
+    s = {l: F.col(f"__s_{l}") for l in STOPWORDS}
+    return scored.withColumn(out, _lang_argmax(s)).drop(
+        *[f"__s_{l}" for l in STOPWORDS]
+    )
 
 
 def punct_ratio(col: Column | str) -> Column:

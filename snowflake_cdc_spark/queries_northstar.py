@@ -269,8 +269,12 @@ _SW = {k: "[" + ", ".join(f"'{w}'" for w in v) + "]" for k, v in TX.STOPWORDS.it
 )
 def q29(spark, sf_dir):
     return (
-        _t(spark, sf_dir, "documents")
-        .select("doc_id", TX.language_id("text").alias("predicted_lang"))
+        TX.with_language_id(
+            _t(spark, sf_dir, "documents").select("doc_id", "text"),
+            "text",
+            out="predicted_lang",
+        )
+        .select("doc_id", "predicted_lang")
         .orderBy("doc_id")
     )
 

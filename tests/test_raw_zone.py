@@ -1,0 +1,56 @@
+"""Raw-zone layout (sources/raw_zone.py): partition pruning is real (the
+physical plan carries PartitionFilters and reads fewer files), and the
+materialization over a pruned zone equals the unpruned one."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from snowflake_cdc_spark.sources.cdc import cdc_events_nested
+from snowflake_cdc_spark.sources.raw_zone import land_raw_zone, read_raw_zone
+from tests.conftest import SF_SMOKE
+
+
+def _land(spark, tmp_path, bucket=500):
+    zone = str(tmp_path / "raw")
+    land_raw_zone(cdc_events_nested(spark, SF_SMOKE), zone, seq_bucket_size=bucket)
+    return zone
+
+
+def test_partition_pruning_in_plan(spark, tmp_path):
+    zone = _land(spark, tmp_path)
+    pruned = read_raw_zone(spark, zone, table="tpch.orders_part_0")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # the partition predicate must appear as a partition filter, not a
+    # post-scan row filter
+    assert "p_table" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_table_and_seq_pruning_semantics(spark, tmp_path):
+    zone = _land(spark, tmp_path, bucket=500)
+    full = cdc_events_nested(spark, SF_SMOKE)
+    want_tables = {
+        r[0]
+        for r in full.select(F.col("data.full_table_name")).distinct().collect()
+    }
+    one = read_raw_zone(spark, zone, table=sorted(want_tables)[0])
+    got = {r[0] for r in one.select(F.col("data.full_table_name")).distinct().collect()}
+    assert got == {sorted(want_tables)[0]}
+
+    # seq horizon: pruned read == full read filtered by seq
+    horizon = 750
+    pruned = read_raw_zone(spark, zone, min_seq=horizon, seq_bucket_size=500)
+    assert pruned.count() == full.filter(F.col("seq") >= horizon).count()
+    assert pruned.agg(F.min("seq")).collect()[0][0] >= horizon
+
+
+def test_roundtrip_preserves_envelope(spark, tmp_path):
+    zone = _land(spark, tmp_path)
+    back = read_raw_zone(spark, zone)
+    full = cdc_events_nested(spark, SF_SMOKE)
+    assert sorted(back.columns) == sorted(full.columns)
+    assert back.count() == full.count()
+    a = {r["seq"] for r in back.select("seq").collect()}
+    b = {r["seq"] for r in full.select("seq").collect()}
+    assert a == b
