@@ -69,17 +69,46 @@ def backfill(
     first_seen,
     ts_col: str = "event_time",
     pad_minutes: int = 1,
+    partitioned_zone: bool = False,
+    seq_bucket_size: int = 1_000_000,
 ) -> None:
     """E3: bounded re-run from first_seen − pad (add_output.py:656).
 
     Replays raw events through the same idempotent merge — rows already
     at their newest state are untouched (seq guard); rows predating the
     drift gain the new column's values.
+
+    ``partitioned_zone=True`` for zones landed by
+    ``sources.raw_zone.land_raw_zone``: the time horizon is first
+    translated to a seq horizon (seq is the binlog position — monotone
+    with event time) with a cheap two-column scan, then the wide replay
+    read prunes whole seq-bucket partitions instead of row-filtering the
+    full zone — at 100 TB the replay reads only the tail buckets.
     """
-    events = spark.read.option("mergeSchema", "true").parquet(raw_path)
-    if first_seen is not None:
+    if first_seen is None:
+        start = None
+    else:
         start = first_seen - timedelta(minutes=pad_minutes)
-        events = events.filter(F.col(ts_col) >= F.lit(start))
+
+    if partitioned_zone and start is not None:
+        from snowflake_cdc_spark.sources.raw_zone import read_raw_zone
+
+        min_seq_row = (
+            spark.read.parquet(raw_path)
+            .filter(F.col(ts_col) >= F.lit(start))
+            .agg(F.min("seq").alias("s"))
+            .collect()[0]
+        )
+        if min_seq_row["s"] is None:
+            return  # nothing landed at or after the horizon
+        events = read_raw_zone(
+            spark, raw_path, min_seq=int(min_seq_row["s"]),
+            seq_bucket_size=seq_bucket_size,
+        ).filter(F.col(ts_col) >= F.lit(start))
+    else:
+        events = spark.read.option("mergeSchema", "true").parquet(raw_path)
+        if start is not None:
+            events = events.filter(F.col(ts_col) >= F.lit(start))
     # replayed seqs carry newly-discovered columns: they must beat the
     # already-stored rows at equal seq
     pipeline.materialize_batch(events, prefer_incoming_on_tie=True)

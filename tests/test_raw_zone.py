@@ -54,3 +54,46 @@ def test_roundtrip_preserves_envelope(spark, tmp_path):
     a = {r["seq"] for r in back.select("seq").collect()}
     b = {r["seq"] for r in full.select("seq").collect()}
     assert a == b
+
+
+def test_partitioned_backfill_matches_unpartitioned(spark, tmp_path):
+    """E3 over a partitioned zone (seq-bucket pruning path) produces the
+    identical snapshot to the plain row-filtered replay."""
+    from datetime import datetime, timedelta
+
+    from snowflake_cdc_spark.plans.spec import PipelineSpec
+    from snowflake_cdc_spark.sinks.parquet_sink import ParquetSnapshotSink
+    from snowflake_cdc_spark.streaming.evolution import backfill
+    from snowflake_cdc_spark.streaming.pipeline import CdcPipeline
+
+    base = datetime(2024, 1, 1)
+    events = cdc_events_nested(spark, SF_SMOKE).withColumn(
+        "event_time",
+        F.lit(base) + F.make_interval(secs=F.col("seq").cast("double")),
+    )
+    flat_dir = str(tmp_path / "flat_zone")
+    events.coalesce(3).write.mode("overwrite").parquet(flat_dir)
+    part_dir = str(tmp_path / "part_zone")
+    land_raw_zone(events, part_dir, seq_bucket_size=500)
+
+    first_seen = base + timedelta(seconds=700)
+
+    def run(zone, partitioned):
+        sink = ParquetSnapshotSink(str(tmp_path / f"snap_{partitioned}"))
+        pipe = CdcPipeline(
+            spark,
+            [PipelineSpec("tpch.orders", use_synthetic_key=True)],
+            sink,
+        )
+        backfill(
+            spark, pipe, zone, first_seen,
+            partitioned_zone=partitioned, seq_bucket_size=500,
+        )
+        return sink.read(spark, "ORDERS")
+
+    a = run(flat_dir, False)
+    b = run(part_dir, True)
+    assert a.count() == b.count() > 0
+    ca = sorted(tuple(r) for r in a.select(sorted(a.columns)).collect())
+    cb = sorted(tuple(r) for r in b.select(sorted(b.columns)).collect())
+    assert ca == cb
