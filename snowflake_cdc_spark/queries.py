@@ -643,3 +643,4 @@ def _load_extended() -> None:
     import snowflake_cdc_spark.queries_northstar  # noqa: F401
     import snowflake_cdc_spark.queries_relational_ext  # noqa: F401
     import snowflake_cdc_spark.queries_subquery_ext  # noqa: F401
+    import snowflake_cdc_spark.queries_tpch_ext  # noqa: F401

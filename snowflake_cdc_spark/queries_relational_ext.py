@@ -302,7 +302,8 @@ def q51(spark, sf_dir):
 @register(
     "q44_higher_order_arrays",
     """SELECT doc_id,
-              list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS total_chars,
+              CAST(list_sum(list_transform(string_split(text, ' '), x -> length(x)))
+                   AS BIGINT) AS total_chars,
               len(list_filter(string_split(text, ' '), x -> length(x) > 4)) AS n_long,
               array_to_string(list_slice(string_split(text, ' '), 1, 3), '-') AS head3
        FROM documents ORDER BY doc_id""",
