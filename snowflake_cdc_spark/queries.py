@@ -643,5 +643,6 @@ def _load_extended() -> None:
     import snowflake_cdc_spark.queries_northstar  # noqa: F401
     import snowflake_cdc_spark.queries_relational_ext  # noqa: F401
     import snowflake_cdc_spark.queries_subquery_ext  # noqa: F401
+    import snowflake_cdc_spark.queries_functions_ext  # noqa: F401
     import snowflake_cdc_spark.queries_surface_ext  # noqa: F401
     import snowflake_cdc_spark.queries_tpch_ext  # noqa: F401
