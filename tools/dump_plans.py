@@ -136,6 +136,35 @@ def main() -> None:
         "build only sees qualifying rows.\n"
     )
 
+    p = plan_text(qs["q81_q21_shape"](spark, SF))
+    joins = grep(p, r"Join", max_lines=6)
+    sections.append(
+        "## q81 — EXISTS/NOT-EXISTS self joins stay hash-based\n\n```\n"
+        + joins
+        + "\n```\nBoth correlated self joins keep the l_orderkey equi key, so "
+        "Spark plans hash joins (broadcast at this SF, shuffled-hash/SMJ "
+        "beyond the threshold) — never a nested loop over the fact table.\n"
+    )
+
+    p = plan_text(qs["q79_q8_shape"](spark, SF))
+    n_bc = len(re.findall(r"^\(\d+\) BroadcastHashJoin", p, re.MULTILINE))
+    sections.append(
+        f"## q79 — 8-relation market-share join\n\n"
+        f"BroadcastHashJoins in the plan: **{n_bc}** — every dimension chain "
+        "(part, supplier, customer→nation→region, supplier→nation) broadcasts; "
+        "lineitem is never shuffled until the single partial-agg exchange on "
+        "o_year.\n"
+    )
+
+    p = plan_text(qs["q88_bigrams"](spark, SF))
+    sections.append(
+        "## q88 — explode-heavy text aggregation\n\n```\n"
+        + grep(p, "Generate", "partial_count", "Exchange", max_lines=6)
+        + "\n```\nThe split array materializes once behind a projection "
+        "barrier; the exploded bigrams partial-aggregate before the single "
+        "shuffle (map-side combine on the generated rows).\n"
+    )
+
     # as-of scaling probe: 20M events against 2M purchases, skewed users
     n_l, n_r = 20_000_000, 2_000_000
     lhs = spark.range(n_l).select(
