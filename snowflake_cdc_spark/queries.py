@@ -640,6 +640,7 @@ def _load_extended() -> None:
     (defined in sibling modules to keep this file navigable; imported
     lazily to avoid a cycle)."""
     import snowflake_cdc_spark.queries_analytic_ext  # noqa: F401
+    import snowflake_cdc_spark.queries_behavior_ext  # noqa: F401
     import snowflake_cdc_spark.queries_northstar  # noqa: F401
     import snowflake_cdc_spark.queries_relational_ext  # noqa: F401
     import snowflake_cdc_spark.queries_subquery_ext  # noqa: F401

@@ -1,0 +1,191 @@
+"""Behavioral / time-series operator extension q97-q100 (SURVEY.md §2.5
+windows + north-star event analytics): TPC-H Q6 scan-bound revenue, null
+forward-fill (the imputation primitive of a training-data pipeline),
+gap-based sessionization (the batch semantics of session_window, built
+from first principles so the oracle can check it), and ordered funnel
+conversion.
+
+Determinism: timestamp gaps compare as whole-second boundary counts
+(DuckDB date_diff('second') ≡ Spark floor-epoch subtraction — identical
+for positive timestamps); session numbering is a running sum of
+new-session flags under a total (ts, event_id) order, so ids are stable
+across engines and partitionings.
+
+Scale notes: q97 is the canonical scan-bound query (predicates pushed,
+2 columns read); q98/q99 are single-window-shuffle plans partitioned by
+user_id — the same key the raw zone would bucket by, so at scale the
+window sort runs on co-located data; q100's per-stage joins stay on
+user_id and the stage tables shrink monotonically down the funnel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from snowflake_cdc_spark.queries import DEC, _t, register
+
+DEC4 = T.DecimalType(18, 4)
+
+
+@register(
+    "q97_q6_shape",
+    """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS revenue,
+              count(*) AS n
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+         AND l_shipdate <  TIMESTAMP '1998-01-01'
+         AND l_discount BETWEEN 0.05 AND 0.07
+         AND l_quantity < 24""",
+    "TPC-H Q6 shape: pure scan-bound filter + aggregate — every predicate "
+    "pushed to the parquet scan, two columns read, no shuffle beyond the "
+    "single-row partial-agg collect",
+)
+def q97(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    rev = F.col("l_extendedprice").cast(DEC) * F.col("l_discount").cast(DEC)
+    return li.agg(
+        F.sum(rev).cast(DEC4).alias("revenue"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "q98_forward_fill",
+    """SELECT event_id, user_id,
+              ROUND(last_value(v IGNORE NULLS) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS filled
+       FROM (SELECT event_id, user_id, ts,
+                    CASE WHEN event_type <> 'error' THEN value END AS v
+             FROM events)
+       ORDER BY user_id, event_id""",
+    "forward-fill imputation: last non-null value per user up to the "
+    "current row (last_value IGNORE NULLS ≡ Spark last(ignorenulls)) — "
+    "the standard missing-value repair in a training pipeline",
+)
+def q98(spark, sf_dir):
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        _t(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.when(F.col("event_type") != "error", F.col("value")).alias("v"),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.round(F.last("v", ignorenulls=True).over(w), 4).alias("filled"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@register(
+    "q99_sessionization",
+    """WITH flagged AS (
+         SELECT user_id, ts, event_id,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR date_diff('second', lag(ts) OVER w, ts) > 28800
+                     THEN 1 ELSE 0 END AS new_session
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       numbered AS (
+         SELECT user_id, ts, event_id,
+                sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         FROM flagged)
+       SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+              count(*) AS n_events,
+              CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS duration_sec
+       FROM numbered GROUP BY user_id, session_id
+       ORDER BY user_id, session_id""",
+    "gap-based sessionization (8h inactivity): lag → new-session flag → "
+    "running-sum session ids → per-session stats; the deterministic batch "
+    "twin of streaming session_window (q47)",
+)
+def q99(spark, sf_dir):
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sec = F.col("ts").cast("long")
+    lag_sec = F.lag(sec).over(w)
+    flagged = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(lag_sec.isNull() | ((sec - lag_sec) > 28800), 1)
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    numbered = flagged.select(
+        "user_id",
+        "ts",
+        F.sum("new_session").over(wrun).alias("session_id"),
+    )
+    return (
+        numbered.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long")))
+            .cast("bigint")
+            .alias("duration_sec"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+@register(
+    "q100_funnel",
+    """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+                  WHERE event_type = 'view' GROUP BY user_id),
+            c AS (SELECT e.user_id, min(e.ts) AS t2
+                  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+                  WHERE e.event_type = 'click' GROUP BY e.user_id),
+            p AS (SELECT e.user_id, min(e.ts) AS t3
+                  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+                  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+       SELECT (SELECT count(*) FROM v) AS n_view,
+              (SELECT count(*) FROM c) AS n_view_click,
+              (SELECT count(*) FROM p) AS n_full_funnel""",
+    "ordered funnel conversion (view → click → purchase): per-stage "
+    "first-occurrence times chained with strictly-after joins; stage "
+    "tables shrink monotonically, all joins on user_id",
+)
+def q100(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_view_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_full_funnel")))
+    )
