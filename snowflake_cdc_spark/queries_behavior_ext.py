@@ -24,7 +24,9 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from snowflake_cdc_spark.operators.incremental import aggregate_from_retractions
 from snowflake_cdc_spark.queries import DEC, _t, register
+from snowflake_cdc_spark.sources.cdc import CDC_EVENTS_SQL, ORDER_COLS, cdc_events_flat
 
 DEC4 = T.DecimalType(18, 4)
 
@@ -189,3 +191,33 @@ def q100(spark, sf_dir):
         .crossJoin(c.agg(F.count(F.lit(1)).alias("n_view_click")))
         .crossJoin(p.agg(F.count(F.lit(1)).alias("n_full_funnel")))
     )
+
+
+@register(
+    "q101_incremental_agg",
+    CDC_EVENTS_SQL
+    + """SELECT row_o_orderpriority AS o_orderpriority,
+                count(*) AS n,
+                CAST(sum(CAST(row_o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                    AS sum_o_totalprice
+         FROM (SELECT *, row_number() OVER (PARTITION BY primary_key
+                                            ORDER BY seq DESC) AS rn
+               FROM cdc_events)
+         WHERE rn = 1 AND NOT is_delete
+         GROUP BY 1 ORDER BY 1""",
+    "incremental aggregate maintenance (operators/incremental.py): the "
+    "CDC log applied as three retraction batches (insert/update/delete "
+    "phases) must land on the same grouped count/sum as aggregating the "
+    "materialized snapshot — the oracle computes the snapshot side, the "
+    "engine never touches it",
+)
+def q101(spark, sf_dir):
+    flat = cdc_events_flat(spark, sf_dir)
+    agg = aggregate_from_retractions(
+        flat,
+        ORDER_COLS,
+        group_cols=["o_orderpriority"],
+        sum_cols=["o_totalprice"],
+        n_chunks_by="op",
+    )
+    return agg.orderBy("o_orderpriority")
