@@ -24,6 +24,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from snowflake_cdc_spark.operators.components import connected_components
 from snowflake_cdc_spark.operators.incremental import aggregate_from_retractions
 from snowflake_cdc_spark.queries import DEC, _t, register
 from snowflake_cdc_spark.sources.cdc import CDC_EVENTS_SQL, ORDER_COLS, cdc_events_flat
@@ -221,3 +222,37 @@ def q101(spark, sf_dir):
         n_chunks_by="op",
     )
     return agg.orderBy("o_orderpriority")
+
+
+@register(
+    "q102_connected_components",
+    """WITH RECURSIVE
+       edges AS (SELECT a.doc_id AS src, b.doc_id AS dst
+                 FROM documents a JOIN documents b
+                   ON b.doc_id = a.doc_id + 1 AND a.lang = b.lang),
+       sym AS (SELECT src, dst FROM edges
+               UNION SELECT dst, src FROM edges),
+       nodes AS (SELECT DISTINCT src AS node FROM sym),
+       reach(node, r) AS (
+         SELECT node, node FROM nodes
+         UNION
+         SELECT reach.node, sym.dst FROM reach JOIN sym ON reach.r = sym.src)
+       SELECT node, min(r) AS component FROM reach
+       GROUP BY node ORDER BY node""",
+    "connected components (operators/components.py): near-dup pair edges "
+    "→ transitive clusters via min-label propagation; oracle computes the "
+    "same components with a recursive-CTE transitive closure — an "
+    "independent algorithm. Edges here: consecutive same-lang documents "
+    "(deterministic chains, forcing multi-round convergence)",
+)
+def q102(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    nxt = docs.select(
+        (F.col("doc_id") - 1).alias("prev_id"),
+        F.col("doc_id").alias("dst"),
+        F.col("lang").alias("lang_b"),
+    )
+    edges = docs.join(
+        nxt, (docs.doc_id == nxt.prev_id) & (docs.lang == nxt.lang_b)
+    ).select(F.col("doc_id").alias("src"), "dst")
+    return connected_components(edges).orderBy("node")

@@ -1,0 +1,48 @@
+"""Connected components (operators/components.py): planted clusters,
+chains forcing multi-round propagation, and determinism across
+partitionings."""
+
+from __future__ import annotations
+
+from snowflake_cdc_spark.operators.components import connected_components
+
+
+def _components(spark, edges, parts=None):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    if parts:
+        df = df.repartition(parts)
+    out = connected_components(df)
+    comp: dict[int, list[int]] = {}
+    for r in out.collect():
+        comp.setdefault(r.component, []).append(r.node)
+    return {k: sorted(v) for k, v in sorted(comp.items())}
+
+
+def test_planted_clusters(spark):
+    edges = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)]
+    assert _components(spark, edges) == {
+        1: [1, 2, 3],
+        10: [10, 11],
+        20: [20, 21, 22, 23],
+    }
+
+
+def test_long_chain_converges(spark):
+    # a 16-node path: diameter 15, well past one round of propagation
+    edges = [(i, i + 1) for i in range(100, 116)]
+    comp = _components(spark, edges)
+    assert comp == {100: list(range(100, 117))}
+
+
+def test_bridged_cliques_merge(spark):
+    # two cliques joined by a single bridge edge collapse to one component
+    clique = lambda base: [(base + i, base + j) for i in range(4) for j in range(i + 1, 4)]
+    edges = clique(0) + clique(50) + [(3, 50)]
+    comp = _components(spark, edges)
+    assert list(comp) == [0]
+    assert comp[0] == [0, 1, 2, 3, 50, 51, 52, 53]
+
+
+def test_partitioning_invariance(spark):
+    edges = [(i, i + 1) for i in range(0, 30, 2)] + [(i, i + 2) for i in range(0, 28, 4)]
+    assert _components(spark, edges) == _components(spark, edges, parts=13)
