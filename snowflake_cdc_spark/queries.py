@@ -647,3 +647,4 @@ def _load_extended() -> None:
     import snowflake_cdc_spark.queries_functions_ext  # noqa: F401
     import snowflake_cdc_spark.queries_surface_ext  # noqa: F401
     import snowflake_cdc_spark.queries_tpch_ext  # noqa: F401
+    import snowflake_cdc_spark.queries_tpch_ext2  # noqa: F401
