@@ -12,10 +12,14 @@ canonical representative). Convergence takes O(component diameter)
 rounds — near-dup clusters are shallow (pairs/cliques/short chains), so
 2-4 rounds in practice; each round is one join + one groupBy on the
 edge list, all shuffles on the node key. Lineage is truncated per round
-(localCheckpoint) so plans don't grow with iterations. For adversarial
-deep graphs, swap in large-star/small-star (Kiveris et al., "Connected
-Components in MapReduce") — same per-round primitive, O(log n) rounds;
-not needed for dedup-shaped inputs.
+(localCheckpoint) so plans don't grow with iterations.
+
+For adversarial deep graphs, ``connected_components_star`` implements
+the large-star/small-star alternating algorithm (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14): each round
+contracts star centers toward the component minimum, halving effective
+depth, so convergence is O(log diameter) rounds instead of
+O(diameter). ``connected_components(algorithm="star")`` selects it.
 
 Not expressible in one SQL query without recursion — the DuckDB oracle
 for q102 uses a recursive CTE (transitive closure), an independent
@@ -33,17 +37,27 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    algorithm: str = "label",
 ) -> DataFrame:
     """Return (node, component) with component = min node id reachable.
 
     ``edges`` is undirected input (each pair listed once is enough).
     Deterministic: labels are ids, min is total — same result on any
-    partitioning or iteration interleaving.
+    partitioning or iteration interleaving. ``algorithm``: "label"
+    (min-label propagation, O(diameter) rounds, cheapest per round —
+    right for shallow dedup graphs) or "star" (large-star/small-star,
+    O(log diameter) rounds — right for deep/unknown graphs).
     """
+    if algorithm == "star":
+        return connected_components_star(edges, src=src, dst=dst, max_iter=max_iter)
+    # Symmetrize once and pre-hash-partition on the probe key: the cached
+    # InMemoryTableScan reports its outputPartitioning, so the per-round
+    # join re-shuffles only the (small) label side, never the edge list.
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        .repartition(F.col("a"))
         .persist()
     )
     labels = (
@@ -52,13 +66,21 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    # Labels are elementwise non-increasing (min is monotone), so the label
+    # sum strictly decreases until fixpoint: one cheap scan per round
+    # replaces a join-based changed-row count. Decimal(38,0) so the sum
+    # can't overflow at any node-id × corpus scale.
+    _sum = lambda df: df.agg(
+        F.sum(F.col("label").cast("decimal(38,0)"))
+    ).collect()[0][0]
+    prev_sum = _sum(labels)
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.a == labels.node)
             .groupBy(F.col("b").alias("node"))
             .agg(F.min("label").alias("nmin"))
         )
-        new_labels = (
+        labels = (
             labels.join(neighbor_min, "node", "left_outer")
             .select(
                 "node",
@@ -68,18 +90,97 @@ def connected_components(
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        cur_sum = _sum(labels)
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     sym.unpersist()
     return labels.select("node", F.col("label").alias("component"))
+
+
+def _large_star(sym: DataFrame) -> DataFrame:
+    """Kiveris large-star: per node u, attach every strictly-larger
+    neighbor to m(u) = min(Γ(u) ∪ {u}). Input (a,b) symmetric, no self
+    loops; output directed edges, no self loops (m ≤ a < b)."""
+    mins = sym.groupBy("a").agg(F.least(F.min("b"), F.first("a")).alias("m"))
+    return (
+        sym.filter(F.col("b") > F.col("a"))
+        .join(mins, "a")
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+    )
+
+
+def _small_star(sym: DataFrame) -> DataFrame:
+    """Kiveris small-star: direct edges toward the smaller endpoint,
+    then per node u attach every smaller neighbor (and u itself) to
+    m(u) = min of those neighbors."""
+    directed = sym.filter(F.col("b") < F.col("a"))
+    mins = directed.groupBy("a").agg(F.min("b").alias("m"))
+    nbrs = directed.join(mins, "a")
+    return (
+        nbrs.filter(F.col("b") != F.col("m"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        .union(mins.select("a", F.col("m").alias("b")))
+    )
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Large-star/small-star alternating algorithm — O(log diameter)
+    rounds, each round two keyed shuffles over the (shrinking) edge
+    list. At fixpoint the edge set is a forest of stars (u → component
+    min); roots appear only on the right side and label themselves.
+
+    Both operations individually preserve connected components (paper
+    Lemma 1/2), so each round rewrites the edge set in place; at
+    fixpoint it is a star forest and both operations are identity.
+    Convergence is detected by a deterministic edge-set fingerprint
+    (count + sum of xxhash64) — one cheap scan per round, no join.
+
+    Invariant kept between rounds: edges are distinct, self-loop-free,
+    and point larger→smaller (both star ops emit only a > b), so
+    small-star can treat its input as already-directed.
+    """
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    all_nodes = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    _fp = lambda df: tuple(
+        df.agg(
+            F.count(F.lit(1)),
+            F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")),
+        ).collect()[0]
+    )
+    prev = _fp(e)
+    for _ in range(max_iter):
+        sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        e = _small_star(_large_star(sym).distinct()).distinct().localCheckpoint()
+        cur = _fp(e)
+        if cur == prev:
+            break
+        prev = cur
+    parents = e.groupBy(F.col("a").alias("node")).agg(
+        F.min("b").alias("component")
+    )
+    roots = all_nodes.join(parents, "node", "left_anti").select(
+        "node", F.col("node").alias("component")
+    )
+    return parents.union(roots)
 
 
 def dedup_representatives(

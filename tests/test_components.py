@@ -4,14 +4,16 @@ partitionings."""
 
 from __future__ import annotations
 
+import random
+
 from snowflake_cdc_spark.operators.components import connected_components
 
 
-def _components(spark, edges, parts=None):
+def _components(spark, edges, parts=None, algorithm="label"):
     df = spark.createDataFrame(edges, "src long, dst long")
     if parts:
         df = df.repartition(parts)
-    out = connected_components(df)
+    out = connected_components(df, algorithm=algorithm)
     comp: dict[int, list[int]] = {}
     for r in out.collect():
         comp.setdefault(r.component, []).append(r.node)
@@ -46,3 +48,28 @@ def test_bridged_cliques_merge(spark):
 def test_partitioning_invariance(spark):
     edges = [(i, i + 1) for i in range(0, 30, 2)] + [(i, i + 2) for i in range(0, 28, 4)]
     assert _components(spark, edges) == _components(spark, edges, parts=13)
+
+
+def test_star_matches_label_on_planted_clusters(spark):
+    edges = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)]
+    assert _components(spark, edges, algorithm="star") == _components(spark, edges)
+
+
+def test_star_deep_chain(spark):
+    # 40-node path: diameter 39 — label propagation would need ~39 rounds,
+    # star contraction must finish well inside max_iter=25 (O(log d)).
+    edges = [(i, i + 1) for i in range(200, 240)]
+    comp = _components(spark, edges, algorithm="star")
+    assert comp == {200: list(range(200, 241))}
+
+
+def test_star_matches_label_on_random_graph(spark):
+    rng = random.Random(7)
+    nodes = list(range(60))
+    edges = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(55)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    assert _components(spark, edges, algorithm="star") == _components(
+        spark, edges, algorithm="label"
+    )
