@@ -107,6 +107,24 @@ def main() -> None:
             # operators persist() intermediates; drop them so queries are
             # timed independently instead of competing for cache memory
             spark.catalog.clearCache()
+            # clearCache misses RDD-level persists (localCheckpoint in the
+            # iterative operators) — unpersist those too
+            try:
+                jsc = spark.sparkContext._jsc.sc()
+                it = jsc.getPersistentRDDs().values().iterator()
+                while it.hasNext():
+                    it.next().unpersist(False)
+            except Exception:
+                pass
+            # Full GC *between* timed queries: a 48g heap accumulates
+            # broadcast/codegen debris over 100+ plans, and an old-gen
+            # collection pausing mid-query shows up as a 3-10x outlier on
+            # whichever query it lands on. Collecting here moves that pause
+            # outside the measurement window.
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:
+                pass
     try:
         results.update({k: round(v, 3) for k, v in bench_cdc_e2e(spark).items()})
     except Exception as e:
