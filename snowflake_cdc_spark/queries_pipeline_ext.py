@@ -1,0 +1,191 @@
+"""Training-data pipeline extension q108-q111 (north-star N5 applied):
+benchmark-contamination detection, Gopher-style repetition filtering,
+corpus composition reporting, and temperature-scaled sampling weights.
+
+These are the corpus-curation operations a large-scale training-data
+pipeline runs over raw document dumps (reference scope: the engine side
+of Upsolver/snowflake-cdc's data-prep surface, SURVEY.md §2.8):
+
+- q108: decontamination — find training documents sharing word-3-gram
+  shingles with a held-out benchmark slice (the train/test overlap check
+  every pretraining corpus needs). Inverted-index join on the shingle,
+  never a pairwise document comparison.
+- q109: repetition filtering (Gopher quality rules: duplicate-token
+  fraction and most-frequent-token fraction per document).
+- q110: composition report per language — doc counts, token totals,
+  exact interpolated token-count percentiles.
+- q111: temperature resampling weights w_l ∝ tokens_l^alpha (the
+  multilingual sampling correction, alpha=0.3).
+
+Determinism: ratios divide exact BIGINT counts in double then ROUND 4;
+both engines evaluate identical IEEE expressions on identical integers.
+Tokenization is the fixtures' single-space convention on both sides.
+
+Scale notes: q108's shingle join shuffles on the shingle value — the
+benchmark side is orders of magnitude smaller than the training side, so
+AQE picks a broadcast build there; hot shingles (corpus boilerplate) are
+the classic skew key, which the count-distinct-per-doc aggregation
+absorbs because partial aggregation collapses them map-side. q109/q110
+are one explode + map-side-combined aggregations; q111 aggregates to one
+row per language before any driver-visible step.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from snowflake_cdc_spark.functions.text import word_shingles
+from snowflake_cdc_spark.queries import _t, register
+
+_TRIGRAM_SQL = """
+    SELECT DISTINCT doc_id, source, w[1] || ' ' || w[2] || ' ' || w[3] AS s
+    FROM (SELECT doc_id, source,
+                 unnest(list_zip(ws[1:len(ws)-2], ws[2:len(ws)-1], ws[3:len(ws)])) AS w
+          FROM (SELECT doc_id, source, string_split(text, ' ') AS ws
+                FROM documents))
+"""
+
+
+@register(
+    "q108_contamination",
+    f"""WITH sh AS ({_TRIGRAM_SQL}),
+            bench AS (SELECT DISTINCT s FROM sh WHERE source = 'src0'),
+            train AS (SELECT doc_id, s FROM sh WHERE source <> 'src0')
+        SELECT train.doc_id,
+               CAST(count(DISTINCT train.s) AS BIGINT) AS n_shared
+        FROM train JOIN bench ON train.s = bench.s
+        GROUP BY train.doc_id
+        HAVING count(DISTINCT train.s) >= 5
+        ORDER BY n_shared DESC, doc_id""",
+    "train/test decontamination: training docs sharing >=5 word-3-grams "
+    "with the benchmark slice (source='src0') — inverted-index shingle "
+    "join, count-distinct overlap per doc",
+)
+def q108(spark, sf_dir):
+    sh = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.explode(word_shingles("text", 3)).alias("s"),
+    )
+    bench = sh.filter(F.col("source") == "src0").select("s").distinct()
+    train = sh.filter(F.col("source") != "src0").select("doc_id", "s")
+    return (
+        train.join(bench, "s")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("s").alias("n_shared"))
+        .filter(F.col("n_shared") >= 5)
+        .orderBy(F.desc("n_shared"), "doc_id")
+    )
+
+
+@register(
+    "q109_repetition",
+    """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                  FROM documents),
+            c AS (SELECT doc_id, w, count(*) AS n FROM w GROUP BY doc_id, w),
+            d AS (SELECT doc_id,
+                         CAST(sum(n) AS BIGINT) AS total,
+                         CAST(count(*) AS BIGINT) AS n_distinct,
+                         CAST(max(n) AS BIGINT) AS top
+                  FROM c GROUP BY doc_id)
+       SELECT doc_id, total AS n_words, n_distinct,
+              ROUND(1 - CAST(n_distinct AS DOUBLE) / CAST(total AS DOUBLE), 4)
+                AS rep_ratio,
+              ROUND(CAST(top AS DOUBLE) / CAST(total AS DOUBLE), 4)
+                AS top_word_frac
+       FROM d ORDER BY rep_ratio DESC, doc_id LIMIT 50""",
+    "Gopher-style repetition metrics per document: duplicate-token "
+    "fraction and most-frequent-token fraction; top-50 most repetitive",
+)
+def q109(spark, sf_dir):
+    counts = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    d = counts.groupBy("doc_id").agg(
+        F.sum("n").alias("total"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("n").alias("top"),
+    )
+    rep = F.round(
+        1 - F.col("n_distinct").cast("double") / F.col("total").cast("double"), 4
+    )
+    top_frac = F.round(F.col("top").cast("double") / F.col("total").cast("double"), 4)
+    return (
+        d.select(
+            "doc_id",
+            F.col("total").alias("n_words"),
+            "n_distinct",
+            rep.alias("rep_ratio"),
+            top_frac.alias("top_word_frac"),
+        )
+        .orderBy(F.desc("rep_ratio"), "doc_id")
+        .limit(50)
+    )
+
+
+@register(
+    "q110_corpus_report",
+    """WITH t AS (SELECT lang, len(string_split(text, ' ')) AS toks
+                  FROM documents)
+       SELECT lang,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(toks) AS BIGINT) AS total_tokens,
+              ROUND(avg(CAST(toks AS DOUBLE)), 4) AS avg_tokens,
+              ROUND(quantile_cont(CAST(toks AS DOUBLE), 0.50), 4) AS p50_tokens,
+              ROUND(quantile_cont(CAST(toks AS DOUBLE), 0.95), 4) AS p95_tokens
+       FROM t GROUP BY lang ORDER BY lang""",
+    "corpus composition per language: doc count, token totals, exact "
+    "interpolated token-count percentiles (mixture design input)",
+)
+def q110(spark, sf_dir):
+    toks = _t(spark, sf_dir, "documents").select(
+        "lang", F.size(F.split("text", " ")).cast("double").alias("toks")
+    )
+    pct = F.percentile(F.col("toks"), F.lit([0.50, 0.95]))
+    return (
+        toks.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("toks").cast("long")).alias("total_tokens"),
+            F.round(F.avg("toks"), 4).alias("avg_tokens"),
+            pct.alias("_p"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "total_tokens",
+            "avg_tokens",
+            F.round(F.col("_p")[0], 4).alias("p50_tokens"),
+            F.round(F.col("_p")[1], 4).alias("p95_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "q111_sample_weights",
+    """WITH t AS (SELECT lang,
+                         CAST(sum(len(string_split(text, ' '))) AS DOUBLE) AS tok
+                  FROM documents GROUP BY lang)
+       SELECT lang,
+              ROUND(pow(tok, 0.3) / (SELECT sum(pow(tok, 0.3)) FROM t), 4)
+                AS weight
+       FROM t ORDER BY lang""",
+    "temperature-scaled sampling weights per language, w_l proportional "
+    "to tokens_l^0.3 — the multilingual resampling correction",
+)
+def q111(spark, sf_dir):
+    t = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.sum(F.size(F.split("text", " "))).cast("double").alias("tok"))
+    )
+    total = t.agg(F.sum(F.pow("tok", F.lit(0.3))).alias("z"))
+    return (
+        t.join(F.broadcast(total))
+        .select("lang", F.round(F.pow("tok", F.lit(0.3)) / F.col("z"), 4).alias("weight"))
+        .orderBy("lang")
+    )
