@@ -649,3 +649,4 @@ def _load_extended() -> None:
     import snowflake_cdc_spark.queries_tpch_ext  # noqa: F401
     import snowflake_cdc_spark.queries_tpch_ext2  # noqa: F401
     import snowflake_cdc_spark.queries_pipeline_ext  # noqa: F401
+    import snowflake_cdc_spark.queries_modern_ext  # noqa: F401
