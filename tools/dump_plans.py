@@ -165,6 +165,28 @@ def main() -> None:
         "shuffle (map-side combine on the generated rows).\n"
     )
 
+    p = plan_text(qs["q108_contamination"](spark, SF))
+    n_bc = len(re.findall(r"^\(\d+\) BroadcastHashJoin", p, re.MULTILINE))
+    sections.append(
+        "## q108 — decontamination shingle join\n\n```\n"
+        + grep(p, "Join", "partial_count", max_lines=6)
+        + f"\n```\nBroadcastHashJoins: **{n_bc}** — the deduplicated benchmark "
+        "shingle set is the build side (AQE demotes to a shuffled hash join "
+        "when the benchmark slice outgrows the threshold); overlap counting "
+        "partial-aggregates per (doc, shingle) before the only data-sized "
+        "shuffle, so boilerplate hot shingles collapse map-side.\n"
+    )
+
+    p = plan_text(qs["q112_variant"](spark, SF))
+    has_py = "Python" in p or "ArrowEval" in p
+    sections.append(
+        "## q112 — VARIANT path extraction stays JVM-side\n\n```\n"
+        + grep(p, "HashAggregate", "ReadSchema", max_lines=4)
+        + f"\n```\nPython nodes in the plan: **{'yes' if has_py else 'none'}** — "
+        "parse_json/variant_get are codegen'd expressions, not UDFs; the scan "
+        "reads only (event_type, props).\n"
+    )
+
     # as-of scaling probe: 20M events against 2M purchases, skewed users
     n_l, n_r = 20_000_000, 2_000_000
     lhs = spark.range(n_l).select(
