@@ -61,6 +61,57 @@ def running_totals_stream(
     )
 
 
+def running_totals_processor():
+    """Spark-4 ``transformWithState`` successor of ``_update``: explicit
+    named state slots (``getValueState``) with optional TTL, timers, and
+    the RocksDB state-store v2 format underneath. Same semantics as the
+    ``applyInPandasWithState`` path — the parity test drives both.
+    A factory so importing this module never requires the new API."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _Proc(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = (
+                self._totals.get() if self._totals.exists() else (0, 0.0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame({"key": [key[0]], "n": [n], "total": [total]})
+
+        def close(self) -> None:
+            pass
+
+    return _Proc()
+
+
+def running_totals_stream_v2(
+    events: DataFrame, key_col: str = "user_id", value_col: str = "value"
+) -> DataFrame:
+    """Streaming per-key running totals on the ``transformWithStateInPandas``
+    lane. Requires (a) the RocksDB state store provider on the query and
+    (b) ``google.protobuf`` in the Python workers — the TWS state-server
+    protocol is protobuf-framed (pyspark .../proto/StateMessage_pb2.py).
+    Environments without protobuf keep the ``running_totals_stream``
+    (applyInPandasWithState) lane, which has identical semantics."""
+    keyed = events.select(
+        F.col(key_col).alias("key"), F.col(value_col).alias("value")
+    )
+    return keyed.groupBy("key").transformWithStateInPandas(
+        statefulProcessor=running_totals_processor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="update",
+        timeMode="none",
+    )
+
+
 def running_totals_batch(
     events: DataFrame, key_col: str = "user_id", value_col: str = "value"
 ) -> DataFrame:

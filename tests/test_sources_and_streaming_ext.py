@@ -154,3 +154,55 @@ def test_stateful_streaming_matches_batch(spark, tmp_path):
         for r in running_totals_batch(events).collect()
     }
     assert final == want
+
+
+def test_transform_with_state_v2_matches_batch(spark, tmp_path):
+    """transformWithStateInPandas (Spark-4 lane, RocksDB state store)
+    converges to the same totals as the batch aggregation.
+
+    The TWS state-server protocol needs ``google.protobuf`` in the Python
+    workers (pyspark/sql/streaming/proto/StateMessage_pb2.py); skip where
+    it isn't installed — the applyInPandasWithState parity test above
+    covers the stateful semantics either way."""
+    pytest.importorskip("google.protobuf")
+    from snowflake_cdc_spark.streaming.stateful import running_totals_stream_v2
+
+    events = read_table(spark, SF_SMOKE, "events").select("user_id", "value", "ts")
+    src = str(tmp_path / "src")
+    events.coalesce(4).write.mode("overwrite").parquet(src)
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = spark.readStream.schema(
+            spark.read.parquet(src).schema
+        ).option("maxFilesPerTrigger", 1).parquet(src)
+        out = running_totals_stream_v2(stream)
+        results = []
+
+        q = (
+            out.writeStream.outputMode("update")
+            .foreachBatch(lambda df, _bid: results.append(df.collect()))
+            .option("checkpointLocation", str(tmp_path / "ckpt_v2"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+    final = {}
+    for batch in results:
+        for r in batch:
+            final[r.key] = (r.n, round(r.total, 6))
+    want = {
+        r.key: (r.n, round(r.total, 6))
+        for r in running_totals_batch(events).collect()
+    }
+    assert final == want
