@@ -69,6 +69,46 @@ def test_interval_join_stream_matches_batch(spark, tmp_path):
     assert _canon(got) == want
 
 
+def test_interval_join_left_outer_stream(spark, tmp_path):
+    """Left-outer stream-stream: matched rows equal the batch join; NULL
+    right-side rows emit once the watermark passes a left row's join
+    window. Rows inside the final watermark gap are legitimately withheld
+    at availableNow termination (Spark's outer-join contract), so the
+    stream result is: all batch inner matches + a subset of the batch
+    outer NULLs — and nothing outside the batch outer result."""
+    left_dir, right_dir = _sources(spark, tmp_path)
+    lb, rb = spark.read.parquet(left_dir), spark.read.parquet(right_dir)
+
+    kwargs = dict(
+        key="user_id", left_ts="ts", right_ts="ts",
+        max_lag="30 minutes", watermark="1 hour", how="left_outer",
+    )
+    sel = lambda df: df.select(F.col("l_event_id").alias("event_id"), "r_event_id")
+    want_outer = _canon(sel(interval_join(lb, rb, **kwargs)).collect())
+    want_inner = [(a, b) for a, b in want_outer if b is not None]
+    assert any(b is None for _, b in want_outer), "need unmatched left rows"
+
+    ls = spark.readStream.schema(lb.schema).option("maxFilesPerTrigger", 1).parquet(left_dir)
+    rs = spark.readStream.schema(rb.schema).option("maxFilesPerTrigger", 1).parquet(right_dir)
+    got = []
+    q = (
+        sel(interval_join(ls, rs, **kwargs))
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda df, _bid: got.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt_outer"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got_c = _canon(got)
+    assert [p for p in got_c if p[1] is not None] == want_inner
+    assert set(got_c) <= set(want_outer)
+    assert any(b is None for _, b in got_c), (
+        "watermark should have released at least one NULL-right row"
+    )
+
+
 def test_interval_join_requires_range_bound(spark, tmp_path):
     """The helper always emits the range predicate — the plan must carry a
     time-interval condition (state-eviction requirement), visible as a
