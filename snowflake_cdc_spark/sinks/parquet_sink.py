@@ -113,12 +113,35 @@ class ParquetSnapshotSink:
             shutil.rmtree(os.path.join(self._table_dir(table), f"v={v}"))
         return removable
 
-    def compact(self, spark: SparkSession, table: str, target_files: int = 8) -> int:
+    def compact(
+        self,
+        spark: SparkSession,
+        table: str,
+        target_files: int = 8,
+        zorder_by: list[str] | None = None,
+    ) -> int:
         """Rewrite the current snapshot into ``target_files`` files — the
         small-file compaction every micro-batch MERGE sink needs (each
         merge writes shuffle.partitions files; hundreds of batches →
-        thousands of small files → scan death at scale)."""
-        df = self._read_raw(spark, table).coalesce(target_files)
+        thousands of small files → scan death at scale).
+
+        ``zorder_by``: also recluster along the Morton curve of these
+        columns (operators/zorder.py) so footer min/max stats prune scans
+        on every listed column — the OPTIMIZE ... ZORDER BY posture.
+        Merges append in arrival order, so clustering decays with every
+        batch; compaction is exactly the place to restore it."""
+        df = self._read_raw(spark, table)
+        if zorder_by:
+            from snowflake_cdc_spark.operators.zorder import with_z_value
+
+            df = (
+                with_z_value(df, zorder_by)
+                .repartitionByRange(target_files, F.col("__z"))
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+        else:
+            df = df.coalesce(target_files)
         return self.overwrite(df, table)
 
     def overwrite(self, df: DataFrame, table: str) -> int:

@@ -63,6 +63,41 @@ def test_compaction_reduces_files_preserves_rows(spark, tmp_path):
     assert sink.read(spark, "ORDERS").count() == before
 
 
+def test_zorder_compaction_clusters_and_preserves(spark, tmp_path):
+    """compact(zorder_by=...) preserves the snapshot exactly and leaves
+    every file covering a narrow slice of each z-column (footer-stat
+    skipping works on both), unlike arrival-order compaction."""
+    from snowflake_cdc_spark.operators.zorder import file_stat_ranges
+
+    events = cdc_events_nested(spark, SF_SMOKE)
+    pipe, sink = _pipeline(spark, tmp_path)
+    pipe.materialize_batch(events)
+    before = sorted(
+        (r["primary_key"], r["seq"])
+        for r in sink.read(spark, "ORDERS").collect()
+    )
+
+    v = sink.compact(
+        spark, "ORDERS", target_files=4, zorder_by=["o_custkey", "o_orderkey"]
+    )
+    vdir = str(tmp_path / "snap" / "ORDERS" / f"v={v}")
+    cov = file_stat_ranges(spark, vdir, ["o_custkey", "o_orderkey"])
+    assert len(cov) >= 2
+    avg = lambda cs, c: sum(f[c] for f in cs) / len(cs)
+    # arrival-order files see ~the whole range of both columns (~1.0 each);
+    # the z-ordered rewrite must be meaningfully tighter on BOTH
+    v0dir = str(tmp_path / "snap" / "ORDERS" / f"v={v - 1}")
+    cov0 = file_stat_ranges(spark, v0dir, ["o_custkey", "o_orderkey"])
+    assert avg(cov, "o_custkey") < 0.85 * avg(cov0, "o_custkey")
+    assert avg(cov, "o_orderkey") < 0.85 * avg(cov0, "o_orderkey")
+
+    after = sorted(
+        (r["primary_key"], r["seq"])
+        for r in sink.read(spark, "ORDERS").collect()
+    )
+    assert after == before
+
+
 def test_watermarked_window_stream_batch_parity(spark, tmp_path):
     events = read_table(spark, SF_SMOKE, "events").select("ts", "event_type")
     src = str(tmp_path / "src")
