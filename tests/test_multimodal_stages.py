@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from snowflake_cdc_spark.operators.multimodal import (
     documents_as_media,
     extract_features,
+    extract_features_arrow,
     resize_media,
     sample_frames,
 )
@@ -25,6 +26,18 @@ def test_resize_composes_with_features(spark):
     # the resized output feeds the feature stage unchanged (same shape)
     feats = extract_features(resized, dim=4).collect()
     assert all(r.n_bytes == 64 and len(r.feature) == 4 for r in feats)
+
+
+def test_arrow_lane_matches_pandas_lane(spark):
+    """mapInArrow feature extraction returns byte-identical results to the
+    mapInPandas lane (md5s, lengths, float features)."""
+    media = documents_as_media(read_table(spark, SF_SMOKE, "documents")).limit(80)
+    canon = lambda rows: sorted(
+        (r.media_id, r.n_bytes, r.payload_md5, tuple(r.feature)) for r in rows
+    )
+    a = canon(extract_features_arrow(media, dim=8).collect())
+    b = canon(extract_features(media, dim=8).collect())
+    assert a == b and len(a) == 80
 
 
 def test_frame_sampling_one_to_n(spark):
