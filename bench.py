@@ -142,7 +142,13 @@ def main() -> None:
     }
     if failures:
         payload["failures"] = failures
-    print(json.dumps(payload))
+    # The driver tail-captures stdout and parses the LAST line as JSON
+    # (BENCH_r01 stored a front-truncated line -> parsed:null). Emit the
+    # payload compactly, flushed, on its own final line preceded by a
+    # newline so no earlier partial write can glue onto it.
+    sys.stdout.flush()
+    sys.stdout.write("\n" + json.dumps(payload, separators=(",", ":")) + "\n")
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

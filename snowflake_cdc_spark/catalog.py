@@ -110,6 +110,17 @@ class Catalog:
         for k, v in (properties or {}).items():
             reader = reader.option(k, v)
         rows = reader.load().orderBy("full_table_name", "ordinal_position").collect()
+        return cls.from_information_schema_rows(rows, lossy_decimals)
+
+    @classmethod
+    def from_information_schema_rows(
+        cls, rows, lossy_decimals: bool = False
+    ) -> "Catalog":
+        """Build a catalog from ``information_schema.columns``-shaped rows
+        (mappings with full_table_name / column_name / udt_name /
+        is_primary_key, already in ordinal order). Shared by the JDBC
+        loader and contract tests, so the JDBC row handling is exercised
+        without a live database."""
         cat = cls()
         grouped: dict[str, list[ColumnSpec]] = {}
         for r in rows:

@@ -285,20 +285,24 @@ def q10(spark, sf_dir):
 @register(
     "q11_grouped_agg",
     """SELECT l_returnflag, l_linestatus,
-              CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price,
+              ROUND(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+              ROUND(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price,
               count(*) AS n
        FROM lineitem GROUP BY l_returnflag, l_linestatus
        ORDER BY l_returnflag, l_linestatus""",
-    "A4 grouped aggregation (TPC-H Q1 skeleton; groupBy capability, add_output.py:117)",
+    "A4 grouped aggregation (TPC-H Q1 skeleton; groupBy capability, add_output.py:117). "
+    "Summation stays DECIMAL (order-independent, exact); the FINAL projection is "
+    "ROUND(CAST(.. AS DOUBLE), 2) on both engines because the driver's hash "
+    "canonicalizer renders Spark and DuckDB DECIMALs differently (r1: q11/q12/q45/"
+    "q46/q48 hash-failed with bit-identical Decimal values).",
 )
 def q11(spark, sf_dir):
     return (
         _t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast(DEC)).cast(DEC).alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast(DEC)).cast(DEC).alias("sum_price"),
+            F.round(F.sum(F.col("l_quantity").cast(DEC)).cast("double"), 2).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice").cast(DEC)).cast("double"), 2).alias("sum_price"),
             F.count(F.lit(1)).alias("n"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -308,16 +312,16 @@ def q11(spark, sf_dir):
 @register(
     "q12_multi_join",
     """SELECT c_mktsegment,
-              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                       * CAST(1 - l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS rev
+              ROUND(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE), 4) AS rev
        FROM customer
        JOIN orders ON c_custkey = o_custkey
        JOIN lineitem ON o_orderkey = l_orderkey
        GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "J1 multi-way equi-join; customer is broadcast, lineitem⋈orders shuffles on orderkey. "
-    "Result kept at scale 4: the 2dp×2dp products are exactly 4dp, so no rounding step "
-    "exists anywhere (a scale-2 final cast would hit half-cent ties where Spark rounds "
-    "HALF_UP and DuckDB half-to-even).",
+    "Sum stays DECIMAL internally (2dp×2dp products are exactly 4dp — no rounding "
+    "anywhere in the aggregation); only the final projection is double-cast, ROUND(..,4), "
+    "because the driver hash-canonicalizes Spark and DuckDB DECIMALs differently.",
 )
 def q12(spark, sf_dir):
     customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
@@ -330,7 +334,7 @@ def q12(spark, sf_dir):
         lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_mktsegment")
-        .agg(F.sum(rev).cast(T.DecimalType(18, 4)).alias("rev"))
+        .agg(F.round(F.sum(rev).cast("double"), 4).alias("rev"))
         .orderBy("c_mktsegment")
     )
 

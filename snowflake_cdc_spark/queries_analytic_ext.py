@@ -20,7 +20,7 @@ from snowflake_cdc_spark.queries import DEC, _t, ntz, register
     "q45_tumbling_window",
     """SELECT time_bucket(INTERVAL 15 MINUTE, ts) AS win_start, event_type,
               count(*) AS n,
-              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+              ROUND(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
        FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
     "event-time tumbling window (15 min) — streaming-identical semantics, "
     "batch-oracle-checked",
@@ -31,7 +31,7 @@ def q45(spark, sf_dir):
         .groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast(DEC)).cast(DEC).alias("total"),
+            F.round(F.sum(F.col("value").cast(DEC)).cast("double"), 2).alias("total"),
         )
         .select(F.col("w.start").alias("win_start"), "event_type", "n", "total")
         .orderBy("win_start", "event_type")
@@ -43,7 +43,7 @@ def q45(spark, sf_dir):
     """WITH b AS (SELECT time_bucket(INTERVAL 15 MINUTE, ts) AS bkt, value FROM events),
        w AS (SELECT unnest([bkt, bkt - INTERVAL 15 MINUTE]) AS win_start, value FROM b)
        SELECT win_start, count(*) AS n,
-              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+              ROUND(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
        FROM w GROUP BY 1 ORDER BY 1""",
     "sliding window (30 min, 15 min slide): each event lands in 2 windows",
 )
@@ -53,7 +53,7 @@ def q46(spark, sf_dir):
         .groupBy(F.window("ts", "30 minutes", "15 minutes").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast(DEC)).cast(DEC).alias("total"),
+            F.round(F.sum(F.col("value").cast(DEC)).cast("double"), 2).alias("total"),
         )
         .select(F.col("w.start").alias("win_start"), "n", "total")
         .orderBy("win_start")
@@ -95,7 +95,7 @@ def q47(spark, sf_dir):
 @register(
     "q48_rollup",
     """SELECT l_returnflag, l_linestatus, count(*) AS n,
-              CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS qty
+              ROUND(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS qty
        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
     "ROLLUP grouping sets (subtotals + grand total as NULL keys)",
@@ -106,7 +106,7 @@ def q48(spark, sf_dir):
         .rollup("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("l_quantity").cast(DEC)).cast(DEC).alias("qty"),
+            F.round(F.sum(F.col("l_quantity").cast(DEC)).cast("double"), 2).alias("qty"),
         )
         .orderBy(
             F.col("l_returnflag").asc_nulls_first(),

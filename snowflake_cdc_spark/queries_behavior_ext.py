@@ -34,8 +34,8 @@ DEC4 = T.DecimalType(18, 4)
 
 @register(
     "q97_q6_shape",
-    """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                      * CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS revenue,
+    """SELECT ROUND(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE), 4) AS revenue,
               count(*) AS n
        FROM lineitem
        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
@@ -55,7 +55,8 @@ def q97(spark, sf_dir):
     )
     rev = F.col("l_extendedprice").cast(DEC) * F.col("l_discount").cast(DEC)
     return li.agg(
-        F.sum(rev).cast(DEC4).alias("revenue"), F.count(F.lit(1)).alias("n")
+        F.round(F.sum(rev).cast("double"), 4).alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
     )
 
 
@@ -122,7 +123,9 @@ def q98(spark, sf_dir):
 def q99(spark, sf_dir):
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    sec = F.col("ts").cast("long")
+    # NTZ-safe epoch seconds: cast(ts AS LONG) rejects TIMESTAMP_NTZ, so
+    # re-tag to TIMESTAMP (session TZ is pinned UTC) then unix_timestamp.
+    sec = F.unix_timestamp(F.col("ts").cast("timestamp"))
     lag_sec = F.lag(sec).over(w)
     flagged = _t(spark, sf_dir, "events").select(
         "user_id",
@@ -141,7 +144,10 @@ def q99(spark, sf_dir):
         numbered.groupBy("user_id", "session_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long")))
+            (
+                F.max(F.unix_timestamp(F.col("ts").cast("timestamp")))
+                - F.min(F.unix_timestamp(F.col("ts").cast("timestamp")))
+            )
             .cast("bigint")
             .alias("duration_sec"),
         )
@@ -199,7 +205,7 @@ def q100(spark, sf_dir):
     CDC_EVENTS_SQL
     + """SELECT row_o_orderpriority AS o_orderpriority,
                 count(*) AS n,
-                CAST(sum(CAST(row_o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                ROUND(CAST(sum(CAST(row_o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
                     AS sum_o_totalprice
          FROM (SELECT *, row_number() OVER (PARTITION BY primary_key
                                             ORDER BY seq DESC) AS rn
@@ -221,7 +227,13 @@ def q101(spark, sf_dir):
         sum_cols=["o_totalprice"],
         n_chunks_by="op",
     )
-    return agg.orderBy("o_orderpriority")
+    # maintenance stays DECIMAL-exact; only the reported projection is
+    # double-cast (driver decimal-hash canonicalization, see queries.py q11)
+    return agg.select(
+        "o_orderpriority",
+        "n",
+        F.round(F.col("sum_o_totalprice").cast("double"), 2).alias("sum_o_totalprice"),
+    ).orderBy("o_orderpriority")
 
 
 @register(

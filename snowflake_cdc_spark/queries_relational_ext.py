@@ -15,8 +15,8 @@ from snowflake_cdc_spark.queries import DEC, _t, ntz, register
 @register(
     "q36_tpch_q3_style",
     """SELECT o_orderkey,
-              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                       * CAST(1 - l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS revenue,
+              ROUND(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE), 4) AS revenue,
               CAST(o_orderdate AS DATE) AS odate
        FROM customer JOIN orders ON c_custkey = o_custkey
                      JOIN lineitem ON l_orderkey = o_orderkey
@@ -35,7 +35,7 @@ def q36(spark, sf_dir):
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("o_orderkey", "o_orderdate")
-        .agg(F.sum(rev).cast(T.DecimalType(18, 4)).alias("revenue"))
+        .agg(F.round(F.sum(rev).cast("double"), 4).alias("revenue"))
         .select(
             "o_orderkey", "revenue", F.col("o_orderdate").cast("date").alias("odate")
         )
@@ -47,8 +47,8 @@ def q36(spark, sf_dir):
 @register(
     "q37_tpch_q5_style",
     """SELECT n_name,
-              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                       * CAST(1 - l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS revenue
+              ROUND(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE), 4) AS revenue
        FROM region JOIN nation ON n_regionkey = r_regionkey
                    JOIN customer ON c_nationkey = n_nationkey
                    JOIN orders ON o_custkey = c_custkey
@@ -73,7 +73,7 @@ def q37(spark, sf_dir):
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
         .groupBy("n_name")
-        .agg(F.sum(rev).cast(T.DecimalType(18, 4)).alias("revenue"))
+        .agg(F.round(F.sum(rev).cast("double"), 4).alias("revenue"))
         .orderBy("n_name")
     )
 
@@ -125,7 +125,7 @@ def q39(spark, sf_dir):
 
 @register(
     "q40_union_by_name",
-    """SELECT k, count(*) AS n, CAST(sum(CAST(v AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+    """SELECT k, count(*) AS n, ROUND(CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
        FROM (
          SELECT o_orderkey AS k, o_totalprice AS v FROM orders WHERE o_orderkey % 2 = 0
          UNION ALL BY NAME
@@ -147,7 +147,7 @@ def q40(spark, sf_dir):
         .groupBy("k")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("v").cast(DEC)).cast(DEC).alias("total"),
+            F.round(F.sum(F.col("v").cast(DEC)).cast("double"), 2).alias("total"),
         )
         .orderBy("k")
         .limit(100)
@@ -159,9 +159,9 @@ def q40(spark, sf_dir):
     """SELECT l_returnflag,
               count(*) AS n,
               count(CASE WHEN l_quantity > 25 THEN 1 END) AS n_large,
-              CAST(sum(CASE WHEN l_discount > 0.05
+              ROUND(CAST(sum(CASE WHEN l_discount > 0.05
                             THEN CAST(l_extendedprice AS DECIMAL(18,2))
-                            ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS discounted_price,
+                            ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE), 2) AS discounted_price,
               CAST(coalesce(max(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS BIGINT) END), 0) AS BIGINT) AS max_f_qty
        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "when/otherwise + coalesce inside aggregation (conditional surface §2.6)",
@@ -173,13 +173,14 @@ def q41(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.count(F.when(F.col("l_quantity") > 25, 1)).alias("n_large"),
-            F.sum(
-                F.when(
-                    F.col("l_discount") > 0.05, F.col("l_extendedprice").cast(DEC)
-                ).otherwise(F.lit(0).cast(DEC))
-            )
-            .cast(DEC)
-            .alias("discounted_price"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("l_discount") > 0.05, F.col("l_extendedprice").cast(DEC)
+                    ).otherwise(F.lit(0).cast(DEC))
+                ).cast("double"),
+                2,
+            ).alias("discounted_price"),
             F.coalesce(
                 F.max(
                     F.when(F.col("l_linestatus") == "F", F.col("l_quantity").cast("bigint"))

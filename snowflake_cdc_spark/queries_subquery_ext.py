@@ -96,7 +96,7 @@ def q55(spark, sf_dir):
 
 @register(
     "q56_having_in",
-    """SELECT c_name, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+    """SELECT c_name, o_orderkey, ROUND(CAST(o_totalprice AS DOUBLE), 2) AS price
        FROM customer JOIN orders ON c_custkey = o_custkey
        WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
                             GROUP BY l_orderkey
@@ -119,7 +119,7 @@ def q56(spark, sf_dir):
         .select(
             "c_name",
             "o_orderkey",
-            F.col("o_totalprice").cast(DEC).alias("price"),
+            F.round(F.col("o_totalprice").cast("double"), 2).alias("price"),
         )
         .orderBy(F.desc("price"), "o_orderkey")
         .limit(20)
@@ -128,7 +128,7 @@ def q56(spark, sf_dir):
 
 @register(
     "q57_q17_shape",
-    """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2))
+    """SELECT ROUND(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
                   AS small_qty_revenue,
               count(*) AS n
        FROM lineitem l
@@ -151,8 +151,7 @@ def q57(spark, sf_dir):
         li.join(per_part, li.l_partkey == per_part.pk)
         .filter(F.col("l_quantity").cast(DEC) * 5 * F.col("cnt") < F.col("sq"))
         .agg(
-            F.sum(F.col("l_extendedprice").cast(DEC))
-            .cast(T.DecimalType(28, 2))
+            F.round(F.sum(F.col("l_extendedprice").cast(DEC)).cast("double"), 2)
             .alias("small_qty_revenue"),
             F.count("*").alias("n"),
         )
@@ -196,7 +195,7 @@ def q58(spark, sf_dir):
 @register(
     "q59_band_join",
     """SELECT t.tier, count(*) AS n,
-              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS total
+              ROUND(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
        FROM orders
        JOIN (VALUES ('low', 0.0, 50000.0),
                     ('mid', 50000.0, 200000.0),
@@ -220,8 +219,7 @@ def q59(spark, sf_dir):
         .groupBy("tier")
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("o_totalprice").cast(DEC))
-            .cast(T.DecimalType(28, 2))
+            F.round(F.sum(F.col("o_totalprice").cast(DEC)).cast("double"), 2)
             .alias("total"),
         )
         .orderBy("tier")
@@ -293,10 +291,10 @@ def q61(spark, sf_dir):
 @register(
     "q62_range_frame",
     """SELECT event_id, user_id,
-              CAST(sum(CAST(value AS DECIMAL(18,4)))
+              ROUND(CAST(sum(CAST(value AS DECIMAL(18,4)))
                    OVER (PARTITION BY user_id ORDER BY event_id
                          RANGE BETWEEN 100 PRECEDING AND CURRENT ROW)
-                   AS DECIMAL(28,4)) AS running_value
+                   AS DOUBLE), 4) AS running_value
        FROM events ORDER BY event_id""",
     "RANGE frame (value-based window bounds, not row counts) with exact "
     "decimal accumulation",
@@ -312,10 +310,10 @@ def q62(spark, sf_dir):
         .select(
             "event_id",
             "user_id",
-            F.sum(F.col("value").cast(T.DecimalType(18, 4)))
-            .over(w)
-            .cast(T.DecimalType(28, 4))
-            .alias("running_value"),
+            F.round(
+                F.sum(F.col("value").cast(T.DecimalType(18, 4))).over(w).cast("double"),
+                4,
+            ).alias("running_value"),
         )
         .orderBy("event_id")
     )
@@ -329,7 +327,7 @@ def q62(spark, sf_dir):
 @register(
     "q63_hash_sample",
     """SELECT count(*) AS n,
-              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS total
+              ROUND(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
        FROM orders
        WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 4) < '1999'""",
     "deterministic ~10% hash sample (operators/sampling.py): reproducible "
@@ -341,9 +339,7 @@ def q63(spark, sf_dir):
     )
     return sampled.agg(
         F.count("*").alias("n"),
-        F.sum(F.col("o_totalprice").cast(DEC))
-        .cast(T.DecimalType(28, 2))
-        .alias("total"),
+        F.round(F.sum(F.col("o_totalprice").cast(DEC)).cast("double"), 2).alias("total"),
     )
 
 
@@ -500,7 +496,7 @@ def q70(spark, sf_dir):
 @register(
     "q71_disjunctive_predicates",
     """SELECT count(*) AS n,
-              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS total
+              ROUND(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
        FROM lineitem JOIN part ON p_partkey = l_partkey
        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
               AND l_quantity >= 1 AND l_quantity <= 11)
@@ -534,8 +530,7 @@ def q71(spark, sf_dir):
         .filter(pred)
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("l_extendedprice").cast(DEC))
-            .cast(T.DecimalType(28, 2))
+            F.round(F.sum(F.col("l_extendedprice").cast(DEC)).cast("double"), 2)
             .alias("total"),
         )
     )
@@ -547,7 +542,7 @@ def q71(spark, sf_dir):
                            sum(CAST(l_extendedprice AS DECIMAL(18,2))
                                * CAST(1 - l_discount AS DECIMAL(18,2))) AS total
                     FROM lineitem GROUP BY l_suppkey)
-       SELECT s_suppkey, s_name, CAST(total AS DECIMAL(38,4)) AS total_rev
+       SELECT s_suppkey, s_name, ROUND(CAST(total AS DOUBLE), 4) AS total_rev
        FROM supplier JOIN rev ON s_suppkey = sk
        WHERE total = (SELECT max(total) FROM rev)
        ORDER BY s_suppkey""",
@@ -574,7 +569,7 @@ def q72(spark, sf_dir):
         .join(F.broadcast(sup), F.col("sk") == sup.s_suppkey)
         .select(
             "s_suppkey", "s_name",
-            F.col("total").cast(T.DecimalType(38, 4)).alias("total_rev"),
+            F.round(F.col("total").cast("double"), 4).alias("total_rev"),
         )
         .orderBy("s_suppkey")
     )
@@ -583,7 +578,7 @@ def q72(spark, sf_dir):
 @register(
     "q73_q22_shape",
     """SELECT substring(c_name, 1, 1) AS cc, count(*) AS n,
-              CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS totbal
+              ROUND(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS totbal
        FROM customer
        WHERE CAST(c_acctbal AS DECIMAL(18,2))
                  * (SELECT count(*) FROM customer WHERE c_acctbal > 0.0)
@@ -610,8 +605,7 @@ def q73(spark, sf_dir):
         .groupBy(F.substring("c_name", 1, 1).alias("cc"))
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("c_acctbal").cast(DEC))
-            .cast(T.DecimalType(28, 2))
+            F.round(F.sum(F.col("c_acctbal").cast(DEC)).cast("double"), 2)
             .alias("totbal"),
         )
         .orderBy("cc")

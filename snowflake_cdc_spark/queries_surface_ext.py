@@ -29,9 +29,9 @@ DEC4 = T.DecimalType(18, 4)
 @register(
     "q82_unpivot",
     """WITH g AS (SELECT l_returnflag,
-                         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-                         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price,
-                         CAST(sum(CAST(l_tax AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_tax
+                         ROUND(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+                         ROUND(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price,
+                         ROUND(CAST(sum(CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_tax
                   FROM lineitem GROUP BY l_returnflag)
        SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS val FROM g
        UNION ALL
@@ -47,9 +47,9 @@ def q82(spark, sf_dir):
         _t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.sum(F.col("l_quantity").cast(DEC)).cast(DEC).alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast(DEC)).cast(DEC).alias("sum_price"),
-            F.sum(F.col("l_tax").cast(DEC)).cast(DEC).alias("sum_tax"),
+            F.round(F.sum(F.col("l_quantity").cast(DEC)).cast("double"), 2).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice").cast(DEC)).cast("double"), 2).alias("sum_price"),
+            F.round(F.sum(F.col("l_tax").cast(DEC)).cast("double"), 2).alias("sum_tax"),
         )
     )
     return g.unpivot(

@@ -43,8 +43,8 @@ def _rev(df):
 @register(
     "q74_q10_shape",
     """SELECT c_custkey, c_name, n_name,
-              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                       * CAST(1 - l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS revenue
+              ROUND(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE), 4) AS revenue
        FROM customer
        JOIN orders   ON c_custkey = o_custkey
        JOIN lineitem ON l_orderkey = o_orderkey
@@ -69,7 +69,7 @@ def q74(spark, sf_dir):
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.sum(_rev(li)).cast(DEC4).alias("revenue"))
+        .agg(F.round(F.sum(_rev(li)).cast("double"), 4).alias("revenue"))
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
@@ -170,7 +170,7 @@ def q77(spark, sf_dir):
 @register(
     "q78_q7_shape",
     """SELECT supp_nation, cust_nation, l_year,
-              CAST(sum(volume) AS DECIMAL(18,4)) AS revenue
+              ROUND(CAST(sum(volume) AS DOUBLE), 4) AS revenue
        FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                     CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
                     CAST(l_extendedprice AS DECIMAL(18,2))
@@ -218,7 +218,7 @@ def q78(spark, sf_dir):
             _rev(li).alias("volume"),
         )
         .groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(F.sum("volume").cast(DEC4).alias("revenue"))
+        .agg(F.round(F.sum("volume").cast("double"), 4).alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -288,7 +288,7 @@ def q79(spark, sf_dir):
 
 @register(
     "q80_q20_shape",
-    """SELECT s_name, CAST(qty AS DECIMAL(18,2)) AS widget_qty
+    """SELECT s_name, ROUND(CAST(qty AS DOUBLE), 2) AS widget_qty
        FROM supplier
        JOIN (SELECT l_suppkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
              FROM lineitem JOIN part ON p_partkey = l_partkey
@@ -326,7 +326,7 @@ def q80(spark, sf_dir):
         shipped.join(F.broadcast(threshold))
         .filter(F.col("qty").cast("double") > F.col("thr"))
         .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
-        .select("s_name", F.col("qty").cast(DEC).alias("widget_qty"))
+        .select("s_name", F.round(F.col("qty").cast("double"), 2).alias("widget_qty"))
         .orderBy("s_name")
     )
 

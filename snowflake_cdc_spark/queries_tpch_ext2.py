@@ -53,7 +53,8 @@ def _rev(df=None):
                        JOIN nation   ON s_nationkey = n_nationkey
                        JOIN region   ON n_regionkey = r_regionkey
                WHERE r_name = 'EUROPE')
-       SELECT s_acctbal, s_name, n_name, p_partkey, p_type, ps_supplycost
+       SELECT s_acctbal, s_name, n_name, p_partkey, p_type,
+              ROUND(CAST(ps_supplycost AS DOUBLE), 2) AS ps_supplycost
        FROM eps JOIN part ON p_partkey = ps_partkey
        WHERE p_size <= 15 AND p_type = 'LARGE'
          AND ps_supplycost = (SELECT min(e2.ps_supplycost) FROM eps e2
@@ -90,7 +91,10 @@ def q103(spark, sf_dir):
         eps.withColumn("min_cost", F.min("ps_supplycost").over(w))
         .filter(F.col("ps_supplycost") == F.col("min_cost"))
         .join(F.broadcast(part), F.col("ps_partkey") == part.p_partkey)
-        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type", "ps_supplycost")
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_type",
+            F.round(F.col("ps_supplycost").cast("double"), 2).alias("ps_supplycost"),
+        )
         .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
         .limit(100)
     )
@@ -99,8 +103,8 @@ def q103(spark, sf_dir):
 @register(
     "q104_q5_shape",
     """SELECT n_name,
-              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                       * CAST(1 - l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS revenue
+              ROUND(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE), 4) AS revenue
        FROM customer
        JOIN orders   ON c_custkey = o_custkey
        JOIN lineitem ON l_orderkey = o_orderkey
@@ -135,7 +139,7 @@ def q104(spark, sf_dir):
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(F.sum(_rev()).cast(DEC4).alias("revenue"))
+        .agg(F.round(F.sum(_rev()).cast("double"), 4).alias("revenue"))
         .orderBy(F.desc("revenue"), "n_name")
     )
 
@@ -143,10 +147,10 @@ def q104(spark, sf_dir):
 @register(
     "q105_q9_shape",
     """SELECT n_name, CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
-              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+              ROUND(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
                          * CAST(1 - l_discount AS DECIMAL(18,2))
                        - CAST(p_retailprice AS DECIMAL(18,2))
-                         * CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS profit
+                         * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 4) AS profit
        FROM lineitem
        JOIN part     ON p_partkey = l_partkey
        JOIN supplier ON s_suppkey = l_suppkey
@@ -174,7 +178,7 @@ def q105(spark, sf_dir):
         .groupBy(
             "n_name", F.year("o_orderdate").cast("bigint").alias("o_year")
         )
-        .agg(F.sum(profit).cast(DEC4).alias("profit"))
+        .agg(F.round(F.sum(profit).cast("double"), 4).alias("profit"))
         .orderBy("n_name", F.desc("o_year"))
     )
 
@@ -186,7 +190,7 @@ def q105(spark, sf_dir):
                    FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
                    WHERE s_nationkey = 7
                    GROUP BY l_partkey)
-       SELECT ps_partkey, value FROM val
+       SELECT ps_partkey, ROUND(CAST(value AS DOUBLE), 2) AS value FROM val
        WHERE value * 500 > (SELECT CAST(sum(value) AS DECIMAL(18,2)) FROM val)
        ORDER BY value DESC, ps_partkey""",
     "TPC-H Q11 shape: important-stock — per-part value vs a global "
@@ -206,7 +210,9 @@ def q106(spark, sf_dir):
     return (
         val.crossJoin(F.broadcast(total))
         .filter(F.col("value") * F.lit(500) > F.col("total"))
-        .select("ps_partkey", "value")
+        .select(
+            "ps_partkey", F.round(F.col("value").cast("double"), 2).alias("value")
+        )
         .orderBy(F.desc("value"), "ps_partkey")
     )
 

@@ -53,6 +53,8 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.driver.maxResultSize", "4g")
         .config("spark.ui.enabled", "false")
+        # keep stdout clean for tools whose last line must be machine-parsed
+        .config("spark.ui.showConsoleProgress", "false")
         # parquet scan parallelism: 128 MiB splits, the cluster default
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.parquet.filterPushdown", "true")

@@ -19,6 +19,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+from .event_time import ensure_event_time
+
 
 def dedup_stream(
     events: DataFrame,
@@ -27,7 +29,7 @@ def dedup_stream(
     watermark: str = "30 minutes",
     within_watermark: bool = False,
 ) -> DataFrame:
-    df = events
+    df = ensure_event_time(events, ts_col)
     if df.isStreaming:
         df = df.withWatermark(ts_col, watermark)
         if within_watermark:

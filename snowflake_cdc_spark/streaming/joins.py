@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .event_time import ensure_event_time
+
 __all__ = ["interval_join"]
 
 
@@ -38,6 +40,8 @@ def interval_join(
     shared key, emitted once). State per side is bounded by
     ``watermark + max_lag``.
     """
+    left = ensure_event_time(left, left_ts)
+    right = ensure_event_time(right, right_ts)
     l = left.select([F.col(c).alias(f"l_{c}") for c in left.columns])
     r = right.select([F.col(c).alias(f"r_{c}") for c in right.columns])
     if l.isStreaming:

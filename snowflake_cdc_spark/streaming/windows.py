@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .event_time import ensure_event_time
+
 
 def windowed_counts(
     events: DataFrame,
@@ -25,7 +27,7 @@ def windowed_counts(
     """Tumbling-window counts with a watermark when the input is
     streaming (bounded state + late-data policy), identical expression in
     batch. Output: (win_start, *group_cols, n)."""
-    df = events
+    df = ensure_event_time(events, ts_col)
     if df.isStreaming:
         df = df.withWatermark(ts_col, watermark)
     return (

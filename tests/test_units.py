@@ -63,6 +63,60 @@ class TestCatalog:
         assert meta.columns[1].type_info.is_array
         assert meta.columns[2].type_info.is_fallback
 
+    def test_information_schema_contract_matches_csv(self):
+        """S7 contract: rows shaped like the JDBC information_schema query
+        (catalog.py:99-104, reference add_output.py:318-327) produce the
+        same ColumnSpecs as the columns-file path. The fixture is an
+        in-process DuckDB running the same query shape against a real
+        information_schema — no live MySQL needed."""
+        import duckdb
+
+        con = duckdb.connect()
+        con.execute("CREATE SCHEMA tpch")
+        con.execute(
+            "CREATE TABLE tpch.orders (o_orderkey BIGINT PRIMARY KEY, "
+            "o_comment VARCHAR, o_flag BOOLEAN)"
+        )
+        # DuckDB has no MySQL column_key; derive the PK flag from its
+        # constraint catalog the way a JDBC dialect adapter would.
+        rows = con.execute(
+            """SELECT c.table_schema || '.' || c.table_name AS full_table_name,
+                      c.column_name,
+                      lower(c.data_type) AS udt_name,
+                      coalesce(k.is_pk, FALSE) AS is_primary_key,
+                      c.ordinal_position
+               FROM information_schema.columns c
+               LEFT JOIN (
+                   SELECT table_name, unnest(constraint_column_names) AS column_name,
+                          TRUE AS is_pk
+                   FROM duckdb_constraints() WHERE constraint_type = 'PRIMARY KEY'
+               ) k USING (table_name, column_name)
+               WHERE c.table_schema = 'tpch'
+               ORDER BY full_table_name, c.ordinal_position"""
+        ).fetchall()
+        dict_rows = [
+            dict(zip(
+                ["full_table_name", "column_name", "udt_name",
+                 "is_primary_key", "ordinal_position"], r,
+            ))
+            for r in rows
+        ]
+        cat_jdbc = Catalog.from_information_schema_rows(dict_rows)
+        cat_csv = Catalog.from_columns_csv(
+            "tpch.orders,o_orderkey,bigint,true\n"
+            "tpch.orders,o_comment,varchar,false\n"
+            "tpch.orders,o_flag,boolean,false\n"
+        )
+        ma, mb = cat_jdbc.get("tpch.orders"), cat_csv.get("tpch.orders")
+        assert [
+            (c.name, c.udt_name, c.is_primary_key, c.type_info.spark_type)
+            for c in ma.columns
+        ] == [
+            (c.name, c.udt_name, c.is_primary_key, c.type_info.spark_type)
+            for c in mb.columns
+        ]
+        assert ma.primary_key_columns == ["o_orderkey"]
+
 
 class TestFlatten:
     def test_nested_flatten(self, spark):

@@ -10,8 +10,12 @@ import importlib.util
 import math
 import sys
 
+import os
+
 import duckdb
 from pyspark.sql import SparkSession
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = "/root/testdata/sf0.01"
 TABLES = (
@@ -27,7 +31,10 @@ def canon(v):
             return "nan"
         return repr(round(v, 9))
     if isinstance(v, decimal.Decimal):
-        return str(v.normalize())
+        # str(), NOT normalize(): the driver renders engine decimals as-is,
+        # so scale mismatches (253942.00 vs 253942.0) must FAIL here too —
+        # final projections should never be DECIMAL-typed (cast to double).
+        return str(v)
     if isinstance(v, (datetime.datetime, datetime.date)):
         return v.isoformat()
     if isinstance(v, (list, tuple)):
