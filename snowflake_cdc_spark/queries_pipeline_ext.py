@@ -35,6 +35,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from snowflake_cdc_spark.functions.text import word_shingles
+from snowflake_cdc_spark.operators.packing import packing_stats
 from snowflake_cdc_spark.queries import _t, register
 
 _TRIGRAM_SQL = """
@@ -189,3 +190,41 @@ def q111(spark, sf_dir):
         .select("lang", F.round(F.pow("tok", F.lit(0.3)) / F.col("z"), 4).alias("weight"))
         .orderBy("lang")
     )
+
+
+@register(
+    "q114_sequence_packing",
+    """WITH d AS (SELECT doc_id,
+                         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                         CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                                   AS UBIGINT) % 16 AS BIGINT) AS bucket
+                  FROM documents),
+       c AS (SELECT bucket, n_tokens,
+                    sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS cum
+             FROM d),
+       p AS (SELECT bucket, n_tokens,
+                    CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS first_bin,
+                    CAST(floor((cum - 1) / 2048.0) AS BIGINT) AS last_bin
+             FROM c)
+       SELECT bucket,
+              count(*) AS n_docs,
+              CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+              CAST(ceil(sum(n_tokens) / 2048.0) AS BIGINT) AS n_bins,
+              CAST(sum(CASE WHEN first_bin <> last_bin THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_split_docs,
+              CAST(CAST(ceil(sum(n_tokens) / 2048.0) AS BIGINT) * 2048
+                   - sum(n_tokens) AS BIGINT) AS pad_tokens
+       FROM p GROUP BY bucket ORDER BY bucket""",
+    "sequence packing (operators/packing.py): concat-and-chunk documents "
+    "into 2048-token context windows inside 16 deterministic md5 shards — "
+    "per-shard window counts, split-document counts, and final-window "
+    "padding; the oracle rebuilds identical packing from the same prefix "
+    "sums",
+)
+def q114(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_toks")
+    )
+    return packing_stats(docs, "doc_id", "n_toks", capacity=2048, n_buckets=16)

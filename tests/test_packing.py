@@ -1,0 +1,66 @@
+"""Sequence packing (operators/packing.py): invariants on a synthetic
+corpus + determinism across partition layouts."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from snowflake_cdc_spark.operators.packing import pack_sequences, packing_stats
+
+CAP = 10
+
+
+def _docs(spark, n=40):
+    # token counts 1..13 cycling: plenty of bin-boundary crossings at CAP=10
+    rows = [(i, (i % 13) + 1) for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id long, n_toks long")
+
+
+def test_pack_invariants(spark):
+    out = pack_sequences(_docs(spark), "doc_id", "n_toks", CAP, n_buckets=4).collect()
+    assert len(out) == 40
+    by_bucket: dict[int, list] = {}
+    for r in out:
+        by_bucket.setdefault(r.bucket, []).append(r)
+    for rows in by_bucket.values():
+        rows.sort(key=lambda r: r.doc_id)
+        cum = 0
+        for r in rows:
+            # first/last bin and offset derive exactly from the prefix sum
+            assert r.first_bin == cum // CAP
+            assert r.offset_in_bin == cum % CAP
+            cum += r.n_tokens
+            assert r.last_bin == (cum - 1) // CAP
+            assert r.straddles == (r.first_bin != r.last_bin)
+
+
+def test_stats_consistency(spark):
+    docs = _docs(spark)
+    stats = {r.bucket: r for r in
+             packing_stats(docs, "doc_id", "n_toks", CAP, n_buckets=4).collect()}
+    packed = pack_sequences(docs, "doc_id", "n_toks", CAP, n_buckets=4).collect()
+    for b, s in stats.items():
+        rows = [r for r in packed if r.bucket == b]
+        total = sum(r.n_tokens for r in rows)
+        assert s.n_docs == len(rows)
+        assert s.total_tokens == total
+        assert s.n_bins == -(-total // CAP)  # ceil
+        assert s.n_split_docs == sum(1 for r in rows if r.straddles)
+        assert s.pad_tokens == s.n_bins * CAP - total
+        # every produced bin index is < n_bins
+        assert max(r.last_bin for r in rows) == s.n_bins - 1
+
+
+def test_layout_invariance(spark):
+    """Same assignment regardless of how the input is partitioned."""
+    docs = _docs(spark)
+    a = sorted(map(tuple, pack_sequences(docs, "doc_id", "n_toks", CAP).collect()))
+    b = sorted(
+        map(
+            tuple,
+            pack_sequences(
+                docs.repartition(7, F.col("n_toks")), "doc_id", "n_toks", CAP
+            ).collect(),
+        )
+    )
+    assert a == b
