@@ -24,7 +24,10 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
-RUNS = int(os.environ.get("BENCH_RUNS", "1"))
+# Default 2 runs, keep the MIN: r1 showed 3-10x one-off spikes (GC /
+# box contention) landing on arbitrary queries; the minimum of two runs
+# measures the plan, not whichever run ate the pause.
+RUNS = int(os.environ.get("BENCH_RUNS", "2"))
 
 
 def _sf_from_dir(d: str) -> float:
@@ -42,7 +45,7 @@ def time_df(fn, runs: int = RUNS) -> float:
         df = fn()
         df.write.mode("overwrite").format("noop").save()
         times.append(time.perf_counter() - t0)
-    return statistics.median(times)
+    return min(times) if runs <= 2 else statistics.median(times)
 
 
 def bench_cdc_e2e(spark) -> dict[str, float]:
@@ -126,7 +129,13 @@ def main() -> None:
             except Exception:
                 pass
     try:
-        results.update({k: round(v, 3) for k, v in bench_cdc_e2e(spark).items()})
+        e2e_runs = [bench_cdc_e2e(spark) for _ in range(min(RUNS, 2))]
+        results.update(
+            {
+                k: round(min(r[k] for r in e2e_runs), 3)
+                for k in e2e_runs[0]
+            }
+        )
     except Exception as e:
         failures["e2e_cdc"] = str(e).split("\n")[0][:200]
 
