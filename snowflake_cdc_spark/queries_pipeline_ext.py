@@ -228,3 +228,51 @@ def q114(spark, sf_dir):
         "doc_id", F.size(F.split("text", " ")).alias("n_toks")
     )
     return packing_stats(docs, "doc_id", "n_toks", capacity=2048, n_buckets=16)
+
+
+@register(
+    "q115_boilerplate_fraction",
+    f"""WITH sh AS ({_TRIGRAM_SQL}),
+       df AS (SELECT s, count(*) AS nd FROM sh GROUP BY s),
+       per AS (SELECT sh.doc_id,
+                      count(*) AS n_shingles,
+                      sum(CASE WHEN nd >= 20 THEN 1 ELSE 0 END) AS n_common
+               FROM sh JOIN df USING (s)
+               GROUP BY sh.doc_id)
+       SELECT doc_id,
+              CAST(n_shingles AS BIGINT) AS n_shingles,
+              CAST(n_common AS BIGINT) AS n_common,
+              ROUND(CAST(n_common AS DOUBLE) / n_shingles, 4) AS boilerplate_frac
+       FROM per ORDER BY doc_id""",
+    "corpus-boilerplate screen (C4-style common-span removal, doc level): "
+    "fraction of each document's distinct word-3-grams that are corpus-"
+    "common (appear in >=20 docs). Inverted index on the shingle — the "
+    "document-frequency table aggregates map-side, the join back to the "
+    "(doc, shingle) pairs shuffles on the shingle, never a doc-pair join; "
+    "hot boilerplate shingles collapse in the partial agg",
+)
+def q115(spark, sf_dir):
+    sh = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(word_shingles("text", 3)).alias("s"))
+        .distinct()
+        .persist()  # reused by the doc-frequency table and the join back
+    )
+    df_tab = sh.groupBy("s").agg(F.count(F.lit(1)).alias("nd"))
+    return (
+        sh.join(df_tab, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("nd") >= 20, 1).otherwise(0)).cast("bigint").alias("n_common"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_common",
+            F.round(F.col("n_common").cast("double") / F.col("n_shingles"), 4).alias(
+                "boilerplate_frac"
+            ),
+        )
+        .orderBy("doc_id")
+    )
