@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from snowflake_cdc_spark.sources.io import read_table
+from snowflake_cdc_spark.streaming.event_time import epoch_seconds
 from snowflake_cdc_spark.streaming.joins import interval_join
 from tests.conftest import SF_SMOKE
 
@@ -121,3 +122,80 @@ def test_interval_join_requires_range_bound(spark, tmp_path):
     assert out.isStreaming
     plan = out._jdf.queryExecution().analyzed().toString()
     assert "watermark" in plan.lower()
+
+
+def test_interval_join_checkpoint_restart(spark, tmp_path):
+    """Exactly-once across a restart with data arriving BETWEEN runs: the
+    first availableNow run drains only the early half of each side (split
+    by event time, so the second tranche is never watermark-late), then
+    the late half lands and the SAME checkpoint restarts. The union of
+    emissions equals the batch join over everything, with no pair emitted
+    twice — offsets and join state both survive the restart."""
+    ev = read_table(spark, SF_SMOKE, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    sec = epoch_seconds("ts")
+    cut = ev.select(F.percentile(sec, F.lit(0.5)).alias("p")).collect()[0]["p"]
+    early = ev.filter(sec <= cut)
+    late = ev.filter(sec > cut)
+    left_dir, right_dir = str(tmp_path / "l_rs"), str(tmp_path / "r_rs")
+
+    def land(part, mode):
+        part.filter(F.col("event_type") == "click").coalesce(2).write.mode(
+            mode
+        ).parquet(left_dir)
+        part.filter(F.col("event_type") == "purchase").coalesce(2).write.mode(
+            mode
+        ).parquet(right_dir)
+
+    land(early, "overwrite")
+
+    kwargs = dict(
+        key="user_id", left_ts="ts", right_ts="ts",
+        max_lag="30 minutes", watermark="1 hour",
+    )
+    got = []
+
+    def sink(df, _bid):
+        got.extend(df.collect())
+
+    schema = spark.read.parquet(left_dir).schema
+
+    def run_once():
+        ls = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(left_dir)
+        )
+        rs = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(right_dir)
+        )
+        out = interval_join(ls, rs, **kwargs).select(
+            F.col("l_event_id").alias("event_id"), "r_event_id"
+        )
+        q = (
+            out.writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt_rs"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_once()  # drains the early tranche only
+    n_first = len(got)
+    land(late, "append")  # second tranche arrives while the stream is down
+    run_once()  # restart from the same checkpoint
+    assert len(got) > n_first, "restart should emit the late tranche's matches"
+
+    lb, rb = spark.read.parquet(left_dir), spark.read.parquet(right_dir)
+    want = _canon(
+        interval_join(lb, rb, **kwargs)
+        .select(F.col("l_event_id").alias("event_id"), "r_event_id")
+        .collect()
+    )
+    canon = _canon(got)
+    assert len(canon) == len(set(canon)), "restart must not re-emit pairs"
+    assert canon == want
