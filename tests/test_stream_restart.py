@@ -51,3 +51,46 @@ def test_dedup_state_survives_restart(spark, tmp_path):
 
     ks = sorted(r["k"] for r in out)
     assert ks == ["a", "b", "c"], f"restored state must suppress the re-delivery: {ks}"
+
+
+def test_windowed_counts_state_survives_restart(spark, tmp_path):
+    """Windowed-aggregation state crosses a restart: rows for the SAME
+    event-time window arriving after a stop/start must merge into that
+    window's count (update mode), not start a fresh one."""
+    from snowflake_cdc_spark.streaming.windows import windowed_counts
+
+    src = str(tmp_path / "wsrc")
+    ckpt = str(tmp_path / "wckpt")
+    latest: dict = {}
+
+    def drain():
+        stream = spark.readStream.schema("i long, ts timestamp_ntz").parquet(src)
+        q = (
+            windowed_counts(stream, ts_col="ts", window="15 minutes",
+                            watermark="30 minutes")
+            .writeStream.outputMode("update")
+            .foreachBatch(
+                lambda df, _b: latest.update(
+                    {r["win_start"]: r["n"] for r in df.collect()}
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    w0 = T0.replace(minute=0)
+    batch1 = [(0, w0 + dt.timedelta(minutes=1)), (1, w0 + dt.timedelta(minutes=2))]
+    spark.createDataFrame(batch1, "i long, ts timestamp_ntz").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    drain()
+    assert latest == {w0: 2}
+
+    batch2 = [(2, w0 + dt.timedelta(minutes=3)), (3, w0 + dt.timedelta(minutes=20))]
+    spark.createDataFrame(batch2, "i long, ts timestamp_ntz").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    drain()
+    assert latest == {w0: 3, w0 + dt.timedelta(minutes=15): 1}, latest
