@@ -22,6 +22,7 @@ from snowflake_cdc_spark.operators.dedup import (
     minhash_lsh_pairs,
     simhash_near_dup_pairs,
 )
+from snowflake_cdc_spark.operators.components import connected_components
 from snowflake_cdc_spark.operators.lsh import (
     cosine_topk_bucketed,
     embedding_near_dup_pairs,
@@ -483,5 +484,62 @@ def q69(spark, sf_dir):
         .groupBy("lang")
         .applyInPandas(norm, "doc_id long, lang string, norm double")
         .select("doc_id", "lang", F.round("norm", 4).alias("norm"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q116_dedup_pipeline",
+    "WITH RECURSIVE corpus AS ("
+    + DOCS_CORPUS_SQL.split("corpus AS (", 1)[1].rsplit(")", 1)[0]
+    + "),"
+    + _SHINGLES_SQL.strip().lstrip()
+    + """,
+    mh AS (SELECT doc_id, shingles,
+                  list_transform(generate_series(0, 7), j ->
+                    list_aggregate(list_transform(shingles,
+                      s -> md5(CAST(j AS VARCHAR) || ':' || s)), 'min')) AS sig
+           FROM sh2),
+    bands AS (SELECT doc_id, shingles, b,
+                     md5(sig[4*b+1] || '|' || sig[4*b+2] || '|' || sig[4*b+3] || '|' || sig[4*b+4])
+                       AS band_val
+              FROM (SELECT doc_id, shingles, sig, unnest(generate_series(0, 1)) AS b FROM mh)),
+    cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+             FROM bands x JOIN bands y
+               ON x.b = y.b AND x.band_val = y.band_val AND x.doc_id < y.doc_id),
+    pairs AS (SELECT a, b
+              FROM (SELECT a, b,
+                           CAST(len(list_intersect(s1.hset, s2.hset)) AS DOUBLE)
+                           / CAST(len(list_distinct(list_concat(s1.hset, s2.hset))) AS DOUBLE)
+                             AS jac
+                    FROM cand JOIN sh2 s1 ON s1.doc_id = cand.a
+                              JOIN sh2 s2 ON s2.doc_id = cand.b)
+              WHERE jac >= 0.8),
+    sym AS (SELECT a AS src, b AS dst FROM pairs
+            UNION SELECT b, a FROM pairs),
+    nodes AS (SELECT DISTINCT src AS node FROM sym),
+    reach(node, r) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT reach.node, sym.dst FROM reach JOIN sym ON reach.r = sym.src),
+    comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+    SELECT node AS doc_id, component AS canonical_id
+    FROM comp WHERE node <> component ORDER BY doc_id""",
+    "the full near-dup removal pipeline as one dataflow: MinHash-LSH "
+    "candidate pairs (verified Jaccard >= 0.8) -> connected components -> "
+    "drop list mapping every non-canonical duplicate to its cluster's "
+    "min-id representative. Oracle rebuilds pairs with the q25 SQL and "
+    "clusters them with an independent recursive-CTE transitive closure",
+)
+def q116(spark, sf_dir):
+    docs = planted_docs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", k=8, bands=2, threshold=0.8)
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    comp = connected_components(edges)
+    return (
+        comp.filter(F.col("node") != F.col("component"))
+        .select(
+            F.col("node").alias("doc_id"), F.col("component").alias("canonical_id")
+        )
         .orderBy("doc_id")
     )
