@@ -276,3 +276,58 @@ def q115(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q117_quality_gate",
+    """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+                  FROM documents),
+       d AS (SELECT doc_id, source,
+                    len(ws) AS n,
+                    1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS rep,
+                    CAST(len(list_filter(ws,
+                         x -> list_contains(['the','a','of','and','is'], x)))
+                         AS DOUBLE) / len(ws) AS swr
+             FROM w),
+       g AS (SELECT source,
+                    CASE WHEN n BETWEEN 30 AND 80
+                          AND rep <= 0.55 AND swr >= 0.02
+                         THEN 1 ELSE 0 END AS keep
+             FROM d)
+       SELECT source,
+              count(*) AS n_docs,
+              CAST(sum(keep) AS BIGINT) AS n_keep,
+              ROUND(CAST(sum(keep) AS DOUBLE) / count(*), 4) AS keep_rate
+       FROM g GROUP BY source ORDER BY source""",
+    "the curation keep/drop decision as one gate: length window (30-80 "
+    "tokens) AND duplicate-token fraction <= 0.55 AND stopword ratio >= "
+    "0.02, reported as per-source keep rates — the artifact a quality "
+    "filter run hands to the mixture designer. Pure expression-level "
+    "scan + one aggregation; no joins, no Python",
+)
+def q117(spark, sf_dir):
+    ws = F.split("text", " ")
+    n = F.size(ws)
+    rep = F.lit(1.0) - F.size(F.array_distinct(ws)).cast("double") / n
+    swr = (
+        F.size(F.filter(ws, lambda x: x.isin("the", "a", "of", "and", "is"))).cast(
+            "double"
+        )
+        / n
+    )
+    keep = F.when(
+        n.between(30, 80) & (rep <= 0.55) & (swr >= 0.02), 1
+    ).otherwise(0)
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("source", keep.alias("keep"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("keep").cast("bigint").alias("n_keep"),
+            F.round(
+                F.sum("keep").cast("double") / F.count(F.lit(1)), 4
+            ).alias("keep_rate"),
+        )
+        .orderBy("source")
+    )
