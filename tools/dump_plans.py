@@ -187,7 +187,27 @@ def main() -> None:
         "reads only (event_type, props).\n"
     )
 
-    # as-of scaling probe: 20M events against 2M purchases, skewed users
+    p = plan_text(qs["q114_sequence_packing"](spark, SF))
+    n_ex = len(re.findall(r"^\(\d+\) Exchange", p, re.MULTILINE))
+    has_single_part = "SinglePartition" in p
+    sections.append(
+        f"## q114 — sequence packing has no global ordering region\n\n"
+        f"Exchanges: **{n_ex}**, SinglePartition exchange: "
+        f"**{'yes' if has_single_part else 'none'}** — the prefix sum runs "
+        "inside hash-partitioned buckets (one shuffle on the md5 shard key, "
+        "then a per-bucket window sort); a global concat order would plan a "
+        "single-partition window and serialize the corpus.\n"
+    )
+
+    p = plan_text(qs["q115_boilerplate_fraction"](spark, SF))
+    sections.append(
+        "## q115 — boilerplate screen via shingle inverted index\n\n```\n"
+        + grep(p, "partial_count", "Exchange", "Generate", max_lines=6)
+        + "\n```\nThe shingle document-frequency table partial-aggregates "
+        "before its shuffle (hot boilerplate shingles collapse map-side); the "
+        "join back to (doc, shingle) is the only data-sized exchange — no "
+        "document-pair join exists in the plan.\n"
+    )
     n_l, n_r = 20_000_000, 2_000_000
     lhs = spark.range(n_l).select(
         F.when(F.col("id") % 10 < 3, F.col("id") % 97)
