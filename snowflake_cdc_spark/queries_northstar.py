@@ -543,3 +543,40 @@ def q116(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q52b_ivf_full_probe",
+    """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+                  FROM embeddings WHERE vec_id % 100 = 0),
+       s AS (SELECT q.query_id, e.vec_id,
+                    ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe)
+                          / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                   CAST(e.embedding AS DOUBLE[])))
+                             * sqrt(list_dot_product(q.qe, q.qe))), 4) AS sim
+             FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+       r AS (SELECT query_id, vec_id, sim,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, vec_id) AS rn
+             FROM s)
+       SELECT query_id, vec_id, sim FROM r WHERE rn <= 3
+       ORDER BY query_id, vec_id""",
+    "IVF-Flat at nprobe = n_cells: every cell probed, so the index search "
+    "must return EXACTLY the brute-force top-k — the correctness anchor "
+    "that turns the approximate q52 lane into a hash-checked entry (the "
+    "oracle is plain exhaustive cosine top-3 per query). Same plan shape "
+    "as production IVF, just with the pruning disabled",
+)
+def q52b(spark, sf_dir):
+    from snowflake_cdc_spark.operators.ivf import build_ivf, ivf_search
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    idx = build_ivf(emb, n_cells=16)
+    return (
+        ivf_search(idx, queries, k=3, nprobe=16)
+        .select("query_id", "vec_id", "sim")
+        .orderBy("query_id", "vec_id")
+    )
