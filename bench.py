@@ -139,7 +139,7 @@ def main() -> None:
     except Exception as e:
         failures["e2e_cdc"] = str(e).split("\n")[0][:200]
 
-    payload = {
+    full_payload = {
         "metric": "sec_per_query_total",
         "value": round(sum(results.values()), 3),
         "unit": "sec",
@@ -150,13 +150,30 @@ def main() -> None:
         "cpus": int(CPUS),
     }
     if failures:
-        payload["failures"] = failures
-    # The driver tail-captures stdout and parses the LAST line as JSON
-    # (BENCH_r01 stored a front-truncated line -> parsed:null). Emit the
-    # payload compactly, flushed, on its own final line preceded by a
-    # newline so no earlier partial write can glue onto it.
+        full_payload["failures"] = failures
+    # Full per-query map to disk — the driver's stdout tail window is
+    # ~2000 chars and the 120+-entry map is ~4KB (BENCH_r01/r02 both
+    # stored a front-truncated line -> parsed:null). Also echo it on an
+    # EARLIER stdout line for humans reading the raw log.
+    results_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_queries.json")
+    with open(results_path, "w") as f:
+        json.dump(full_payload, f, separators=(",", ":"))
+    sys.stdout.write(json.dumps(full_payload, separators=(",", ":")) + "\n")
+    # FINAL line = summary only (a few hundred bytes, always fits the
+    # tail window). The per-query map lives in bench_queries.json.
+    summary = {
+        "metric": "sec_per_query_total",
+        "value": full_payload["value"],
+        "unit": "sec",
+        "sf": full_payload["sf"],
+        "n_queries": len(results),
+        "n_failures": len(failures),
+        "oracle_backed": full_payload["oracle_backed"],
+        "cpus": int(CPUS),
+        "results_path": "bench_queries.json",
+    }
     sys.stdout.flush()
-    sys.stdout.write("\n" + json.dumps(payload, separators=(",", ":")) + "\n")
+    sys.stdout.write("\n" + json.dumps(summary, separators=(",", ":")) + "\n")
     sys.stdout.flush()
 
 

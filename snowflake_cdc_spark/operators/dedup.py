@@ -20,6 +20,8 @@ Scale design:
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -27,6 +29,35 @@ from snowflake_cdc_spark.functions.text import word_shingles, words
 from snowflake_cdc_spark.operators.util import fan_out
 
 HEX = "0123456789abcdef"
+
+log = logging.getLogger(__name__)
+
+
+def _drop_oversized_buckets(
+    banded: DataFrame, keys: list[str], cap: int, what: str
+) -> DataFrame:
+    """Enforce a per-bucket membership ceiling on a band-bucket table.
+
+    The band self-join is O(Σ bucket²): one mega-bucket (boilerplate /
+    templated docs — the NORMAL case at 100 TB) turns it quadratic. Buckets
+    over ``cap`` are dropped with a log line (the documented recall
+    tradeoff production dedup pipelines take); everything surviving is
+    O(cap²) per bucket by construction. The oversized list is ≤ n/cap rows
+    by pigeonhole, so the anti-join side is always broadcastable."""
+    sizes = banded.groupBy(*keys).agg(F.count(F.lit(1)).alias("__bn"))
+    oversized = sizes.filter(F.col("__bn") > cap).persist()
+    stats = oversized.agg(
+        F.count(F.lit(1)).alias("nb"), F.sum("__bn").alias("nm")
+    ).head()
+    if not stats["nb"]:
+        oversized.unpersist()
+        return banded
+    log.warning(
+        "%s: dropping %d band bucket(s) over cap=%d (%d members) — "
+        "bounded-candidate tradeoff; raise bucket_cap to trade cost for recall",
+        what, stats["nb"], cap, stats["nm"],
+    )
+    return banded.join(F.broadcast(oversized.select(*keys)), keys, "left_anti")
 
 
 # --------------------------------------------------------------------------
@@ -131,6 +162,7 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     threshold: float = 0.8,
     round_to: int | None = 4,
+    bucket_cap: int | None = 10_000,
 ) -> DataFrame:
     """Near-duplicate pairs: LSH band-bucket candidates, verified with
     exact Jaccard ≥ threshold. Output (a, b, jaccard), a < b.
@@ -138,6 +170,16 @@ def minhash_lsh_pairs(
     Plan shape (the part that matters at 100 TB):
     - shingle/signature pipeline computed ONCE and persisted — a naive
       self-join would recompute it for both sides;
+    - **exact pre-collapse**: documents with identical shingle sets (the
+      boilerplate case — empty/templated docs dominating a 100 TB crawl)
+      collapse to one min-id representative BEFORE banding, so they can
+      never form a mega-bucket; their pairwise output (jaccard exactly
+      1.0 by definition) is reconstructed from group membership after
+      verification, making the collapse lossless;
+    - **bucket cap**: surviving buckets over ``bucket_cap`` members are
+      dropped with a log line (``_drop_oversized_buckets``), bounding the
+      band self-join at O(cap²) per bucket — the data-dependent quadratic
+      is gone. ``bucket_cap=None`` disables;
     - the band join carries only (id, band, band_val) — shingle arrays
       would otherwise be duplicated ×bands through the shuffle;
     - verification re-joins the persisted per-doc sets onto the (small)
@@ -168,9 +210,32 @@ def minhash_lsh_pairs(
         minhash_signature(F.col("shingles"), k).alias("sig"),
         hashed_shingle_set(F.col("shingles")).alias("hset"),
     ).persist()
-    banded = sh.select(
+
+    # exact pre-collapse on the (sorted) hashed shingle set: identical sets
+    # ⇒ identical signature AND identical verification outcome, so running
+    # LSH on one representative per set is exact, not approximate
+    set_key = F.md5(
+        F.concat_ws(",", F.transform(F.array_sort("hset"), lambda x: x.cast("string")))
+    )
+    keyed = sh.withColumn("__key", set_key)
+    grp = keyed.groupBy("__key").agg(F.min("id").alias("__rep")).persist()
+    members = (
+        keyed.select("__key", "id")
+        .join(grp, "__key")
+        .select(F.col("__rep").alias("rep"), "id")
+        .persist()
+    )
+    rep_sh = keyed.join(
+        grp.select(F.col("__rep").alias("id")), "id", "left_semi"
+    ).select("id", "sig", "hset")
+
+    banded = rep_sh.select(
         "id", F.explode(lsh_bands(F.col("sig"), bands, rows_per_band)).alias("bv")
     ).select("id", "bv.band", "bv.band_val")
+    if bucket_cap is not None:
+        banded = _drop_oversized_buckets(
+            banded, ["band", "band_val"], bucket_cap, "minhash_lsh_pairs"
+        )
 
     x, y = banded.alias("x"), banded.alias("y")
     cand = (
@@ -183,18 +248,41 @@ def minhash_lsh_pairs(
         .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
         .dropDuplicates(["a", "b"])
     )
-    sa = sh.select(F.col("id").alias("a"), F.col("hset").alias("sa"))
-    sb = sh.select(F.col("id").alias("b"), F.col("hset").alias("sb"))
+    sa = rep_sh.select(F.col("id").alias("a"), F.col("hset").alias("sa"))
+    sb = rep_sh.select(F.col("id").alias("b"), F.col("hset").alias("sb"))
     j = jaccard(F.col("sa"), F.col("sb"))
     if round_to is not None:
         j = F.round(j, round_to)
-    return (
+    rep_pairs = (
         cand.join(sa, "a")
         .join(sb, "b")
         .select("a", "b", j.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
-        .orderBy("a", "b")
     )
+
+    # expand representative pairs back to member pairs (sets identical ⇒
+    # jaccard identical), plus intra-group pairs at exactly 1.0 — disjoint
+    # by construction (cross = different groups, intra = same group)
+    ma = members.select(F.col("rep").alias("a"), F.col("id").alias("__ia"))
+    mb = members.select(F.col("rep").alias("b"), F.col("id").alias("__ib"))
+    cross = (
+        rep_pairs.join(ma, "a")
+        .join(mb, "b")
+        .select(
+            F.least("__ia", "__ib").alias("a"),
+            F.greatest("__ia", "__ib").alias("b"),
+            "jaccard",
+        )
+    )
+    u, v = members.alias("u"), members.alias("v")
+    intra = u.join(
+        v, (F.col("u.rep") == F.col("v.rep")) & (F.col("u.id") < F.col("v.id"))
+    ).select(
+        F.col("u.id").alias("a"), F.col("v.id").alias("b"), F.lit(1.0).alias("jaccard")
+    )
+    if threshold > 1.0:
+        intra = intra.filter(F.lit(False))
+    return cross.unionByName(intra).orderBy("a", "b")
 
 
 # --------------------------------------------------------------------------
@@ -243,12 +331,28 @@ def simhash_near_dup_pairs(
     id_col: str,
     text_col: str,
     max_hamming: int = 3,
+    bucket_cap: int | None = 10_000,
 ) -> DataFrame:
     """Pairs with hamming(simhash) ≤ max_hamming, found via 8-bit band
     blocking (4 bands over 32 bits; ≤3 differing bits → at least one band
-    matches exactly, so blocking loses nothing). Output (a, b, hamming)."""
-    sh = simhash32(df, id_col, text_col)
-    bands = sh.select(
+    matches exactly, so blocking loses nothing). Output (a, b, hamming).
+
+    Scale guards (round 3): documents sharing the SAME 32-bit simhash
+    (boilerplate) collapse to a min-id representative before banding —
+    lossless, since hamming is a function of the simhash alone (intra-group
+    pairs are hamming 0, cross pairs inherit the representative distance) —
+    and surviving buckets over ``bucket_cap`` are dropped with a log line,
+    bounding the band self-join at O(cap²) per bucket."""
+    sh = simhash32(df, id_col, text_col).persist()
+    grp = sh.groupBy("simhash").agg(F.min("id").alias("__rep")).persist()
+    members = (
+        sh.join(grp, "simhash")
+        .select(F.col("__rep").alias("rep"), "id", "simhash")
+        .persist()
+    )
+    reps = members.filter(F.col("id") == F.col("rep")).select("id", "simhash")
+
+    bands = reps.select(
         "id",
         "simhash",
         F.explode(
@@ -263,9 +367,13 @@ def simhash_near_dup_pairs(
             )
         ).alias("bv"),
     ).select("id", "simhash", "bv.band", "bv.band_val")
+    if bucket_cap is not None:
+        bands = _drop_oversized_buckets(
+            bands, ["band", "band_val"], bucket_cap, "simhash_near_dup_pairs"
+        )
     x, y = bands.alias("x"), bands.alias("y")
     ham = F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash")))
-    return (
+    rep_pairs = (
         x.join(
             y,
             (F.col("x.band") == F.col("y.band"))
@@ -275,8 +383,27 @@ def simhash_near_dup_pairs(
         .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"), ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["a", "b"])
-        .orderBy("a", "b")
     )
+    ma = members.select(F.col("rep").alias("a"), F.col("id").alias("__ia"))
+    mb = members.select(F.col("rep").alias("b"), F.col("id").alias("__ib"))
+    cross = (
+        rep_pairs.join(ma, "a")
+        .join(mb, "b")
+        .select(
+            F.least("__ia", "__ib").alias("a"),
+            F.greatest("__ia", "__ib").alias("b"),
+            "hamming",
+        )
+    )
+    u, v = members.alias("u"), members.alias("v")
+    intra = u.join(
+        v, (F.col("u.rep") == F.col("v.rep")) & (F.col("u.id") < F.col("v.id"))
+    ).select(
+        F.col("u.id").alias("a"),
+        F.col("v.id").alias("b"),
+        F.lit(0).cast("integer").alias("hamming"),
+    )
+    return cross.unionByName(intra).orderBy("a", "b")
 
 
 # --------------------------------------------------------------------------

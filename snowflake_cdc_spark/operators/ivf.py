@@ -107,25 +107,24 @@ def build_ivf(
         from pyspark.sql.types import IntegerType
 
         # Deterministic bounded training sample (md5-keyed, layout-invariant)
-        # WITHOUT a global sort: hash-filter to ~4× the sample size first
-        # (pure scan predicate), then sort only the surviving sliver. Taking
-        # the train_sample smallest md5 keys of the filtered set equals the
-        # global orderBy(md5).limit(train_sample) whenever the filter keeps
-        # >= train_sample rows, so results are unchanged; at 100 TB the sort
-        # input is ~4*train_sample rows instead of the whole corpus.
+        # WITHOUT a global sort and WITHOUT a sizing count() pre-pass: filter
+        # to a fixed 1/16 hash slice (md5 first hex char == '0' — a pure scan
+        # predicate), then TakeOrdered only the surviving sliver. Taking the
+        # train_sample smallest md5 keys of the slice equals the global
+        # orderBy(md5).limit(train_sample) whenever the slice holds >=
+        # train_sample rows — true for any corpus >= ~16×train_sample with
+        # overwhelming margin (binomial concentration). Only corpora small
+        # enough to fail that test pay a second (cheap, because small) full
+        # TakeOrdered pass; big corpora are sampled in a single scan.
         key = F.md5(F.col(id_col).cast("string"))
-        n_corpus = corpus.count()
         sample_src = corpus.select(id_col, vec_col)
-        if n_corpus > train_sample:
-            frac = min(1.0, 4.0 * train_sample / n_corpus)
-            bound = format(int(frac * 0xFFFFFFFF), "08x")
-            filtered = sample_src.filter(F.substring(key, 1, 8) <= bound)
-            rows = filtered.orderBy(key).limit(train_sample).collect()
-            if len(rows) < train_sample:  # pathological hash skew fallback
-                rows = sample_src.orderBy(key).limit(train_sample).collect()
-        else:
-            rows = sample_src.collect()
-            rows.sort(key=lambda r: __import__("hashlib").md5(str(r[0]).encode()).hexdigest())
+        sliced = sample_src.filter(F.substring(key, 1, 1) == F.lit("0"))
+        rows = sliced.orderBy(key).limit(train_sample).collect()
+        if len(rows) < train_sample:
+            # small corpus (or pathological hash skew): Spark-side md5 order
+            # over the full corpus — same expression as the slice path, so
+            # ordering is consistent for every id type (int/string/decimal/ts)
+            rows = sample_src.orderBy(key).limit(train_sample).collect()
         X = np.array([r[1] for r in rows], dtype=np.float64)
         C = _train_centroids(X, n_cells, seed, max_iter)
         c_sq = (C * C).sum(1)

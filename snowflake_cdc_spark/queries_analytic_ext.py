@@ -117,18 +117,37 @@ def q48(spark, sf_dir):
 
 @register(
     "q49_approx_distinct",
-    None,  # HLL sketch values are engine-specific — rows-only check
+    """SELECT l_returnflag,
+              CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+              count(*) AS n,
+              TRUE AS within_bound
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "A-family scale path: approx_count_distinct (HyperLogLog++) per group — "
-    "constant memory per group vs the exact shuffle; exactness checked "
-    "separately in tests against count_distinct within 5% rsd",
+    "constant memory per group vs the exact shuffle. Restated as a "
+    "deterministic bounded-error check (round-3): Spark emits the exact "
+    "per-group distinct count plus a boolean asserting the HLL estimate "
+    "(rsd=0.02, deterministic xxhash sketch) lands within 5% relative "
+    "error; the oracle emits the exact side + literal TRUE, so the row is "
+    "fully hash-checkable without pretending the sketch value itself is "
+    "portable across engines",
 )
 def q49(spark, sf_dir):
     return (
         _t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+            F.count_distinct("l_partkey").alias("exact_parts"),
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("__approx"),
             F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            "n",
+            (
+                F.abs(F.col("__approx") - F.col("exact_parts"))
+                <= 0.05 * F.col("exact_parts")
+            ).alias("within_bound"),
         )
         .orderBy("l_returnflag")
     )

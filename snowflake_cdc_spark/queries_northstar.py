@@ -377,20 +377,38 @@ def q34(spark, sf_dir):
 
 @register(
     "q52_ivf_ann",
-    None,  # approximate (k-means cells + nprobe) — rows-only check
+    """SELECT CAST(count(*) AS BIGINT) AS n_queries, TRUE AS recall_ok
+       FROM embeddings WHERE vec_id % 10 = 0""",
     "N3 scale path #2: IVF-Flat ANN — k-means inverted file, nprobe nearest "
-    "cells probed per query (nprobe=n_cells degenerates to exact, tested); "
-    "approximate recall → no SQL oracle",
+    "cells probed per query. Restated as a deterministic bounded-error "
+    "check (round-3): Spark runs the real ANN search (k=5, nprobe=12) AND "
+    "the exhaustive reference (nprobe=n_cells, proven ≡ brute force by "
+    "q52b's hash-matched anchor), computes recall@5, and emits "
+    "(n_queries, recall_ok := recall >= 0.9); the oracle emits the exact "
+    "query count + literal TRUE. Measured recall at sf0.01 is 0.952 over "
+    "50 queries (deterministic: seeded k-means on an md5-keyed sample — "
+    "docs/ANN.md), so the 0.9 bound holds with margin without faking "
+    "determinism of the sketch itself",
 )
 def q52(spark, sf_dir):
     from snowflake_cdc_spark.operators.ivf import build_ivf, ivf_search
 
     emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+    queries = emb.filter(F.col("vec_id") % 10 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     idx = build_ivf(emb, n_cells=16)
-    return ivf_search(idx, queries, k=3, nprobe=4)
+    idx.corpus = idx.corpus.persist()  # two searches share one assignment pass
+    exact = ivf_search(idx, queries, k=5, nprobe=16).select(
+        "query_id", F.col("vec_id").alias("nn_id")
+    )
+    ann = ivf_search(idx, queries, k=5, nprobe=12).select(
+        "query_id", F.col("vec_id").alias("nn_id"), F.lit(1).alias("__hit")
+    )
+    return exact.join(ann, ["query_id", "nn_id"], "left").agg(
+        F.count_distinct("query_id").alias("n_queries"),
+        (F.count("__hit") >= 0.9 * F.count(F.lit(1))).alias("recall_ok"),
+    )
 
 
 @register(
