@@ -29,3 +29,17 @@ def l2_norm(a: Column | str) -> Column:
 
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def round_half_up(col: Column, scale: int) -> Column:
+    """Tie-robust canonical rounding for TRUE-ratio doubles (round-3
+    determinism amendment, COVERAGE.md): ``floor(x * 10^s + 0.5) / 10^s``
+    — every step is plain IEEE double arithmetic, so Spark and any SQL
+    oracle computing the token-identical expression produce bit-identical
+    results even at representation-boundary ties. Engine-native ROUND is
+    NOT portable there: Spark rounds the shortest decimal representation
+    (BigDecimal.valueOf, HALF_UP) while e.g. DuckDB scales the raw binary
+    double and std::round()s it. Non-negative inputs only (half-up via
+    +0.5/floor)."""
+    factor = F.lit(float(10 ** scale))
+    return F.floor(col * factor + F.lit(0.5)) / factor

@@ -51,13 +51,72 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
-def decode_media(payload: bytes, fmt: str):  # pragma: no cover - stub
-    """STUB: real decode needs PIL / libav, not present in this container.
-    The Spark-side plumbing around it (schema, Arrow batching, partition
-    mapping) is the deliverable; swap this body for the real codec."""
+def _have_pil() -> bool:
+    import importlib.util
+
+    return importlib.util.find_spec("PIL") is not None
+
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mode", T.StringType()),
+        T.StructField("pixels", T.BinaryType()),
+    ]
+)
+
+
+def decode_media(payload: bytes, fmt: str) -> dict:
+    """Image decode: REAL whenever pillow is importable (checked at call
+    time via ``find_spec('PIL')``), a clearly-marked NotImplementedError
+    otherwise — this container ships no codec libraries, which is an
+    environment gap, not a code one. Audio/video (wav/libav) stay stubbed
+    until their libs exist. Returns dict(width, height, mode, pixels)."""
+    if fmt in ("png", "jpeg", "jpg", "bmp", "gif") and _have_pil():
+        import io
+
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(payload))
+        img.load()
+        return {
+            "width": img.width,
+            "height": img.height,
+            "mode": img.mode,
+            "pixels": img.tobytes(),
+        }
     raise NotImplementedError(
-        "media decode requires an image/audio library not available here"
+        f"media decode for format {fmt!r} requires a codec library "
+        "(pillow for images) not available in this environment"
     )
+
+
+def decode_images(media: DataFrame) -> DataFrame:
+    """Arrow-batched decode stage over the binary payload column —
+    ``mapInPandas``, one Python worker per partition, emitting fixed
+    columns (width/height/mode/raw pixels). Requires pillow; the Spark
+    plumbing is identical either way and is what the parity tests pin."""
+    from snowflake_cdc_spark.operators.util import fan_out
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [
+                decode_media(bytes(p), m["format"])
+                for p, m in zip(pdf["payload"], pdf["meta"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": [d["width"] for d in decoded],
+                    "height": [d["height"] for d in decoded],
+                    "mode": [d["mode"] for d in decoded],
+                    "pixels": [d["pixels"] for d in decoded],
+                }
+            )
+
+    return fan_out(media).mapInPandas(run, schema=DECODED_SCHEMA)
 
 
 def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:

@@ -74,7 +74,16 @@ def pack_sequences(
             "bucket",
             "n_tokens",
             F.floor((F.col("cum") - F.col("n_tokens")) / capacity).alias("first_bin"),
-            F.floor((F.col("cum") - 1) / capacity).alias("last_bin"),
+            # greatest() guards the zero-token edge: with n_tokens = 0 and
+            # cum landing exactly on a capacity boundary, floor((cum-1)/cap)
+            # is first_bin - 1, which would flag a spurious straddle; an
+            # empty document occupies (degenerately) its start window. For
+            # n_tokens >= 1 the floor term is always >= first_bin, so the
+            # guard is an identity there.
+            F.greatest(
+                F.floor((F.col("cum") - F.col("n_tokens")) / capacity),
+                F.floor((F.col("cum") - 1) / capacity),
+            ).alias("last_bin"),
             ((F.col("cum") - F.col("n_tokens")) % capacity).alias("offset_in_bin"),
         )
         .withColumn("straddles", F.col("first_bin") != F.col("last_bin"))

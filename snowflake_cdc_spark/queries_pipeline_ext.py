@@ -17,8 +17,11 @@ of Upsolver/snowflake-cdc's data-prep surface, SURVEY.md §2.8):
 - q111: temperature resampling weights w_l ∝ tokens_l^alpha (the
   multilingual sampling correction, alpha=0.3).
 
-Determinism: ratios divide exact BIGINT counts in double then ROUND 4;
-both engines evaluate identical IEEE expressions on identical integers.
+Determinism: ratios divide exact BIGINT counts in double; both engines
+evaluate identical IEEE expressions on identical integers. TRUE-ratio
+outputs (q115 boilerplate_frac, q117 keep_rate) use the round-3
+tie-robust canonical form floor(x*10^4 + 0.5)/10^4 token-identically on
+both engines instead of engine ROUND — see COVERAGE.md round-3 contract.
 Tokenization is the fixtures' single-space convention on both sides.
 
 Scale notes: q108's shingle join shuffles on the shingle value — the
@@ -35,6 +38,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from snowflake_cdc_spark.functions.text import word_shingles
+from snowflake_cdc_spark.functions.vectors import round_half_up
 from snowflake_cdc_spark.operators.packing import packing_stats
 from snowflake_cdc_spark.queries import _t, register
 
@@ -70,8 +74,13 @@ def q108(spark, sf_dir):
     )
     bench = sh.filter(F.col("source") == "src0").select("s").distinct()
     train = sh.filter(F.col("source") != "src0").select("doc_id", "s")
+    # benchmark shingle sets are small by definition (the eval slice) and
+    # the train shingle stream is skewed (boilerplate shingles) — broadcast
+    # the bench side so the train side never shuffles on `s`; asserted in
+    # the physical plan by tests/test_bucketing.py::
+    # test_contamination_bench_side_is_broadcast
     return (
-        train.join(bench, "s")
+        train.join(F.broadcast(bench), "s")
         .groupBy("doc_id")
         .agg(F.count_distinct("s").alias("n_shared"))
         .filter(F.col("n_shared") >= 5)
@@ -206,7 +215,8 @@ def q111(spark, sf_dir):
              FROM d),
        p AS (SELECT bucket, n_tokens,
                     CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS first_bin,
-                    CAST(floor((cum - 1) / 2048.0) AS BIGINT) AS last_bin
+                    CAST(greatest(floor((cum - n_tokens) / 2048.0),
+                                  floor((cum - 1) / 2048.0)) AS BIGINT) AS last_bin
              FROM c)
        SELECT bucket,
               count(*) AS n_docs,
@@ -242,7 +252,8 @@ def q114(spark, sf_dir):
        SELECT doc_id,
               CAST(n_shingles AS BIGINT) AS n_shingles,
               CAST(n_common AS BIGINT) AS n_common,
-              ROUND(CAST(n_common AS DOUBLE) / n_shingles, 4) AS boilerplate_frac
+              floor(CAST(n_common AS DOUBLE) / n_shingles * 10000.0 + 0.5)
+                / 10000.0 AS boilerplate_frac
        FROM per ORDER BY doc_id""",
     "corpus-boilerplate screen (C4-style common-span removal, doc level): "
     "fraction of each document's distinct word-3-grams that are corpus-"
@@ -270,9 +281,11 @@ def q115(spark, sf_dir):
             "doc_id",
             "n_shingles",
             "n_common",
-            F.round(F.col("n_common").cast("double") / F.col("n_shingles"), 4).alias(
-                "boilerplate_frac"
-            ),
+            # true-ratio output: tie-robust canonical rounding (identical
+            # IEEE expression on both engines) instead of engine ROUND
+            round_half_up(
+                F.col("n_common").cast("double") / F.col("n_shingles"), 4
+            ).alias("boilerplate_frac"),
         )
         .orderBy("doc_id")
     )
@@ -297,7 +310,8 @@ def q115(spark, sf_dir):
        SELECT source,
               count(*) AS n_docs,
               CAST(sum(keep) AS BIGINT) AS n_keep,
-              ROUND(CAST(sum(keep) AS DOUBLE) / count(*), 4) AS keep_rate
+              floor(CAST(sum(keep) AS DOUBLE) / count(*) * 10000.0 + 0.5)
+                / 10000.0 AS keep_rate
        FROM g GROUP BY source ORDER BY source""",
     "the curation keep/drop decision as one gate: length window (30-80 "
     "tokens) AND duplicate-token fraction <= 0.55 AND stopword ratio >= "
@@ -325,7 +339,7 @@ def q117(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("keep").cast("bigint").alias("n_keep"),
-            F.round(
+            round_half_up(
                 F.sum("keep").cast("double") / F.count(F.lit(1)), 4
             ).alias("keep_rate"),
         )

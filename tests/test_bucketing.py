@@ -57,3 +57,23 @@ def test_bucketed_aggregation_has_no_shuffle(spark, bucketed_tables):
     _, rt = bucketed_tables
     agg = spark.table(rt).groupBy("o_orderkey").agg(F.sum("l_quantity").alias("q"))
     assert shuffle_exchanges_in_plan(agg) == 0, "group-by on bucket key must not shuffle"
+
+
+def test_contamination_bench_side_is_broadcast(spark):
+    """q108 decontamination (round-3 plan assertion): the benchmark
+    shingle set must reach the overlap join as a broadcast build, so the
+    (skewed — boilerplate shingles) train stream is never shuffled on the
+    shingle key; its only shuffle is the well-distributed doc_id groupBy."""
+    import io
+    from contextlib import redirect_stdout
+
+    from snowflake_cdc_spark.queries import REGISTRY, _load_extended
+
+    _load_extended()
+    df = REGISTRY["q108_contamination"].spark_fn(spark, SF_SMOKE)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

@@ -73,3 +73,44 @@ def test_dedup_stream_batch_and_stream_agree(spark, tmp_path):
     )
     q.awaitTermination(300)
     assert sum(counts) == batch  # stream dedup state matches global dedup
+
+
+def test_decode_stub_raises_without_codec_lib():
+    """Without pillow, decode_media must fail loudly with the documented
+    NotImplementedError — never silently fake a decode (round-3: the stub
+    is env-gated, not hardcoded)."""
+    import pytest
+
+    from snowflake_cdc_spark.operators.multimodal import _have_pil, decode_media
+
+    if _have_pil():
+        pytest.skip("pillow installed here — the real-decode test below covers this")
+    with pytest.raises(NotImplementedError, match="pillow"):
+        decode_media(b"\x89PNG\r\n\x1a\n" + b"\0" * 16, "png")
+
+
+def test_decode_images_real_when_pillow_present(spark):
+    """With pillow installed, decode_media/decode_images run a TRUE decode:
+    a generated 3x2 RGB PNG round-trips through the mapInPandas stage with
+    exact pixel bytes. Skipped (visibly) where pillow is absent."""
+    import pytest
+
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    from snowflake_cdc_spark.operators.multimodal import decode_images
+
+    img = Image.new("RGB", (3, 2))
+    img.putdata([(r, g, 7) for r, g in [(0, 1), (2, 3), (4, 5), (6, 7), (8, 9), (10, 11)]])
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    media = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue()), ("image", "png", 3, 2, None))],
+        "media_id long, payload binary, "
+        "meta struct<media_type:string,format:string,width:int,height:int,duration_ms:bigint>",
+    )
+    row = decode_images(media).collect()[0]
+    assert (row.width, row.height, row.mode) == (3, 2, "RGB")
+    assert bytes(row.pixels) == img.tobytes()
