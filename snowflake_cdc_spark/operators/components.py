@@ -38,18 +38,43 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 25,
     algorithm: str = "label",
+    probe_iter: int = 4,
 ) -> DataFrame:
     """Return (node, component) with component = min node id reachable.
 
     ``edges`` is undirected input (each pair listed once is enough).
     Deterministic: labels are ids, min is total — same result on any
-    partitioning or iteration interleaving. ``algorithm``: "label"
-    (min-label propagation, O(diameter) rounds, cheapest per round —
-    right for shallow dedup graphs) or "star" (large-star/small-star,
-    O(log diameter) rounds — right for deep/unknown graphs).
+    partitioning, iteration interleaving, OR algorithm choice (all lanes
+    converge to the component minimum). ``algorithm``:
+
+    - ``"label"`` — min-label propagation, O(diameter) rounds, cheapest
+      per round; right for shallow dedup graphs.
+    - ``"star"`` — large-star/small-star, O(log diameter) rounds; right
+      for deep/unknown graphs.
+    - ``"auto"`` (round-3) — probe with label propagation for
+      ``probe_iter`` rounds; if the fixpoint isn't reached the cluster
+      depth exceeds the typical near-dup regime (pairs/cliques/short
+      chains), so restart on the O(log d) star lane. The probe costs
+      ``probe_iter`` cheap rounds, bounded regardless of graph shape —
+      the failure mode it removes is label propagation grinding
+      O(diameter) rounds on an adversarial chain (q118 benches exactly
+      that).
     """
     if algorithm == "star":
         return connected_components_star(edges, src=src, dst=dst, max_iter=max_iter)
+    if algorithm == "auto":
+        labels, converged = _label_prop(edges, src, dst, probe_iter)
+        if converged:
+            return labels
+        return connected_components_star(edges, src=src, dst=dst, max_iter=max_iter)
+    labels, _ = _label_prop(edges, src, dst, max_iter)
+    return labels
+
+
+def _label_prop(
+    edges: DataFrame, src: str, dst: str, max_iter: int
+) -> tuple[DataFrame, bool]:
+    """Min-label propagation; returns (labels, reached_fixpoint)."""
     # Symmetrize once and pre-hash-partition on the probe key: the cached
     # InMemoryTableScan reports its outputPartitioning, so the per-round
     # join re-shuffles only the (small) label side, never the edge list.
@@ -74,6 +99,7 @@ def connected_components(
         F.sum(F.col("label").cast("decimal(38,0)"))
     ).collect()[0][0]
     prev_sum = _sum(labels)
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.a == labels.node)
@@ -92,10 +118,11 @@ def connected_components(
         )
         cur_sum = _sum(labels)
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
     sym.unpersist()
-    return labels.select("node", F.col("label").alias("component"))
+    return labels.select("node", F.col("label").alias("component")), converged
 
 
 def _large_star(sym: DataFrame) -> DataFrame:
@@ -169,7 +196,14 @@ def connected_components_star(
     prev = _fp(e)
     for _ in range(max_iter):
         sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        e = _small_star(_large_star(sym).distinct()).distinct().localCheckpoint()
+        # lazy checkpoint: the fingerprint aggregation right below is the
+        # action that materializes it — one job per round instead of two
+        # (eager checkpoint + separate scan), same lineage truncation
+        e = (
+            _small_star(_large_star(sym).distinct())
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
         cur = _fp(e)
         if cur == prev:
             break

@@ -16,6 +16,19 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     parallelizes. No-op when the input is already wide enough (at real
     scale, a 100 TB scan has thousands of partitions and skips this)."""
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # Cheap wide-input short-circuit first (round 3): file count is pure
+    # scan metadata — `df.rdd.getNumPartitions()` would force full plan
+    # analysis through the RDD bridge on every call. A 100 TB input has
+    # thousands of files and exits here without planning anything. The
+    # exact partition probe only runs for few-file inputs (where a file
+    # may still split into many partitions and repartition would wrongly
+    # NARROW them) — and for exactly those small inputs the bridge is
+    # cheap.
+    try:
+        if len(df.inputFiles()) >= target:
+            return df
+    except Exception:
+        pass
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)

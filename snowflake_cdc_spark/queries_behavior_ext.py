@@ -268,3 +268,33 @@ def q102(spark, sf_dir):
         nxt, (docs.doc_id == nxt.prev_id) & (docs.lang == nxt.lang_b)
     ).select(F.col("doc_id").alias("src"), "dst")
     return connected_components(edges).orderBy("node")
+
+
+@register(
+    "q118_deep_chain_components",
+    """WITH r AS (SELECT row_number() OVER (ORDER BY o_orderkey) AS rn
+                  FROM orders)
+       SELECT CAST(rn AS BIGINT) AS node, CAST(1 AS BIGINT) AS component
+       FROM r WHERE rn <= 8192 ORDER BY node""",
+    "adversarial connected-components stress (round-3 stretch): one "
+    "single chain of up to 8192 nodes — diameter = node count, the worst "
+    "case for O(diameter) label propagation (8k rounds) and exactly "
+    "where the Kiveris large-star/small-star lane's O(log d) bound earns "
+    "its keep (~15 rounds). algorithm='auto' probes with label-prop, "
+    "detects non-convergence, and switches to star. The expected result "
+    "of a chain is closed-form (every node joins component 1), so the "
+    "oracle is exact without a recursive CTE",
+)
+def q118(spark, sf_dir):
+    nodes = (
+        _t(spark, sf_dir, "orders")
+        .select(F.row_number().over(Window.orderBy("o_orderkey")).alias("rn"))
+        .filter(F.col("rn") <= 8192)
+    )
+    edges = nodes.filter(F.col("rn") > 1).select(
+        (F.col("rn") - 1).alias("src"), F.col("rn").alias("dst")
+    )
+    return connected_components(edges, algorithm="auto").select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("component").cast("bigint").alias("component"),
+    ).orderBy("node")

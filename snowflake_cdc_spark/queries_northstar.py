@@ -413,16 +413,46 @@ def q52(spark, sf_dir):
 
 @register(
     "q35_ann_bucketed",
-    None,  # approximate by construction — rows-only check
-    "N3 scale path: sign-bucket ANN join (corpus ⋈ queries on LSH cell, no cross "
-    "product); approximate recall → no SQL oracle",
+    """WITH b AS (
+         SELECT vec_id, embedding,
+                (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+              + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+              + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+              + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)
+              + (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END)
+              + (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END) AS bucket
+         FROM embeddings),
+       q AS (SELECT vec_id AS query_id, embedding AS qv, bucket
+             FROM b WHERE vec_id % 100 = 0),
+       s AS (SELECT q.query_id, c.vec_id,
+                    ROUND(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[]))
+                          / (sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                                   CAST(c.embedding AS DOUBLE[])))
+                             * sqrt(list_dot_product(CAST(q.qv AS DOUBLE[]),
+                                                     CAST(q.qv AS DOUBLE[])))), 4) AS sim
+             FROM b c JOIN q USING (bucket)
+             WHERE c.vec_id <> q.query_id),
+       r AS (SELECT query_id, vec_id, sim,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, vec_id) AS rn
+             FROM s)
+       SELECT query_id, vec_id, sim FROM r WHERE rn <= 3
+       ORDER BY query_id, vec_id""",
+    "N3 scale path: sign-bucket ANN join (corpus ⋈ queries on LSH cell, no "
+    "cross product). Round-3: fully hash-checked — the operator is "
+    "deterministic relative to its own spec (exact top-k within the "
+    "query's sign bucket), and the oracle rebuilds the identical bucket "
+    "restriction + cosine + rank in SQL; 'approximate vs true ANN' never "
+    "meant 'uncheckable'",
 )
 def q35(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return cosine_topk_bucketed(emb, queries, k=3, dims=6)
+    return cosine_topk_bucketed(emb, queries, k=3, dims=6).orderBy(
+        "query_id", "vec_id"
+    )
 
 
 # --------------------------------------------------------------------------
@@ -553,7 +583,9 @@ def q116(spark, sf_dir):
     docs = planted_docs(spark, sf_dir)
     pairs = minhash_lsh_pairs(docs, "doc_id", "text", k=8, bands=2, threshold=0.8)
     edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-    comp = connected_components(edges)
+    # auto: label-prop probe (near-dup clusters are shallow) with an
+    # O(log d) star fallback should an adversarial deep cluster appear
+    comp = connected_components(edges, algorithm="auto")
     return (
         comp.filter(F.col("node") != F.col("component"))
         .select(

@@ -73,3 +73,38 @@ def test_star_matches_label_on_random_graph(spark):
     assert _components(spark, edges, algorithm="star") == _components(
         spark, edges, algorithm="label"
     )
+
+
+def test_auto_uses_probe_then_star_on_deep_chain(spark):
+    """algorithm='auto' must return CORRECT components on a graph whose
+    diameter far exceeds the label-prop probe budget — i.e. the star
+    fallback actually runs (plain label-prop capped at probe depth would
+    return unconverged labels)."""
+    from snowflake_cdc_spark.operators.components import (
+        _label_prop,
+        connected_components,
+    )
+
+    n = 400  # chain diameter 400 >> probe_iter
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], "src long, dst long"
+    )
+    out = connected_components(edges, algorithm="auto", probe_iter=3).collect()
+    assert len(out) == n
+    assert all(r.component == 1 for r in out)
+    # sanity of the probe premise: label-prop at probe depth is NOT done
+    _, converged = _label_prop(edges, "src", "dst", 3)
+    assert not converged
+
+
+def test_auto_stays_on_label_prop_for_shallow_graphs(spark):
+    """Shallow (pair/triangle) graphs — the near-dup regime — converge
+    inside the probe, and auto's answer matches both dedicated lanes."""
+    from snowflake_cdc_spark.operators.components import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 20)], "src long, dst long"
+    )
+    want = sorted(map(tuple, connected_components(edges, algorithm="star").collect()))
+    got = sorted(map(tuple, connected_components(edges, algorithm="auto").collect()))
+    assert got == want == [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (20, 20), (21, 20)]

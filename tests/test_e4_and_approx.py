@@ -35,10 +35,11 @@ def test_e4_extra_key_column(spark, tmp_path):
 
 
 def test_approx_distinct_within_rsd(spark):
-    got = {
-        r.l_returnflag: r.approx_parts
-        for r in REGISTRY["q49_approx_distinct"].spark_fn(spark, SF_SMOKE).collect()
-    }
+    """q49's round-3 bounded-error form computes the HLL-vs-exact check
+    IN the plan: every group must report within_bound=True, and the
+    exact_parts column must equal an independent count_distinct."""
+    rows = REGISTRY["q49_approx_distinct"].spark_fn(spark, SF_SMOKE).collect()
+    assert rows and all(r.within_bound for r in rows)
     exact = {
         r.l_returnflag: r.n
         for r in read_table(spark, SF_SMOKE, "lineitem")
@@ -46,5 +47,4 @@ def test_approx_distinct_within_rsd(spark):
         .agg(F.count_distinct("l_partkey").alias("n"))
         .collect()
     }
-    for flag, n in exact.items():
-        assert abs(got[flag] - n) / n < 0.05, (flag, got[flag], n)
+    assert {r.l_returnflag: r.exact_parts for r in rows} == exact
