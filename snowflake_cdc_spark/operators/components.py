@@ -114,7 +114,9 @@ def _label_prop(
                     F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint()
+            # lazy: the fixpoint sum right below materializes it — one job
+            # per round instead of eager-checkpoint + separate scan
+            .localCheckpoint(eager=False)
         )
         cur_sum = _sum(labels)
         if cur_sum == prev_sum:

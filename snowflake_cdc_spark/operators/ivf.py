@@ -145,6 +145,70 @@ def build_ivf(
     return IvfIndex(centroids=centroids, corpus=assigned, id_col=id_col, vec_col=vec_col)
 
 
+def ivf_recall_check(
+    index: IvfIndex,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 12,
+    min_recall: float = 0.9,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """One-row (n_queries, recall_ok): recall@k of the nprobe-pruned ANN
+    search against the exhaustive top-k, in a SINGLE corpus×queries pass.
+
+    The naive form runs ``ivf_search`` twice (nprobe and full-probe) and
+    joins — two scoring passes and two sorts over |corpus|×|queries|
+    rows. Here every candidate is scored once and flagged ``in_probe``
+    (its cell is among the query's nprobe nearest); ONE window sort then
+    yields both ranks: ``row_number`` = exhaustive rank, and a running
+    sum of the flag = the candidate's rank *within the probed subset*,
+    which is exactly the rank ``ivf_search`` would assign (same
+    (sim desc, id) order, same rounding, same self-exclusion). A pair is
+    an ANN hit iff flagged and subset-rank <= k. Both window functions
+    share the sort — Spark plans one Sort + stacked Window ops."""
+    scored_cells = queries.crossJoin(F.broadcast(index.centroids)).select(
+        query_id,
+        "cell_id",
+        cosine_similarity(F.col(query_vec), F.col("centroid")).alias("__csim"),
+    )
+    w_cells = Window.partitionBy(query_id).orderBy(F.desc("__csim"), F.col("cell_id"))
+    probes = (
+        scored_cells.withColumn("__rn", F.row_number().over(w_cells))
+        .filter(F.col("__rn") <= nprobe)
+        .select(query_id, "cell_id", F.lit(1).alias("__in_probe"))
+    )
+    cand = (
+        index.corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col(index.id_col) != F.col(query_id))
+        .join(F.broadcast(probes), [query_id, "cell_id"], "left")
+        .select(
+            query_id,
+            index.id_col,
+            F.round(
+                cosine_similarity(F.col(index.vec_col), F.col(query_vec)), 4
+            ).alias("sim"),
+            F.coalesce(F.col("__in_probe"), F.lit(0)).alias("__in_probe"),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.col(index.id_col))
+    ranked = cand.select(
+        query_id,
+        "__in_probe",
+        F.row_number().over(w).alias("__exact_rn"),
+        F.sum("__in_probe")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("__ann_rn"),
+    ).filter(F.col("__exact_rn") <= k)
+    hit = (F.col("__in_probe") == 1) & (F.col("__ann_rn") <= k)
+    return ranked.agg(
+        F.count_distinct(query_id).alias("n_queries"),
+        (
+            F.sum(hit.cast("long")) >= F.lit(min_recall) * F.count(F.lit(1))
+        ).alias("recall_ok"),
+    )
+
+
 def ivf_search(
     index: IvfIndex,
     queries: DataFrame,

@@ -391,24 +391,16 @@ def q34(spark, sf_dir):
     "determinism of the sketch itself",
 )
 def q52(spark, sf_dir):
-    from snowflake_cdc_spark.operators.ivf import build_ivf, ivf_search
+    from snowflake_cdc_spark.operators.ivf import build_ivf, ivf_recall_check
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 10 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     idx = build_ivf(emb, n_cells=16)
-    idx.corpus = idx.corpus.persist()  # two searches share one assignment pass
-    exact = ivf_search(idx, queries, k=5, nprobe=16).select(
-        "query_id", F.col("vec_id").alias("nn_id")
-    )
-    ann = ivf_search(idx, queries, k=5, nprobe=12).select(
-        "query_id", F.col("vec_id").alias("nn_id"), F.lit(1).alias("__hit")
-    )
-    return exact.join(ann, ["query_id", "nn_id"], "left").agg(
-        F.count_distinct("query_id").alias("n_queries"),
-        (F.count("__hit") >= 0.9 * F.count(F.lit(1))).alias("recall_ok"),
-    )
+    # single-pass recall check: candidates scored once, one shared window
+    # sort yields both the exhaustive and the probed-subset rank
+    return ivf_recall_check(idx, queries, k=5, nprobe=12, min_recall=0.9)
 
 
 @register(
