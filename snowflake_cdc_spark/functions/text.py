@@ -145,3 +145,36 @@ def fingerprint(col: Column | str) -> Column:
     """Document fingerprint: md5 over whitespace-normalized lowercased
     content — stable across engines and whitespace variants."""
     return F.md5(F.lower(F.regexp_replace(_c(col), r"\s+", " ")))
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction (round 3 — the scrubbing pass every public-crawl
+# training pipeline runs before anything else touches the text). Patterns are
+# deliberately restricted to the regex subset Java (Spark) and RE2 (DuckDB)
+# evaluate identically — character classes, bounded quantifiers, \b — so the
+# operator stays oracle-checkable; no lookarounds.
+# ---------------------------------------------------------------------------
+
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?\d{3}[- ]\d{3}[- ]\d{4}",
+    "ipv4": r"\b(\d{1,3}\.){3}\d{1,3}\b",
+}
+
+
+def pii_counts(col: Column | str) -> dict[str, Column]:
+    """Per-kind match counts (expression-level; JVM regex engine)."""
+    return {
+        kind: F.size(F.regexp_extract_all(_c(col), F.lit(pat), F.lit(0)))
+        for kind, pat in PII_PATTERNS.items()
+    }
+
+
+def scrub_pii(col: Column | str) -> Column:
+    """Redact every PII match with a typed placeholder (``<EMAIL>`` etc.).
+    Replacement order is the fixed dict order on both engines; the
+    patterns are format-disjoint so order cannot change the result."""
+    out = _c(col)
+    for kind, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"<{kind.upper()}>")
+    return out

@@ -345,3 +345,68 @@ def q117(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@register(
+    "q119_pii_scrub",
+    """WITH planted AS (
+         SELECT doc_id, source,
+                text
+                || CASE WHEN doc_id % 5 = 0
+                        THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                        ELSE '' END
+                || CASE WHEN doc_id % 7 = 0
+                        THEN ' call 555-123-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+                        ELSE '' END
+                || CASE WHEN doc_id % 11 = 0
+                        THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+                        ELSE '' END AS text
+         FROM documents)
+       SELECT doc_id,
+              CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_email,
+              CAST(len(regexp_extract_all(text, '\\+?\\d{3}[- ]\\d{3}[- ]\\d{4}')) AS INT) AS n_phone,
+              CAST(len(regexp_extract_all(text, '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b')) AS INT) AS n_ipv4,
+              md5(regexp_replace(regexp_replace(regexp_replace(text,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                    '\\+?\\d{3}[- ]\\d{3}[- ]\\d{4}', '<PHONE>', 'g'),
+                    '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b', '<IPV4>', 'g')) AS scrubbed_md5
+       FROM planted ORDER BY doc_id""",
+    "PII detection + redaction (functions/text.py::pii_counts/scrub_pii) — "
+    "the scrubbing pass a public-crawl training pipeline runs first. "
+    "Deterministic PII is planted in-query (emails/phones/IPs keyed on "
+    "doc_id) so the operator is tested against real positives AND the "
+    "unplanted corpus as negatives; the oracle replants identically and "
+    "checks both the per-kind match counts and the md5 of the fully "
+    "redacted text. Pure expression-level regexes in the Java/RE2 common "
+    "subset — no Python, no shuffle beyond the scan",
+)
+def q119(spark, sf_dir):
+    from snowflake_cdc_spark.functions.text import pii_counts, scrub_pii
+
+    d = F.col("doc_id")
+    planted = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                d % 5 == 0,
+                F.concat(F.lit(" contact user"), d.cast("string"), F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 7 == 0,
+                F.concat(F.lit(" call 555-123-"), (d % 9000 + 1000).cast("string")),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 11 == 0,
+                F.concat(F.lit(" from 10.0."), (d % 256).cast("string"), F.lit(".7")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    counts = pii_counts("text")
+    return planted.select(
+        "doc_id",
+        counts["email"].cast("int").alias("n_email"),
+        counts["phone"].cast("int").alias("n_phone"),
+        counts["ipv4"].cast("int").alias("n_ipv4"),
+        F.md5(scrub_pii("text")).alias("scrubbed_md5"),
+    ).orderBy("doc_id")

@@ -32,8 +32,16 @@ def land_raw_zone(
     path: str,
     seq_bucket_size: int = 1_000_000,
     mode: str = "append",
+    fmt: str = "parquet",
 ) -> None:
-    """Write envelope rows hive-partitioned by (table, seq bucket)."""
+    """Write envelope rows hive-partitioned by (table, seq bucket).
+
+    ``fmt``: any nested-capable Spark file format — ``parquet``
+    (default), ``orc``, ``json``. The envelope is a nested struct, so
+    flat-only formats (csv) are rejected by Spark itself. Partition
+    layout — the part that carries the 100 TB pruning contract — is
+    format-independent.
+    """
     (
         events_nested.withColumn(
             "p_table",
@@ -44,7 +52,8 @@ def land_raw_zone(
         )
         .write.mode(mode)
         .partitionBy("p_table", "p_seq_bucket")
-        .parquet(path)
+        .format(fmt)
+        .save(path)
     )
 
 
@@ -54,14 +63,22 @@ def read_raw_zone(
     table: str | None = None,
     min_seq: int | None = None,
     seq_bucket_size: int = 1_000_000,
+    fmt: str = "parquet",
+    schema=None,
 ) -> DataFrame:
     """Read the landed zone with partition-level pruning applied.
 
     ``table`` prunes to one table's directories; ``min_seq`` prunes seq
     buckets below the replay horizon (the residual row-level ``seq >=
     min_seq`` filter still applies inside the oldest kept bucket).
+    ``schema`` is required for schema-less formats (json) to round-trip
+    envelope types (timestamps, longs) exactly; self-describing formats
+    (parquet/orc) ignore it.
     """
-    df = spark.read.parquet(path)
+    reader = spark.read
+    if schema is not None and fmt == "json":
+        reader = reader.schema(schema)
+    df = reader.format(fmt).load(path)
     if table is not None:
         df = df.filter(
             F.col("p_table") == F.regexp_replace(F.lit(table), r"[^A-Za-z0-9_.]", "_")

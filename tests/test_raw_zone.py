@@ -97,3 +97,25 @@ def test_partitioned_backfill_matches_unpartitioned(spark, tmp_path):
     ca = sorted(tuple(r) for r in a.select(sorted(a.columns)).collect())
     cb = sorted(tuple(r) for r in b.select(sorted(b.columns)).collect())
     assert ca == cb
+
+
+def test_landing_format_parity(spark, tmp_path):
+    """Round-3: the zone layout (and everything downstream of it) is
+    format-independent — ORC and schema-supplied JSON landings round-trip
+    the envelope byte-for-byte against the parquet landing, including
+    nested struct fields, timestamps, and the pruning contract."""
+    events = cdc_events_nested(spark, SF_SMOKE)
+
+    def landed_rows(fmt):
+        zone = str(tmp_path / f"raw_{fmt}")
+        land_raw_zone(events, zone, seq_bucket_size=500, fmt=fmt)
+        df = read_raw_zone(
+            spark, zone, min_seq=400, fmt=fmt,
+            schema=events.schema if fmt == "json" else None,
+        ).select("seq", F.to_json(F.struct("data")).alias("payload"))
+        return sorted(map(tuple, df.collect()))
+
+    base = landed_rows("parquet")
+    assert len(base) > 0
+    assert landed_rows("orc") == base
+    assert landed_rows("json") == base
