@@ -410,3 +410,28 @@ def q119(spark, sf_dir):
         counts["ipv4"].cast("int").alias("n_ipv4"),
         F.md5(scrub_pii("text")).alias("scrubbed_md5"),
     ).orderBy("doc_id")
+
+
+@register(
+    "q120_global_shuffle",
+    """SELECT doc_id,
+              CAST(row_number() OVER (ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)),
+                                      doc_id) AS BIGINT) AS shuffle_rank
+       FROM documents ORDER BY doc_id""",
+    "deterministic global shuffle (operators/shuffle.py): the seeded "
+    "pseudo-random total order a pre-training pipeline fixes before "
+    "packing. The engine computes the rank WITHOUT a global sort — "
+    "md5-prefix range buckets, per-bucket row_number, tiny broadcast "
+    "offset table — while the oracle computes the naive single-sort "
+    "row_number; the two must agree rank-for-rank, proving the "
+    "decomposition exact (and n_buckets-independent)",
+)
+def q120(spark, sf_dir):
+    from snowflake_cdc_spark.operators.shuffle import deterministic_shuffle
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return (
+        deterministic_shuffle(docs, "doc_id", seed=42, n_buckets=64)
+        .select("doc_id", F.col("shuffle_rank").cast("bigint").alias("shuffle_rank"))
+        .orderBy("doc_id")
+    )
