@@ -1,0 +1,66 @@
+"""Slowly-changing-dimension type-2 materialization from a change stream.
+
+The reference engine's core loop lands CDC rows and keeps only the
+latest image per key (``operators/upsert.py``, reference
+``add_output.py:421-448``); the *history-preserving* variant of the same
+landing — SCD2 — keeps every distinct attribute value as a validity
+interval ``[valid_from, valid_to)`` with an ``is_current`` flag. This is
+the other half of the CDC-sink surface a warehouse user expects
+(Snowflake streams → dimension history tables).
+
+Semantics (standard SCD2 over an append-only change log):
+
+1. total-order the changes per key by ``(ts, tiebreak)`` — the tiebreak
+   makes simultaneous changes deterministic, mirroring the upsert
+   operator's ``(ts, seq)`` convention;
+2. collapse runs of consecutive *equal* attribute values (a change event
+   that does not change the attribute must not open a new version);
+3. ``valid_from`` = first ts of the run, ``valid_to`` = next run's
+   ``valid_from`` (NULL on the open, current version).
+
+Scale notes: both window passes partition on the business key — ONE
+shuffle, and the second window reuses the first's partitioning+sort
+(Catalyst plans a single Exchange; asserted in tests/test_scd.py). At
+100 TB the key is the same one the raw zone buckets by, so the exchange
+disappears entirely on a bucketed landing (operators/bucketing.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["scd2_from_changes"]
+
+
+def scd2_from_changes(
+    changes: DataFrame,
+    key_cols: list[str],
+    attr_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Build the SCD2 history table for ``attr_col`` per ``key_cols``.
+
+    Returns ``key_cols + [attr_col, valid_from, valid_to, is_current]``
+    with one row per maximal run of a constant attribute value.
+    """
+    order = [F.col(ts_col).asc(), F.col(tiebreak_col).asc()]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    # run boundaries: value differs from the previous change's value.
+    # NULL-safe, and lag() conflates "no previous row" with "previous
+    # value was NULL" — a _first flag keeps a leading NULL-valued run.
+    opens = (
+        changes.withColumn("_prev", F.lag(attr_col).over(w))
+        .withColumn("_first", F.lag(F.lit(1)).over(w).isNull())
+        .filter(F.col("_first") | ~F.col(attr_col).eqNullSafe(F.col("_prev")))
+        .drop("_prev", "_first")
+    )
+    w2 = Window.partitionBy(*key_cols).orderBy(F.col(ts_col).asc(), F.col(tiebreak_col).asc())
+    return opens.select(
+        *key_cols,
+        F.col(attr_col),
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w2).alias("valid_to"),
+        F.lead(ts_col).over(w2).isNull().alias("is_current"),
+    )

@@ -652,5 +652,6 @@ def _load_extended() -> None:
     import snowflake_cdc_spark.queries_surface_ext  # noqa: F401
     import snowflake_cdc_spark.queries_tpch_ext  # noqa: F401
     import snowflake_cdc_spark.queries_tpch_ext2  # noqa: F401
+    import snowflake_cdc_spark.queries_curation_ext  # noqa: F401
     import snowflake_cdc_spark.queries_pipeline_ext  # noqa: F401
     import snowflake_cdc_spark.queries_modern_ext  # noqa: F401
