@@ -39,11 +39,14 @@ def scd2_from_changes(
     attr_col: str,
     ts_col: str,
     tiebreak_col: str,
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Build the SCD2 history table for ``attr_col`` per ``key_cols``.
 
     Returns ``key_cols + [attr_col, valid_from, valid_to, is_current]``
     with one row per maximal run of a constant attribute value.
+    ``keep_cols`` are carried through from each run's OPENING change row
+    (the incremental maintainer persists the opening tiebreak this way).
     """
     order = [F.col(ts_col).asc(), F.col(tiebreak_col).asc()]
     w = Window.partitionBy(*key_cols).orderBy(*order)
@@ -63,4 +66,5 @@ def scd2_from_changes(
         F.col(ts_col).alias("valid_from"),
         F.lead(ts_col).over(w2).alias("valid_to"),
         F.lead(ts_col).over(w2).isNull().alias("is_current"),
+        *[F.col(c) for c in (keep_cols or [])],
     )

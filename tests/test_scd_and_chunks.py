@@ -134,3 +134,12 @@ class TestChunkDedup:
             )
             == 0
         )
+
+
+def test_scd2_keep_cols_carries_opening_row(spark):
+    out = scd2_from_changes(
+        _changes(spark, [(1, "a", 10, 7), (1, "a", 20, 8), (1, "b", 30, 9)]),
+        ["k"], "v", "ts", "seq", keep_cols=["seq"],
+    ).orderBy("valid_from").collect()
+    # each history row carries the seq of its OPENING change
+    assert [(r.v, r.seq) for r in out] == [("a", 7), ("b", 9)]
