@@ -387,3 +387,73 @@ def q127(spark, sf_dir):
         in_bound(F.col("_e")[0], F.col("_a")[0]).alias("p50_in_bound"),
         in_bound(F.col("_e")[1], F.col("_a")[1]).alias("p95_in_bound"),
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# Q128 — record linkage / entity resolution (operators/linkage.py):
+# blocking -> integer-thresholded Jaccard verify -> deterministic resolve
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q128_entity_resolution",
+    """WITH clean AS (
+         SELECT p_partkey AS id,
+                p_name || ' ' || lower(p_type) || ' ' || p_brand AS nm
+         FROM part),
+       dirty AS (
+         SELECT p_partkey + 5000000 AS id,
+                p_name || ' ' || lower(p_type) AS nm
+         FROM part WHERE p_partkey % 7 = 0),
+       cbg AS (SELECT id, ws[i] || ' ' || ws[i+1] AS bg
+               FROM (SELECT id, string_split(nm, ' ') AS ws FROM clean),
+                    unnest(generate_series(1, len(ws)-1)) AS t(i)),
+       dbg AS (SELECT id, ws[i] || ' ' || ws[i+1] AS bg
+               FROM (SELECT id, string_split(nm, ' ') AS ws FROM dirty),
+                    unnest(generate_series(1, len(ws)-1)) AS t(i)),
+       cand AS (SELECT cbg.id AS clean_id, dbg.id AS dirty_id
+                FROM cbg JOIN dbg USING (bg)
+                GROUP BY 1, 2 HAVING count(DISTINCT bg) >= 2),
+       scored AS (
+         SELECT cand.dirty_id, cand.clean_id,
+                CAST(len(list_intersect(ct.toks, dt.toks)) AS BIGINT) AS n_inter,
+                CAST(len(list_distinct(list_concat(ct.toks, dt.toks))) AS BIGINT) AS n_union
+         FROM cand
+         JOIN (SELECT id, list_distinct(string_split(nm, ' ')) AS toks FROM clean) ct
+           ON ct.id = cand.clean_id
+         JOIN (SELECT id, list_distinct(string_split(nm, ' ')) AS toks FROM dirty) dt
+           ON dt.id = cand.dirty_id),
+       ranked AS (
+         SELECT *, row_number() OVER (
+                  PARTITION BY dirty_id
+                  ORDER BY CAST(n_inter AS DOUBLE) / n_union DESC, clean_id) AS rn
+         FROM scored WHERE n_inter * 2 >= n_union)
+       SELECT dirty_id, clean_id, n_inter, n_union,
+              CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE) AS jaccard
+       FROM ranked WHERE rn = 1 ORDER BY dirty_id""",
+    "entity resolution: dirty records (brand token dropped, shifted key) "
+    "linked back to the clean catalog via token-bigram blocking with "
+    ">=2-distinct-bigram agreement (~30x fewer candidates than >=1 at "
+    "sf0.1) + exact Jaccard verify (integer threshold 2*inter >= union) "
+    "+ best-match window. Every planted dirty record must resolve to "
+    "its original (jaccard 3/4 beats same-name-different-brand's 3/5; "
+    "the planted pair always shares both its bigrams, so the >=2 "
+    "blocking refinement cannot lose it).",
+)
+def q128(spark, sf_dir):
+    from snowflake_cdc_spark.operators.linkage import link_records
+
+    part = _t(spark, sf_dir, "part")
+    clean = part.select(
+        F.col("p_partkey").alias("id"),
+        F.concat_ws(
+            " ", "p_name", F.lower(F.col("p_type")), "p_brand"
+        ).alias("nm"),
+    )
+    dirty = part.filter(F.col("p_partkey") % 7 == 0).select(
+        (F.col("p_partkey") + 5000000).alias("id"),
+        F.concat_ws(" ", "p_name", F.lower(F.col("p_type"))).alias("nm"),
+    )
+    return link_records(clean, dirty, "id", "nm", min_shared_blocks=2).orderBy(
+        "dirty_id"
+    )

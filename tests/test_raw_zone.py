@@ -119,3 +119,37 @@ def test_landing_format_parity(spark, tmp_path):
     assert len(base) > 0
     assert landed_rows("orc") == base
     assert landed_rows("json") == base
+
+
+def test_dynamic_partition_pruning_via_dim_join(spark, tmp_path):
+    """Static pruning covers WHERE p_table='x'; the other 100-TB access
+    pattern is pruning through a JOIN — 'process the tables listed in
+    this (filtered) control table'. Catalyst's dynamic partition pruning
+    must push the dim-side filter into the zone scan's PartitionFilters
+    as a runtime subquery, so the scan never lists the other tables'
+    directories."""
+    zone = _land(spark, tmp_path)
+    all_tables = sorted(
+        r[0]
+        for r in spark.read.parquet(zone).select("p_table").distinct().collect()
+    )
+    # NB: the dim-side predicate must pass Catalyst's isLikelySelective
+    # heuristic for the PartitionPruning rule to fire — an equality
+    # comparison qualifies; a bare boolean attribute filter does NOT
+    # (found the hard way; documented here so nobody "simplifies" the
+    # filter back to a boolean column and silently loses DPP).
+    dim = spark.createDataFrame(
+        [(t, "on" if i % 2 == 0 else "off") for i, t in enumerate(all_tables)],
+        "p_table string, status string",
+    )
+    zone_df = spark.read.parquet(zone)
+    joined = zone_df.join(
+        F.broadcast(dim.filter(F.col("status") == "on")), "p_table"
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan, (
+        "dim-join must prune zone partitions at runtime:\n" + plan[:2000]
+    )
+    want = {t for i, t in enumerate(all_tables) if i % 2 == 0}
+    got = {r[0] for r in joined.select("p_table").distinct().collect()}
+    assert got == want

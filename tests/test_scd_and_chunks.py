@@ -143,3 +143,55 @@ def test_scd2_keep_cols_carries_opening_row(spark):
     ).orderBy("valid_from").collect()
     # each history row carries the seq of its OPENING change
     assert [(r.v, r.seq) for r in out] == [("a", 7), ("b", 9)]
+
+
+class TestLinkage:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "id long, nm string")
+
+    def test_planted_match_resolves_to_original(self, spark):
+        from snowflake_cdc_spark.operators.linkage import link_records
+
+        clean = self._df(
+            spark, [(1, "small ring economy BrandA"), (2, "small bolt economy BrandA")]
+        )
+        dirty = self._df(spark, [(100, "small ring economy")])
+        out = link_records(clean, dirty, "id", "nm").collect()
+        assert [(r.dirty_id, r.clean_id, r.n_inter, r.n_union) for r in out] == [
+            (100, 1, 3, 4)
+        ]
+
+    def test_tie_breaks_to_smallest_clean_id(self, spark):
+        from snowflake_cdc_spark.operators.linkage import link_records
+
+        clean = self._df(
+            spark, [(7, "red widget standard X"), (3, "red widget standard Y")]
+        )
+        dirty = self._df(spark, [(100, "red widget standard")])
+        out = link_records(clean, dirty, "id", "nm").collect()
+        assert out[0].clean_id == 3  # equal jaccard 3/4 -> min clean id
+
+    def test_below_threshold_unmatched(self, spark):
+        from snowflake_cdc_spark.operators.linkage import link_records
+
+        clean = self._df(spark, [(1, "alpha beta gamma delta")])
+        dirty = self._df(spark, [(100, "alpha beta zzz www qqq rrr")])
+        # shares bigram "alpha beta" so it IS a candidate; jaccard 2/8 < 1/2
+        out = link_records(clean, dirty, "id", "nm").collect()
+        assert out == []
+
+    def test_no_shared_bigram_never_compared(self, spark):
+        from snowflake_cdc_spark.operators.linkage import link_records, token_bigrams
+        from pyspark.sql import functions as F
+
+        # same token SET, different adjacency — blocking is bigram-level
+        clean = self._df(spark, [(1, "a b c")])
+        dirty = self._df(spark, [(100, "c a b")])  # bigrams: "c a","a b"
+        out = link_records(clean, dirty, "id", "nm").collect()
+        # shares "a b" -> candidate; jaccard 3/3 = 1 -> matches
+        assert out[0].clean_id == 1
+        # single-token name has NO bigrams -> never a candidate
+        single = self._df(spark, [(200, "a")])
+        assert link_records(clean, single, "id", "nm").collect() == []
+        bg = spark.range(1).select(token_bigrams(F.lit("solo")).alias("b")).collect()
+        assert bg[0].b == []
