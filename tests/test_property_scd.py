@@ -27,6 +27,13 @@ def change_logs(draw):
     ]
 
 
+def _row_key(r):
+    # None-safe total order: ts-tied logs can yield two runs with an
+    # identical (k, v, valid_from) prefix, one open (valid_to=None) —
+    # bare tuple sort would compare None < int and raise
+    return (r[0], r[1], r[2], r[3] is None, r[3] or 0, r[4])
+
+
 def python_oracle(log):
     """Replay per key in (ts, seq) order; collapse equal-value runs."""
     by_key: dict[int, list] = {}
@@ -41,13 +48,18 @@ def python_oracle(log):
         for i, (v, ts) in enumerate(runs):
             nxt = runs[i + 1][1] if i + 1 < len(runs) else None
             out.append((k, v, ts, nxt, nxt is None))
-    return sorted(out)
+    return sorted(out, key=_row_key)
 
 
 def _canon(df):
     return sorted(
-        (r.k, r.v, r.valid_from, r.valid_to, r.is_current)
-        for r in df.select("k", "v", "valid_from", "valid_to", "is_current").collect()
+        (
+            (r.k, r.v, r.valid_from, r.valid_to, r.is_current)
+            for r in df.select(
+                "k", "v", "valid_from", "valid_to", "is_current"
+            ).collect()
+        ),
+        key=_row_key,
     )
 
 
