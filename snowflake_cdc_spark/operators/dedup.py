@@ -153,6 +153,36 @@ def jaccard(a: Column, b: Column) -> Column:
     return inter / union
 
 
+def minhash_features(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-document MinHash features ``(id, sig, hset)`` — the zero-shuffle
+    half of the LSH pipeline, split out (round 3) so the streaming
+    maintainer can persist features across micro-batches instead of
+    recomputing text→shingles→signature per join. Rows whose shingle set
+    is empty (texts shorter than ``shingle_n`` words) are excluded: they
+    can never produce a candidate pair."""
+    # cache barrier at the shingle level: downstream expressions reference
+    # "shingles" 9 times (8 minhash transforms + the hashed set); without
+    # the barrier Catalyst's projection collapse would inline — and
+    # re-evaluate — the whole split/slice pipeline at every reference.
+    sh_raw = (
+        fan_out(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t")))
+        .select("id", word_shingles("__t", shingle_n).alias("shingles"))
+        .filter(F.size("shingles") > 0)
+        .persist()
+    )
+    return sh_raw.select(
+        "id",
+        minhash_signature(F.col("shingles"), k).alias("sig"),
+        hashed_shingle_set(F.col("shingles")).alias("hset"),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -190,26 +220,32 @@ def minhash_lsh_pairs(
       md5-seeded, so candidate sets are deterministic and engine-portable
       — LSH recall here is a fixed function of the data, not a coin flip.
     """
-    rows_per_band = k // bands
-    # cache barrier at the shingle level: downstream expressions reference
-    # "shingles" 9 times (8 minhash transforms + the hashed set); without
-    # the barrier Catalyst's projection collapse would inline — and
-    # re-evaluate — the whole split/slice pipeline at every reference.
     # Lifecycle note: the caches are deliberately NOT unpersisted here
     # (the returned DataFrame still reads them lazily); long-lived drivers
     # looping over corpora should call spark.catalog.clearCache() between
     # calls, as bench.py does — LRU eviction otherwise reclaims them.
-    sh_raw = (
-        fan_out(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t")))
-        .select("id", word_shingles("__t", shingle_n).alias("shingles"))
-        .filter(F.size("shingles") > 0)
-        .persist()
+    sh = minhash_features(df, id_col, text_col, k=k, shingle_n=shingle_n).persist()
+    return lsh_pairs_from_features(
+        sh,
+        k=k,
+        bands=bands,
+        threshold=threshold,
+        round_to=round_to,
+        bucket_cap=bucket_cap,
     )
-    sh = sh_raw.select(
-        "id",
-        minhash_signature(F.col("shingles"), k).alias("sig"),
-        hashed_shingle_set(F.col("shingles")).alias("hset"),
-    ).persist()
+
+
+def lsh_pairs_from_features(
+    sh: DataFrame,
+    k: int = 8,
+    bands: int = 2,
+    threshold: float = 0.8,
+    round_to: int | None = 4,
+    bucket_cap: int | None = 10_000,
+) -> DataFrame:
+    """`minhash_lsh_pairs` from precomputed ``(id, sig, hset)`` features
+    (see :func:`minhash_features`); same plan shape and guards."""
+    rows_per_band = k // bands
 
     # exact pre-collapse on the (sorted) hashed shingle set: identical sets
     # ⇒ identical signature AND identical verification outcome, so running
