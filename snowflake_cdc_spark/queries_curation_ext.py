@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 
 from snowflake_cdc_spark.operators.chunk_dedup import chunk_dedup
 from snowflake_cdc_spark.operators.scd import scd2_from_changes
+from snowflake_cdc_spark.sources.cdc import CDC_EVENTS_SQL
 from snowflake_cdc_spark.queries import _t, ntz, register
 from snowflake_cdc_spark.queries_northstar import DOCS_CORPUS_SQL, planted_docs
 
@@ -457,3 +458,74 @@ def q128(spark, sf_dir):
     return link_records(clean, dirty, "id", "nm", min_shared_blocks=2).orderBy(
         "dirty_id"
     )
+
+
+# --------------------------------------------------------------------------
+# Q129 — snapshot diff (CDC data-diff between two seq horizons)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q129_snapshot_diff",
+    CDC_EVENTS_SQL
+    + """, h AS (SELECT m // 2 AS s1 FROM mx),
+       r1 AS (SELECT * FROM (
+           SELECT e.*, row_number() OVER (PARTITION BY primary_key ORDER BY seq DESC) AS rn
+           FROM cdc_events e, h WHERE e.seq <= h.s1)
+         WHERE rn = 1 AND NOT is_delete),
+       r2 AS (SELECT * FROM (
+           SELECT e.*, row_number() OVER (PARTITION BY primary_key ORDER BY seq DESC) AS rn
+           FROM cdc_events e)
+         WHERE rn = 1 AND NOT is_delete),
+       d AS (SELECT
+           COALESCE(a.primary_key, b.primary_key) AS primary_key,
+           CASE WHEN b.primary_key IS NULL THEN 'removed'
+                WHEN a.primary_key IS NULL THEN 'added'
+                ELSE 'changed' END AS change_type,
+           CASE WHEN a.primary_key IS NULL OR b.primary_key IS NULL
+                THEN CAST([] AS VARCHAR[])
+                ELSE list_filter([
+                  CASE WHEN a.row_o_custkey       IS DISTINCT FROM b.row_o_custkey       THEN 'row_o_custkey' END,
+                  CASE WHEN a.row_o_orderdate     IS DISTINCT FROM b.row_o_orderdate     THEN 'row_o_orderdate' END,
+                  CASE WHEN a.row_o_orderkey      IS DISTINCT FROM b.row_o_orderkey      THEN 'row_o_orderkey' END,
+                  CASE WHEN a.row_o_orderpriority IS DISTINCT FROM b.row_o_orderpriority THEN 'row_o_orderpriority' END,
+                  CASE WHEN a.row_o_orderstatus   IS DISTINCT FROM b.row_o_orderstatus   THEN 'row_o_orderstatus' END,
+                  CASE WHEN a.row_o_totalprice    IS DISTINCT FROM b.row_o_totalprice    THEN 'row_o_totalprice' END
+                ], x -> x IS NOT NULL) END AS changed_cols
+         FROM r1 a FULL OUTER JOIN r2 b ON a.primary_key = b.primary_key)
+       SELECT primary_key, change_type, changed_cols,
+              CAST(len(changed_cols) AS BIGINT) AS n_changed_cols
+       FROM d WHERE change_type <> 'changed' OR len(changed_cols) > 0
+       ORDER BY primary_key""",
+    "CDC data-diff (operators/diff.py): the hard-delete snapshot as of "
+    "seq <= max_insert_seq/2 diffed against the full log — added / "
+    "removed / changed keys with the NULL-safe list of changed columns. "
+    "Engine computes BOTH as-of states in ONE hash aggregation "
+    "(max_by(payload, seq) + max_by(payload, CASE WHEN seq<=s1 THEN seq "
+    "END) — the conditional ordering key IS the horizon filter): one "
+    "shuffle on the key, no join; the oracle builds two row_number "
+    "snapshots and full-outer-joins them (independent algorithm). The "
+    "horizon scalar rides a broadcast cross join, no driver collect. "
+    "Fixture coverage: updates -> changed(row_o_totalprice), deletes -> "
+    "removed, inserts above the horizon -> added.",
+)
+def q129(spark, sf_dir):
+    from snowflake_cdc_spark.operators.diff import snapshot_diff
+    from snowflake_cdc_spark.sources.cdc import ORDER_COLS, cdc_events_flat
+
+    ch = cdc_events_flat(spark, sf_dir)
+    h = ch.filter(F.col("op") == "insert").agg(
+        F.floor(F.max("seq") / 2).cast("long").alias("__s1")
+    )
+    d = snapshot_diff(
+        ch.crossJoin(F.broadcast(h)),
+        ["primary_key"],
+        [f"row_{c}" for c in ORDER_COLS],
+        s1=F.col("__s1"),
+    )
+    return d.select(
+        "primary_key",
+        "change_type",
+        "changed_cols",
+        F.col("n_changed_cols").cast("bigint").alias("n_changed_cols"),
+    ).orderBy("primary_key")
