@@ -1,0 +1,97 @@
+"""Deequ-style data-quality expectation checking in ONE scan.
+
+A CDC replication pipeline (reference: MySQL -> Snowflake,
+``add_output.py:421-448``) needs continuous verification that the
+materialized tables still honor their contracts — completeness,
+key uniqueness, accepted values, pattern conformance, range bounds.
+The naive form runs one query per constraint (N scans of a 100 TB
+table); this operator compiles every constraint into a single
+aggregation pass: one job, one scan, each constraint a conditional
+aggregate, then an unpivot of the 1-row result into a
+constraint-per-row report.
+
+Determinism: every metric is an exact BIGINT pair (n_pass, n_total)
+with at most one final double division; ``passed`` is an integer
+comparison against the exact counts — no float thresholds anywhere.
+
+Note on uniqueness: ``count_distinct`` inside the same aggregate makes
+Catalyst plan an Expand (one extra pass over the shuffled, already
+column-pruned data — NOT a second table scan); the scan itself stays
+single.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+@dataclass(frozen=True)
+class Expectation:
+    """One constraint: ``name`` + a predicate column counted over the
+    table (``pred`` is None for uniqueness, handled specially)."""
+
+    name: str
+    pred: Column | None = None
+    distinct_col: str | None = None
+
+
+def not_null(col: str) -> Expectation:
+    return Expectation(f"completeness_{col}", F.col(col).isNotNull())
+
+
+def unique(col: str) -> Expectation:
+    return Expectation(f"uniqueness_{col}", None, distinct_col=col)
+
+
+def accepted_values(col: str, values: list) -> Expectation:
+    return Expectation(f"accepted_values_{col}", F.col(col).isin(values))
+
+
+def matches_pattern(col: str, pattern: str) -> Expectation:
+    return Expectation(f"pattern_{col}", F.col(col).rlike(pattern))
+
+
+def in_range(col: str, lo, hi) -> Expectation:
+    return Expectation(f"range_{col}", F.col(col).between(lo, hi))
+
+
+def dq_report(df: DataFrame, expectations: list[Expectation]) -> DataFrame:
+    """Evaluate all expectations in one aggregation pass. Returns
+    ``(check_name, n_pass, n_total, ratio, passed)`` one row per
+    expectation, ordered by check name."""
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("_total")]
+    for i, e in enumerate(expectations):
+        if e.distinct_col is not None:
+            aggs.append(
+                F.count_distinct(F.col(e.distinct_col)).cast("bigint").alias(f"_m{i}")
+            )
+        else:
+            aggs.append(
+                F.sum(F.when(e.pred, F.lit(1)).otherwise(F.lit(0)))
+                .cast("bigint")
+                .alias(f"_m{i}")
+            )
+    one = df.agg(*aggs)
+
+    report_rows = F.array(
+        *[
+            F.struct(
+                F.lit(e.name).alias("check_name"),
+                F.col(f"_m{i}").alias("n_pass"),
+                F.col("_total").alias("n_total"),
+            )
+            for i, e in enumerate(expectations)
+        ]
+    )
+    exploded = one.select(F.explode(report_rows).alias("r")).select("r.*")
+    return exploded.select(
+        "check_name",
+        "n_pass",
+        "n_total",
+        (F.col("n_pass").cast("double") / F.col("n_total").cast("double")).alias(
+            "ratio"
+        ),
+        (F.col("n_pass") == F.col("n_total")).alias("passed"),
+    ).orderBy("check_name")

@@ -1,0 +1,167 @@
+"""Round-3 extension q130-q132: corpus retrieval scoring and
+governance — BM25 keyword ranking, per-domain document caps, and a
+one-scan data-quality expectation report.
+
+These round out the training-data curation lane (SURVEY.md §2.8
+N-family) with the three operations a warehouse user downstream of the
+reference's CDC landing (``add_output.py:421-448``) runs daily:
+
+- **q130 BM25** (``operators/retrieval.py``): lexical ranking over the
+  corpus. Postings filtered to the query terms BEFORE any shuffle, term
+  stats broadcast, fixed-order float summation for cross-engine
+  determinism (contrast q89 tf-idf, which scores terms, not documents).
+- **q131 domain cap** (``operators/curation.py``): the standard
+  "no domain exceeds N documents" corpus rule, via a deterministic
+  md5-smallest-per-group selector. The operator's prefilter variant
+  bounds per-group sort size at mega-domain scale (plan-asserted in
+  ``tests/test_governance.py``); the registry query runs the same
+  EXACT semantics, which is what the oracle mirrors.
+- **q132 DQ report** (``operators/expectations.py``): Deequ-style
+  multi-constraint verification compiled into ONE scan — conditional
+  aggregates + unpivot; a deliberately-violated range constraint
+  proves failures surface as ``passed = false`` rows rather than
+  exceptions.
+
+Determinism contract: q130 follows the round-3 ratio amendment
+(``round_half_up`` final projection; ranking on the rounded value; the
+only libm call is ``ln``, the q89 precedent). q131 compares md5 hex
+strings (lexicographic ≡ numeric at fixed width). q132 metrics are
+exact BIGINT pairs with one final double division and integer-compare
+booleans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from snowflake_cdc_spark.operators.curation import cap_per_group
+from snowflake_cdc_spark.operators.expectations import (
+    accepted_values,
+    dq_report,
+    in_range,
+    matches_pattern,
+    not_null,
+    unique,
+)
+from snowflake_cdc_spark.operators.retrieval import bm25_topk
+from snowflake_cdc_spark.queries import _t, register
+
+# --------------------------------------------------------------------------
+# Q130 — BM25 retrieval: top-10 documents for a 3-term keyword query
+# --------------------------------------------------------------------------
+
+_BM25_SQL = """
+WITH d AS (SELECT doc_id, text, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+           FROM documents),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+          FROM d),
+tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+       FROM tok WHERE term IN ('vector', 'hash', 'merge') GROUP BY 1, 2),
+dfs AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY 1),
+contrib AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1.0 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5))
+         * (tf.tf * 2.2)
+         / (tf.tf + 1.2 * (0.25 + 0.75 * (CAST(d.dl AS DOUBLE) / stats.avgdl))) AS c
+  FROM tf
+  JOIN dfs USING (term)
+  JOIN d ON d.doc_id = tf.doc_id
+  CROSS JOIN stats),
+sc AS (
+  SELECT doc_id,
+         coalesce(max(CASE WHEN term = 'vector' THEN c END), 0.0)
+         + coalesce(max(CASE WHEN term = 'hash' THEN c END), 0.0)
+         + coalesce(max(CASE WHEN term = 'merge' THEN c END), 0.0) AS s
+  FROM contrib GROUP BY doc_id)
+SELECT doc_id, floor(s * 10000.0 + 0.5) / 10000.0 AS bm25
+FROM sc ORDER BY bm25 DESC, doc_id LIMIT 10"""
+
+
+@register(
+    "q130_bm25",
+    _BM25_SQL,
+    "BM25 (Lucene idf variant, k1=1.2 b=0.75) top-10 docs for the query "
+    "{vector, hash, merge}: postings filtered to query terms before the "
+    "tf aggregation, df + corpus stats broadcast, fixed-order 3-term sum, "
+    "rank on the tie-robust rounded score",
+)
+def q130(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_topk(docs, "doc_id", "text", ["vector", "hash", "merge"], k=10)
+
+
+# --------------------------------------------------------------------------
+# Q131 — per-domain document cap (md5-smallest-per-group survivors)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q131_domain_cap",
+    """WITH ranked AS (
+         SELECT source, doc_id,
+                row_number() OVER (
+                  PARTITION BY source
+                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+         FROM documents)
+       SELECT source, doc_id, CAST(rn AS BIGINT) AS rn
+       FROM ranked WHERE rn <= 10 ORDER BY source, doc_id""",
+    "per-domain cap: keep the 10 md5-smallest docs per source (exact, "
+    "deterministic, layout-invariant). The operator's hash-threshold "
+    "prefilter bounds per-group sort size for mega-domains "
+    "(test_governance.py proves the bounded plan on a planted skewed "
+    "group); registry semantics are identical either way",
+)
+def q131(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("source", "doc_id")
+    return (
+        cap_per_group(docs, "source", "doc_id", cap=10)
+        .select("source", "doc_id", F.col("rn").cast("bigint").alias("rn"))
+        .orderBy("source", "doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q132 — one-scan data-quality expectation report over orders
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q132_dq_report",
+    """WITH a AS (
+         SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST(count(o_custkey) AS BIGINT) AS m_complete,
+                CAST(count(DISTINCT o_orderkey) AS BIGINT) AS m_unique,
+                CAST(sum(CASE WHEN o_orderstatus IN ('O', 'F', 'P') THEN 1 ELSE 0 END) AS BIGINT) AS m_status,
+                CAST(sum(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$') THEN 1 ELSE 0 END) AS BIGINT) AS m_pattern,
+                CAST(sum(CASE WHEN o_totalprice BETWEEN 0 AND 250000 THEN 1 ELSE 0 END) AS BIGINT) AS m_range
+         FROM orders),
+       r AS (
+         SELECT 'completeness_o_custkey' AS check_name, m_complete AS n_pass, n AS n_total FROM a
+         UNION ALL SELECT 'uniqueness_o_orderkey', m_unique, n FROM a
+         UNION ALL SELECT 'accepted_values_o_orderstatus', m_status, n FROM a
+         UNION ALL SELECT 'pattern_o_orderpriority', m_pattern, n FROM a
+         UNION ALL SELECT 'range_o_totalprice', m_range, n FROM a)
+       SELECT check_name, n_pass, n_total,
+              CAST(n_pass AS DOUBLE) / CAST(n_total AS DOUBLE) AS ratio,
+              n_pass = n_total AS passed
+       FROM r ORDER BY check_name""",
+    "Deequ-style DQ verification in ONE scan: completeness, key "
+    "uniqueness, accepted values, regex pattern conformance, and a "
+    "deliberately-tight range bound (0..250000 — violations surface as "
+    "passed=false, not exceptions). Exact integer metrics, single final "
+    "division",
+)
+def q132(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return dq_report(
+        orders,
+        [
+            not_null("o_custkey"),
+            unique("o_orderkey"),
+            accepted_values("o_orderstatus", ["O", "F", "P"]),
+            matches_pattern("o_orderpriority", "^[1-5]-[A-Z ]+$"),
+            in_range("o_totalprice", 0, 250000),
+        ],
+    )
