@@ -44,6 +44,28 @@ class IvfIndex:
     vec_col: str
 
 
+def bounded_md5_sample(df: DataFrame, id_col: str, cols: list[str], n: int) -> list:
+    """Deterministic bounded training sample (md5-keyed, layout-invariant)
+    WITHOUT a global sort and WITHOUT a sizing count() pre-pass: filter to
+    a fixed 1/16 hash slice (md5 first hex char == '0' — a pure scan
+    predicate), then TakeOrdered only the surviving sliver. Taking the n
+    smallest md5 keys of the slice equals the global
+    ``orderBy(md5).limit(n)`` whenever the slice holds >= n rows — true
+    for any corpus >= ~16×n with overwhelming margin (binomial
+    concentration). Only corpora small enough to fail that test pay a
+    second (cheap, because small) full TakeOrdered pass; big corpora are
+    sampled in a single scan. Shared by IVF and PQ training."""
+    key = F.md5(F.col(id_col).cast("string"))
+    src = df.select(*cols)
+    rows = src.filter(F.substring(key, 1, 1) == F.lit("0")).orderBy(key).limit(n).collect()
+    if len(rows) < n:
+        # small corpus (or pathological hash skew): Spark-side md5 order
+        # over the full corpus — same expression as the slice path, so
+        # ordering is consistent for every id type (int/string/decimal/ts)
+        rows = src.orderBy(key).limit(n).collect()
+    return rows
+
+
 def _train_centroids(X, n_cells: int, seed: int, max_iter: int):
     """Seeded k-means++ init + Lloyd over an in-memory sample (numpy)."""
     import numpy as np
@@ -106,25 +128,7 @@ def build_ivf(
         import pandas as pd
         from pyspark.sql.types import IntegerType
 
-        # Deterministic bounded training sample (md5-keyed, layout-invariant)
-        # WITHOUT a global sort and WITHOUT a sizing count() pre-pass: filter
-        # to a fixed 1/16 hash slice (md5 first hex char == '0' — a pure scan
-        # predicate), then TakeOrdered only the surviving sliver. Taking the
-        # train_sample smallest md5 keys of the slice equals the global
-        # orderBy(md5).limit(train_sample) whenever the slice holds >=
-        # train_sample rows — true for any corpus >= ~16×train_sample with
-        # overwhelming margin (binomial concentration). Only corpora small
-        # enough to fail that test pay a second (cheap, because small) full
-        # TakeOrdered pass; big corpora are sampled in a single scan.
-        key = F.md5(F.col(id_col).cast("string"))
-        sample_src = corpus.select(id_col, vec_col)
-        sliced = sample_src.filter(F.substring(key, 1, 1) == F.lit("0"))
-        rows = sliced.orderBy(key).limit(train_sample).collect()
-        if len(rows) < train_sample:
-            # small corpus (or pathological hash skew): Spark-side md5 order
-            # over the full corpus — same expression as the slice path, so
-            # ordering is consistent for every id type (int/string/decimal/ts)
-            rows = sample_src.orderBy(key).limit(train_sample).collect()
+        rows = bounded_md5_sample(corpus, id_col, [id_col, vec_col], train_sample)
         X = np.array([r[1] for r in rows], dtype=np.float64)
         C = _train_centroids(X, n_cells, seed, max_iter)
         c_sq = (C * C).sum(1)

@@ -1,0 +1,228 @@
+"""Product-quantization (PQ) approximate nearest neighbor — the third
+ANN scale path beside sign-bucket LSH (``operators/lsh.py``) and
+IVF-Flat (``operators/ivf.py``).
+
+Why PQ at 100 TB: IVF prunes WHICH vectors are scored; PQ shrinks WHAT
+is scanned. A 64-dim float32 vector is 256 bytes; its PQ code at
+``m=8`` subspaces × 16 codewords is 8 bytes — a 32× smaller relation.
+The approximate pass scans ONLY the codes table (asymmetric distance
+computation against driver-held codebooks), the raw vectors are touched
+just for the top-``shortlist`` re-rank per query. Jégou et al., "Product
+Quantization for Nearest Neighbor Search", TPAMI 2011.
+
+Spark shape (FAISS posture, mirroring ``build_ivf``):
+
+1. **train**: per-subspace k-means codebooks over a bounded md5-keyed
+   sample (``bounded_md5_sample`` — single scan, no global sort, no
+   count() pre-pass), driver-side numpy, seeded — deterministic.
+2. **encode**: ONE distributed pass; a vectorized ``pandas_udf`` argmins
+   each subspace against its (tiny, closure-broadcast) codebook.
+3. **search**: codes ⨯ (broadcast) queries scored by vectorized ADC
+   (decode codes to centroids, squared-L2 against the query — one numpy
+   gather + matmul-free reduction per Arrow batch); top-``shortlist``
+   per query by (adc, id); exact cosine re-rank of the shortlist only.
+
+Everything is deterministic given the seed: seeded k-means, argmin
+lowest-index tie-break, float64 ADC, (value, id) total orders. The
+recall check (``pq_recall_check``) follows the q52 single-pass pattern:
+candidates are scored exactly once and the shortlist flag + one shared
+window sort yield both the exhaustive and the ANN rank.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DoubleType, IntegerType
+
+from snowflake_cdc_spark.functions.vectors import cosine_similarity
+from snowflake_cdc_spark.operators.ivf import _train_centroids, bounded_md5_sample
+
+
+@dataclass
+class PqIndex:
+    """Driver-held codebooks (m × k × d/m, a few KB — broadcast via UDF
+    closures) + the distributed codes table (<id_col>, <vec_col>, code)."""
+
+    codebooks: list  # list[np.ndarray (k, sub_dim)]
+    codes: DataFrame
+    id_col: str
+    vec_col: str
+    m: int = 8
+    k: int = 16
+    extras: dict = field(default_factory=dict)
+
+
+def build_pq(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+    seed: int = 42,
+    max_iter: int = 20,
+    train_sample: int = 100_000,
+) -> PqIndex:
+    """Train per-subspace codebooks on a bounded sample, then encode the
+    corpus in one distributed pass. ``m`` must divide the dimension."""
+    import numpy as np
+    import pandas as pd
+
+    rows = bounded_md5_sample(corpus, id_col, [id_col, vec_col], train_sample)
+    X = np.array([r[1] for r in rows], dtype=np.float64)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dimension {dim} not divisible by m={m}")
+    sub = dim // m
+    # Independent seeded k-means per subspace (seed+j keeps the j-th
+    # codebook stable under changes to m ordering).
+    books = [
+        _train_centroids(X[:, j * sub : (j + 1) * sub], k, seed + j, max_iter)
+        for j in range(m)
+    ]
+    books_arr = np.stack(books)  # (m, k, sub)
+    b_sq = (books_arr**2).sum(2)  # (m, k)
+
+    def _encode(col):
+        V = np.vstack(col.to_numpy()).astype(np.float64)  # (n, dim)
+        n = V.shape[0]
+        codes = np.empty((n, m), dtype=np.int32)
+        for j in range(m):
+            Vj = V[:, j * sub : (j + 1) * sub]
+            # ||v-c||² argmin ≡ (-2 v·c + ||c||²) argmin; ties -> lowest index
+            codes[:, j] = (-2 * Vj @ books_arr[j].T + b_sq[j][None, :]).argmin(1)
+        return pd.Series(list(codes))
+
+    encode_udf = F.pandas_udf(_encode, ArrayType(IntegerType()))
+    codes = corpus.select(id_col, vec_col, encode_udf(F.col(vec_col)).alias("code"))
+    return PqIndex(
+        codebooks=books, codes=codes, id_col=id_col, vec_col=vec_col, m=m, k=k
+    )
+
+
+def _adc_udf(index: PqIndex):
+    """Vectorized asymmetric-distance pandas UDF: squared L2 between the
+    query and the DECODED code (per Arrow batch: one fancy-gather per
+    subspace, float64 reduction — no Python per-row work)."""
+    import numpy as np
+    import pandas as pd
+
+    books = np.stack([b.astype(np.float64) for b in index.codebooks])  # (m,k,sub)
+    m, _, sub = books.shape
+
+    def _adc(code_col, q_col):
+        C = np.vstack(code_col.to_numpy()).astype(np.int64)  # (n, m)
+        Q = np.vstack(q_col.to_numpy()).astype(np.float64)  # (n, dim)
+        out = np.zeros(len(C), dtype=np.float64)
+        for j in range(m):
+            decoded = books[j][C[:, j]]  # (n, sub)
+            d = decoded - Q[:, j * sub : (j + 1) * sub]
+            out += (d * d).sum(1)
+        return pd.Series(out)
+
+    return F.pandas_udf(_adc, DoubleType())
+
+
+def pq_search(
+    index: PqIndex,
+    queries: DataFrame,
+    k: int = 5,
+    shortlist: int = 50,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Top-k cosine neighbors per query: ADC over the codes table ->
+    top-``shortlist`` by (adc asc, id) -> exact cosine re-rank. Output
+    (query_id, <id_col>, sim)."""
+    adc = _adc_udf(index)
+    # Approx pass carries ONLY (query_id, id, adc) — the raw vectors never
+    # enter the shortlist shuffle (the codes relation is the 32×-smaller
+    # one; that's the whole point of PQ).
+    cand = index.codes.select(index.id_col, "code").crossJoin(F.broadcast(queries))
+    if exclude_self:
+        cand = cand.filter(F.col(index.id_col) != F.col(query_id))
+    approx = cand.select(
+        query_id,
+        index.id_col,
+        adc(F.col("code"), F.col(query_vec)).alias("__adc"),
+    )
+    w_short = Window.partitionBy(query_id).orderBy("__adc", index.id_col)
+    shortlisted = (
+        approx.withColumn("__srn", F.row_number().over(w_short))
+        .filter(F.col("__srn") <= shortlist)
+        .select(query_id, index.id_col)
+    )
+    # Re-rank joins the raw vectors back for the |queries|×shortlist
+    # survivors only.
+    rescored = (
+        shortlisted.join(
+            index.codes.select(index.id_col, index.vec_col), index.id_col
+        )
+        .join(F.broadcast(queries), query_id)
+        .select(
+            query_id,
+            index.id_col,
+            F.round(
+                cosine_similarity(F.col(index.vec_col), F.col(query_vec)), 4
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.col(index.id_col))
+    return (
+        rescored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def pq_recall_check(
+    index: PqIndex,
+    queries: DataFrame,
+    k: int = 5,
+    shortlist: int = 50,
+    min_recall: float = 0.9,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """One-row (n_queries, recall_ok): recall@k of the PQ shortlist+rerank
+    search against the exhaustive top-k, scoring every candidate ONCE
+    (q52 single-pass pattern): the ADC window flags shortlist membership,
+    then one exact-cosine sort yields both the exhaustive rank
+    (row_number) and the ANN rank (running sum of the flag — exactly the
+    rank ``pq_search``'s re-rank assigns, same (sim desc, id) order)."""
+    adc = _adc_udf(index)
+    cand = (
+        index.codes.crossJoin(F.broadcast(queries))
+        .filter(F.col(index.id_col) != F.col(query_id))
+        .select(
+            query_id,
+            index.id_col,
+            adc(F.col("code"), F.col(query_vec)).alias("__adc"),
+            F.round(
+                cosine_similarity(F.col(index.vec_col), F.col(query_vec)), 4
+            ).alias("sim"),
+        )
+    )
+    w_short = Window.partitionBy(query_id).orderBy("__adc", index.id_col)
+    flagged = cand.withColumn(
+        "__in_short", (F.row_number().over(w_short) <= shortlist).cast("int")
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.col(index.id_col))
+    ranked = flagged.select(
+        query_id,
+        "__in_short",
+        F.row_number().over(w).alias("__exact_rn"),
+        F.sum("__in_short")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("__ann_rn"),
+    ).filter(F.col("__exact_rn") <= k)
+    hit = (F.col("__in_short") == 1) & (F.col("__ann_rn") <= k)
+    return ranked.agg(
+        F.count_distinct(query_id).alias("n_queries"),
+        (
+            F.sum(hit.cast("long")) >= F.lit(min_recall) * F.count(F.lit(1))
+        ).alias("recall_ok"),
+    )

@@ -1,0 +1,78 @@
+"""Product-quantization ANN (operators/pq.py): exactness anchor
+(full shortlist ≡ brute force), recall bound, code compactness,
+determinism."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from snowflake_cdc_spark.operators.pq import build_pq, pq_recall_check, pq_search
+from snowflake_cdc_spark.operators.similarity import cosine_topk
+from tests.conftest import SF_ORACLE
+
+
+def _emb(spark):
+    from snowflake_cdc_spark.sources.io import read_table
+
+    return read_table(spark, SF_ORACLE, "embeddings")
+
+
+def _queries(emb, mod=50):
+    return emb.filter(F.col("vec_id") % mod == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+def test_full_shortlist_equals_brute_force(spark):
+    # shortlist >= corpus  =>  the re-rank sees every candidate, so PQ
+    # search must reproduce the exact brute-force top-k bit-for-bit
+    # (same rounding, same (sim desc, id) tie-break). This anchors the
+    # whole pipeline's exact half, like q52b anchors IVF.
+    emb = _emb(spark)
+    q = _queries(emb, mod=100)
+    idx = build_pq(emb, m=8, k=16)
+    ann = pq_search(idx, q, k=5, shortlist=10_000)
+    exact = cosine_topk(emb, q, k=5)
+    assert sorted(map(tuple, ann.collect())) == sorted(map(tuple, exact.collect()))
+
+
+def test_recall_check_holds_at_q133_params(spark):
+    emb = _emb(spark)
+    q = _queries(emb, mod=10)
+    idx = build_pq(emb, m=8, k=256)
+    row = pq_recall_check(idx, q, k=5, shortlist=100, min_recall=0.9).collect()[0]
+    assert row.n_queries == q.count()
+    assert row.recall_ok
+
+
+def test_codes_are_compact_and_deterministic(spark):
+    emb = _emb(spark)
+    idx1 = build_pq(emb, m=8, k=16)
+    idx2 = build_pq(emb, m=8, k=16)
+    rows = idx1.codes.select("vec_id", "code").collect()
+    assert all(len(r.code) == 8 and all(0 <= c < 16 for c in r.code) for r in rows)
+    assert sorted((r.vec_id, tuple(r.code)) for r in rows) == sorted(
+        (r.vec_id, tuple(r.code)) for r in idx2.codes.select("vec_id", "code").collect()
+    )
+
+
+def test_indivisible_dimension_rejected(spark):
+    emb = _emb(spark)
+    try:
+        build_pq(emb, m=7, k=16)
+        raise AssertionError("expected ValueError for 64 % 7 != 0")
+    except ValueError:
+        pass
+
+
+def test_tight_shortlist_still_returns_k_rows_per_query(spark):
+    # shortlist == k is the degenerate-but-valid configuration: the ANN
+    # answer is exactly the ADC top-k re-ordered by true cosine.
+    emb = _emb(spark)
+    q = _queries(emb, mod=100)
+    idx = build_pq(emb, m=8, k=16)
+    out = pq_search(idx, q, k=5, shortlist=5)
+    per_q = {r.query_id: 0 for r in q.select("query_id").collect()}
+    for r in out.collect():
+        per_q[r.query_id] += 1
+    assert all(n == 5 for n in per_q.values())
