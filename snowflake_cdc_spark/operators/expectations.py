@@ -57,6 +57,41 @@ def in_range(col: str, lo, hi) -> Expectation:
     return Expectation(f"range_{col}", F.col(col).between(lo, hi))
 
 
+def row_gate(
+    df: DataFrame,
+    expectations: list[Expectation],
+    exempt: Column | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Split ``df`` into (passing, violating) by the conjunction of
+    row-level expectations — the gating counterpart of ``dq_report``
+    (which only measures). Aggregate-level expectations (uniqueness)
+    have no per-row truth value and are rejected.
+
+    ``exempt`` rows pass unconditionally — the CDC pipeline passes
+    ``is_delete`` here, because a delete event's after-image is
+    legitimately NULL and must not be quarantined by a completeness
+    check on a payload column.
+
+    Nulls follow SQL semantics pessimistically: a predicate evaluating
+    to NULL counts as a violation (``coalesce(pred, false)``), so a
+    NULL value cannot slip through an accepted-values or range check.
+    """
+    preds = []
+    for e in expectations:
+        if e.distinct_col is not None:
+            raise ValueError(
+                f"{e.name}: uniqueness is aggregate-level; row_gate takes "
+                "row-level expectations only"
+            )
+        preds.append(F.coalesce(e.pred, F.lit(False)))
+    ok = preds[0]
+    for p in preds[1:]:
+        ok = ok & p
+    if exempt is not None:
+        ok = F.coalesce(exempt, F.lit(False)) | ok
+    return df.filter(ok), df.filter(~ok)
+
+
 def dq_report(df: DataFrame, expectations: list[Expectation]) -> DataFrame:
     """Evaluate all expectations in one aggregation pass. Returns
     ``(check_name, n_pass, n_total, ratio, passed)`` one row per

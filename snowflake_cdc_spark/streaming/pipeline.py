@@ -45,19 +45,35 @@ class CdcPipeline:
         sink: ParquetSnapshotSink,
         fail_on_write_error: bool = True,
         quarantine_dir: str | None = None,
+        dq_expectations: dict[str, list] | None = None,
     ) -> None:
         """``fail_on_write_error`` mirrors the reference's
         ``failOnWriteError: True`` default (add_output.py:115): a failing
         table merge aborts the batch (and the stream). The permissive mode
         writes the failed table's changes to ``quarantine_dir`` and keeps
         the remaining tables flowing — one poisoned table must not stall
-        the other 499 at scale."""
+        the other 499 at scale.
+
+        ``dq_expectations`` (S5 extension, ``operators/expectations.py``):
+        per-target-table row-level expectations gating the flattened
+        change rows BEFORE the latest-by-key reduce — violating rows are
+        diverted to ``quarantine_dir/<table>/dq_batch=<id>`` and never
+        reach the merge. Delete events are exempt (their after-image is
+        legitimately NULL). Gating requires ``quarantine_dir``: a quality
+        gate that silently drops rows is a data-loss bug, not a policy."""
+        if dq_expectations and not quarantine_dir:
+            raise ValueError(
+                "dq_expectations requires quarantine_dir — gated rows are "
+                "diverted, never silently dropped"
+            )
         self.spark = spark
         self.specs = specs
         self.sink = sink
         self.fail_on_write_error = fail_on_write_error
         self.quarantine_dir = quarantine_dir
+        self.dq_expectations = dq_expectations or {}
         self.write_errors: list[tuple[str, int, str]] = []  # (table, batch, err)
+        self.dq_violations: list[tuple[str, int, int]] = []  # (table, batch, n)
 
     # ---- per-table transform (pure, testable) ---------------------------
 
@@ -145,6 +161,21 @@ class CdcPipeline:
         try:
             for spec in self.specs:
                 changes = self.transform(events, spec)
+                exps = self.dq_expectations.get(spec.target_table)
+                if exps:
+                    from snowflake_cdc_spark.operators.expectations import row_gate
+
+                    changes, bad = row_gate(
+                        changes, exps, exempt=F.col("is_delete")
+                    )
+                    n_bad = bad.count()
+                    if n_bad:
+                        bad.write.mode("overwrite").parquet(
+                            f"{self.quarantine_dir}/{spec.target_table}/dq_batch={batch_id}"
+                        )
+                        self.dq_violations.append(
+                            (spec.target_table, batch_id, n_bad)
+                        )
                 keys = self._key_cols(spec)
                 # pre-reduce before the sink merge: ≤1 row/key enters MERGE
                 reduced = latest_by_key(changes, keys, "seq")

@@ -126,3 +126,93 @@ class TestDqReport:
         rep = dq_report(df, [not_null("id"), accepted_values("v", [0, 1, 2, 3, 4])])
         plan = rep._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Scan parquet") == 1
+
+
+class TestPipelineDqGate:
+    """Row-level DQ gating inside the CDC pipeline (S5 extension):
+    violating change rows are quarantined before the merge, delete
+    events are exempt, and the snapshot equals the oracle computed on
+    the passing rows only."""
+
+    def test_gate_quarantines_and_snapshot_matches_oracle(self, spark, tmp_path):
+        from pyspark.sql import Window
+
+        from snowflake_cdc_spark.operators.expectations import in_range
+        from snowflake_cdc_spark.plans.spec import DeleteStrategy, PipelineSpec
+        from snowflake_cdc_spark.sinks.parquet_sink import ParquetSnapshotSink
+        from snowflake_cdc_spark.sources.cdc import (
+            ORDER_COLS,
+            cdc_events_flat,
+            cdc_events_nested,
+        )
+        from snowflake_cdc_spark.streaming.pipeline import CdcPipeline
+        from tests.conftest import SF_SMOKE
+
+        raw = str(tmp_path / "raw")
+        cdc_events_nested(spark, SF_SMOKE).write.parquet(raw)
+        sink = ParquetSnapshotSink(str(tmp_path / "wh"))
+        qdir = str(tmp_path / "quarantine")
+        bound = 300000
+        pipe = CdcPipeline(
+            spark,
+            [
+                PipelineSpec(
+                    "tpch.orders",
+                    use_synthetic_key=True,
+                    delete_strategy=DeleteStrategy.HARD,
+                )
+            ],
+            sink,
+            quarantine_dir=qdir,
+            dq_expectations={"ORDERS": [in_range("o_totalprice", 0, bound)]},
+        )
+        pipe.run_batch(raw)
+
+        # Oracle: gate the flat fixture the same way (deletes exempt),
+        # then latest-by-key, hard-delete filter.
+        flat = cdc_events_flat(spark, SF_SMOKE).filter(
+            F.col("is_delete")
+            | F.col("row_o_totalprice").between(0, bound)
+        )
+        w = Window.partitionBy("primary_key").orderBy(F.col("seq").desc())
+        oracle = (
+            flat.withColumn("rn", F.row_number().over(w))
+            .filter((F.col("rn") == 1) & ~F.col("is_delete"))
+            .select(
+                "primary_key", "seq",
+                *[F.col(f"row_{c}").alias(c) for c in ORDER_COLS],
+            )
+        )
+        got = sink.read(spark, "ORDERS")
+        cols = sorted(oracle.columns)
+        assert sorted(c for c in got.columns if c in cols) == cols
+        canon = lambda df: sorted(  # noqa: E731
+            tuple(str(r[c]) for c in cols) for r in df.select(*cols).collect()
+        )
+        assert canon(got) == canon(oracle)
+
+        # violators really exist and really landed in quarantine
+        assert pipe.dq_violations and pipe.dq_violations[0][0] == "ORDERS"
+        n_bad = pipe.dq_violations[0][2]
+        assert n_bad > 0
+        qdf = spark.read.parquet(f"{qdir}/ORDERS/dq_batch=0")
+        assert qdf.count() == n_bad
+        assert qdf.filter(F.col("is_delete")).count() == 0  # deletes exempt
+
+    def test_gate_without_quarantine_dir_rejected(self, spark):
+        from snowflake_cdc_spark.operators.expectations import not_null
+        from snowflake_cdc_spark.plans.spec import PipelineSpec
+        from snowflake_cdc_spark.sinks.parquet_sink import ParquetSnapshotSink
+
+        from snowflake_cdc_spark.streaming.pipeline import CdcPipeline
+
+        try:
+            CdcPipeline(
+                spark,
+                [PipelineSpec("tpch.orders")],
+                ParquetSnapshotSink("/tmp/x"),
+                dq_expectations={"ORDERS": [not_null("o_custkey")]},
+            )
+            raise AssertionError("expected ValueError")
+        except ValueError:
+            pass
