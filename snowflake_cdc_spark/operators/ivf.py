@@ -72,14 +72,16 @@ def _train_centroids(X, n_cells: int, seed: int, max_iter: int):
 
     rng = np.random.RandomState(seed)
     n = X.shape[0]
-    # k-means++ seeding
+    # k-means++ seeding, incremental: keep the running min-distance² and
+    # fold in ONLY the newest center each step — O(k·n·d) total, not the
+    # O(k²·n·d) of recomputing the full center-distance matrix per step
+    # (at k=256 codewords for PQ that difference is ~100× wall clock).
     centers = [X[rng.randint(n)]]
+    d2 = ((X - centers[0]) ** 2).sum(1)
     for _ in range(1, n_cells):
-        d2 = np.min(
-            ((X[:, None, :] - np.array(centers)[None, :, :]) ** 2).sum(-1), axis=1
-        )
         probs = d2 / d2.sum() if d2.sum() > 0 else None
         centers.append(X[rng.choice(n, p=probs)])
+        d2 = np.minimum(d2, ((X - centers[-1]) ** 2).sum(1))
     C = np.array(centers)
     for _ in range(max_iter):
         # ||x-c||² = ||x||² - 2x·c + ||c||²; argmin drops the ||x||² term

@@ -17,10 +17,12 @@ Spark shape (FAISS posture, mirroring ``build_ivf``):
    count() pre-pass), driver-side numpy, seeded — deterministic.
 2. **encode**: ONE distributed pass; a vectorized ``pandas_udf`` argmins
    each subspace against its (tiny, closure-broadcast) codebook.
-3. **search**: codes ⨯ (broadcast) queries scored by vectorized ADC
-   (decode codes to centroids, squared-L2 against the query — one numpy
-   gather + matmul-free reduction per Arrow batch); top-``shortlist``
-   per query by (adc, id); exact cosine re-rank of the shortlist only.
+3. **search**: codes ⨯ (broadcast) queries scored by vectorized ADC in
+   LUT form — per-query m×k subspace-distance tables precomputed once
+   in the UDF closure, each Arrow batch is one fancy gather + sum, and
+   only ``(code, query_id)`` crosses the Arrow boundary (never the raw
+   query vector); top-``shortlist`` per query by (adc, id); exact
+   cosine re-rank of the shortlist only.
 
 Everything is deterministic given the seed: seeded k-means, argmin
 lowest-index tie-break, float64 ADC, (value, id) total orders. The
@@ -102,25 +104,31 @@ def build_pq(
     )
 
 
-def _adc_udf(index: PqIndex):
-    """Vectorized asymmetric-distance pandas UDF: squared L2 between the
-    query and the DECODED code (per Arrow batch: one fancy-gather per
-    subspace, float64 reduction — no Python per-row work)."""
+def _adc_udf(index: PqIndex, queries: DataFrame, query_id: str, query_vec: str):
+    """Vectorized asymmetric-distance pandas UDF in the classic LUT form
+    (Jégou §IV-A): the (small, broadcastable-by-contract) query set is
+    collected into the closure and expanded to a per-query m×k table of
+    subspace distances ONCE; each Arrow batch then reduces to one fancy
+    gather + sum. Crucially the UDF input is ``(code, query_id)`` — 8
+    ints + a key per pair — NOT the raw query vector, which would
+    otherwise ship |corpus|×|queries| copies of a 64-double array
+    through Arrow (measured ~2× the whole check's wall clock)."""
     import numpy as np
     import pandas as pd
 
     books = np.stack([b.astype(np.float64) for b in index.codebooks])  # (m,k,sub)
-    m, _, sub = books.shape
+    m, k, sub = books.shape
+    qrows = queries.select(query_id, query_vec).collect()
+    qkey = {r[0]: i for i, r in enumerate(qrows)}
+    # LUT[i, j, c] = ||q_i[sub_j] - books[j][c]||²
+    Q = np.array([r[1] for r in qrows], dtype=np.float64).reshape(len(qrows), m, 1, sub)
+    lut = ((Q - books[None, :, :, :]) ** 2).sum(3)  # (nq, m, k)
+    jj = np.arange(m)
 
-    def _adc(code_col, q_col):
+    def _adc(code_col, qid_col):
         C = np.vstack(code_col.to_numpy()).astype(np.int64)  # (n, m)
-        Q = np.vstack(q_col.to_numpy()).astype(np.float64)  # (n, dim)
-        out = np.zeros(len(C), dtype=np.float64)
-        for j in range(m):
-            decoded = books[j][C[:, j]]  # (n, sub)
-            d = decoded - Q[:, j * sub : (j + 1) * sub]
-            out += (d * d).sum(1)
-        return pd.Series(out)
+        qidx = qid_col.map(qkey).to_numpy(dtype=np.int64)
+        return pd.Series(lut[qidx[:, None], jj[None, :], C].sum(1))
 
     return F.pandas_udf(_adc, DoubleType())
 
@@ -137,7 +145,7 @@ def pq_search(
     """Top-k cosine neighbors per query: ADC over the codes table ->
     top-``shortlist`` by (adc asc, id) -> exact cosine re-rank. Output
     (query_id, <id_col>, sim)."""
-    adc = _adc_udf(index)
+    adc = _adc_udf(index, queries, query_id, query_vec)
     # Approx pass carries ONLY (query_id, id, adc) — the raw vectors never
     # enter the shortlist shuffle (the codes relation is the 32×-smaller
     # one; that's the whole point of PQ).
@@ -147,7 +155,7 @@ def pq_search(
     approx = cand.select(
         query_id,
         index.id_col,
-        adc(F.col("code"), F.col(query_vec)).alias("__adc"),
+        adc(F.col("code"), F.col(query_id)).alias("__adc"),
     )
     w_short = Window.partitionBy(query_id).orderBy("__adc", index.id_col)
     shortlisted = (
@@ -193,14 +201,14 @@ def pq_recall_check(
     then one exact-cosine sort yields both the exhaustive rank
     (row_number) and the ANN rank (running sum of the flag — exactly the
     rank ``pq_search``'s re-rank assigns, same (sim desc, id) order)."""
-    adc = _adc_udf(index)
+    adc = _adc_udf(index, queries, query_id, query_vec)
     cand = (
         index.codes.crossJoin(F.broadcast(queries))
         .filter(F.col(index.id_col) != F.col(query_id))
         .select(
             query_id,
             index.id_col,
-            adc(F.col("code"), F.col(query_vec)).alias("__adc"),
+            adc(F.col("code"), F.col(query_id)).alias("__adc"),
             F.round(
                 cosine_similarity(F.col(index.vec_col), F.col(query_vec)), 4
             ).alias("sim"),
