@@ -49,12 +49,46 @@ class PqIndex:
     closures) + the distributed codes table (<id_col>, <vec_col>, code)."""
 
     codebooks: list  # list[np.ndarray (k, sub_dim)]
-    codes: DataFrame
+    codes: DataFrame | None  # set right after construction in build_pq
     id_col: str
     vec_col: str
     m: int = 8
     k: int = 16
     extras: dict = field(default_factory=dict)
+
+
+def _encode_udf(codebooks: list):
+    """Vectorized encoder against FROZEN codebooks: per Arrow batch, one
+    argmin per subspace (``||v-c||² argmin ≡ (-2 v·c + ||c||²) argmin``;
+    ties -> lowest index)."""
+    import numpy as np
+    import pandas as pd
+
+    books_arr = np.stack([b.astype(np.float64) for b in codebooks])  # (m,k,sub)
+    b_sq = (books_arr**2).sum(2)  # (m, k)
+    m, _, sub = books_arr.shape
+
+    def _encode(col):
+        V = np.vstack(col.to_numpy()).astype(np.float64)  # (n, dim)
+        codes = np.empty((len(V), m), dtype=np.int32)
+        for j in range(m):
+            Vj = V[:, j * sub : (j + 1) * sub]
+            codes[:, j] = (-2 * Vj @ books_arr[j].T + b_sq[j][None, :]).argmin(1)
+        return pd.Series(list(codes))
+
+    return F.pandas_udf(_encode, ArrayType(IntegerType()))
+
+
+def encode_with(index: PqIndex, vectors: DataFrame) -> DataFrame:
+    """Encode new vectors against an existing index's frozen codebooks —
+    the index-maintenance path: inside a streaming ``foreachBatch`` this
+    appends codes for arriving vectors without ever re-encoding (or
+    re-training on) the corpus. Deterministic: a vector encodes to the
+    same code on every engine, batch, and partitioning."""
+    udf = _encode_udf(index.codebooks)
+    return vectors.select(
+        index.id_col, index.vec_col, udf(F.col(index.vec_col)).alias("code")
+    )
 
 
 def build_pq(
@@ -70,7 +104,6 @@ def build_pq(
     """Train per-subspace codebooks on a bounded sample, then encode the
     corpus in one distributed pass. ``m`` must divide the dimension."""
     import numpy as np
-    import pandas as pd
 
     rows = bounded_md5_sample(corpus, id_col, [id_col, vec_col], train_sample)
     X = np.array([r[1] for r in rows], dtype=np.float64)
@@ -84,24 +117,11 @@ def build_pq(
         _train_centroids(X[:, j * sub : (j + 1) * sub], k, seed + j, max_iter)
         for j in range(m)
     ]
-    books_arr = np.stack(books)  # (m, k, sub)
-    b_sq = (books_arr**2).sum(2)  # (m, k)
-
-    def _encode(col):
-        V = np.vstack(col.to_numpy()).astype(np.float64)  # (n, dim)
-        n = V.shape[0]
-        codes = np.empty((n, m), dtype=np.int32)
-        for j in range(m):
-            Vj = V[:, j * sub : (j + 1) * sub]
-            # ||v-c||² argmin ≡ (-2 v·c + ||c||²) argmin; ties -> lowest index
-            codes[:, j] = (-2 * Vj @ books_arr[j].T + b_sq[j][None, :]).argmin(1)
-        return pd.Series(list(codes))
-
-    encode_udf = F.pandas_udf(_encode, ArrayType(IntegerType()))
-    codes = corpus.select(id_col, vec_col, encode_udf(F.col(vec_col)).alias("code"))
-    return PqIndex(
-        codebooks=books, codes=codes, id_col=id_col, vec_col=vec_col, m=m, k=k
+    index = PqIndex(
+        codebooks=books, codes=None, id_col=id_col, vec_col=vec_col, m=m, k=k
     )
+    index.codes = encode_with(index, corpus)
+    return index
 
 
 def _adc_udf(index: PqIndex, queries: DataFrame, query_id: str, query_vec: str):

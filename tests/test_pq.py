@@ -76,3 +76,50 @@ def test_tight_shortlist_still_returns_k_rows_per_query(spark):
     for r in out.collect():
         per_q[r.query_id] += 1
     assert all(n == 5 for n in per_q.values())
+
+
+def test_streaming_incremental_encode_matches_batch(spark, tmp_path):
+    """Index maintenance: vectors arriving through a stream are encoded
+    incrementally (frozen codebooks, foreachBatch append) and the
+    resulting codes table must equal the one-shot batch encode — i.e.
+    the index can be kept current without ever re-encoding the corpus."""
+    from snowflake_cdc_spark.operators.pq import build_pq
+
+    emb = _emb(spark)
+    idx = build_pq(emb, m=8, k=16)
+    batch_codes = {
+        (r.vec_id, tuple(r.code))
+        for r in idx.codes.select("vec_id", "code").collect()
+    }
+
+    # land the corpus as 3 files so availableNow sees multiple batches
+    src = str(tmp_path / "vecs")
+    emb.withColumn("__c", F.col("vec_id") % 3).repartition(3, "__c").drop(
+        "__c"
+    ).write.parquet(src)
+    out = str(tmp_path / "codes")
+
+    def encode_batch(batch_df, batch_id):
+        # frozen codebooks, no retraining — the index-maintenance path
+        from snowflake_cdc_spark.operators.pq import encode_with
+
+        encode_with(idx, batch_df).select("vec_id", "code").write.mode(
+            "append"
+        ).parquet(out)
+
+    q = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(encode_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    stream_codes = {
+        (r.vec_id, tuple(r.code))
+        for r in spark.read.parquet(out).collect()
+    }
+    assert stream_codes == batch_codes
