@@ -84,11 +84,11 @@ def encode_with(index: PqIndex, vectors: DataFrame) -> DataFrame:
     the index-maintenance path: inside a streaming ``foreachBatch`` this
     appends codes for arriving vectors without ever re-encoding (or
     re-training on) the corpus. Deterministic: a vector encodes to the
-    same code on every engine, batch, and partitioning."""
+    same code on every engine, batch, and partitioning. Preserves every
+    input column (an IVF cell id rides along untouched — see
+    ``operators/ivfpq.py``) and appends ``code``."""
     udf = _encode_udf(index.codebooks)
-    return vectors.select(
-        index.id_col, index.vec_col, udf(F.col(index.vec_col)).alias("code")
-    )
+    return vectors.withColumn("code", udf(F.col(index.vec_col)))
 
 
 def build_pq(

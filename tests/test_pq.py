@@ -123,3 +123,42 @@ def test_streaming_incremental_encode_matches_batch(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert stream_codes == batch_codes
+
+
+class TestIvfPq:
+    """IVF-PQ composition (operators/ivfpq.py): cell pruning × code
+    compression."""
+
+    def test_full_probe_full_shortlist_equals_brute_force(self, spark):
+        from snowflake_cdc_spark.operators.ivfpq import build_ivfpq, ivfpq_search
+
+        emb = _emb(spark)
+        q = _queries(emb, mod=100)
+        idx = build_ivfpq(emb, n_cells=16, m=8, k=256)
+        ann = ivfpq_search(idx, q, k=5, nprobe=16, shortlist=10_000)
+        exact = cosine_topk(emb, q, k=5)
+        assert sorted(map(tuple, ann.collect())) == sorted(map(tuple, exact.collect()))
+
+    def test_pruned_search_recall(self, spark):
+        from snowflake_cdc_spark.operators.ivfpq import build_ivfpq, ivfpq_search
+
+        emb = _emb(spark)
+        q = _queries(emb, mod=10)
+        idx = build_ivfpq(emb, n_cells=16, m=8, k=256)
+        ann = {
+            (r.query_id, r.vec_id)
+            for r in ivfpq_search(idx, q, k=5, nprobe=12, shortlist=100).collect()
+        }
+        exact = {(r.query_id, r.vec_id) for r in cosine_topk(emb, q, k=5).collect()}
+        recall = len(ann & exact) / len(exact)
+        # both approximations stack: IVF@nprobe=12 alone measures 0.948-0.952,
+        # PQ@shortlist=100 alone 0.992 (sf0.01) — the composition stays >= 0.9
+        assert recall >= 0.9, recall
+
+    def test_codes_table_carries_cell_and_code(self, spark):
+        from snowflake_cdc_spark.operators.ivfpq import build_ivfpq
+
+        emb = _emb(spark)
+        idx = build_ivfpq(emb, n_cells=16, m=8, k=16)
+        row = idx.pq.codes.select("vec_id", "cell_id", "code").first()
+        assert 0 <= row.cell_id < 16 and len(row.code) == 8
