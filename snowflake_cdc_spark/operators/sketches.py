@@ -1,0 +1,71 @@
+"""Deterministic count-min sketch (Cormode & Muthukrishnan 2005) —
+mergeable frequency summaries whose answers are HASH-CHECKABLE, not
+just bounded.
+
+The engine's other approximate lanes (HLL q49, IVF q52, GK-percentile
+q127, PQ q133) are nondeterministic-by-engine sketches and therefore
+declared as bounded-error checks. A count-min sketch has no such
+excuse: its only randomness is the hash family, so building it from
+md5 (the engine-portable hash used by every dedup/sampling operator
+here) makes the ENTIRE sketch — counters, estimates, heavy-hitter
+set — bit-identical on any engine that can compute md5. The q134
+oracle re-derives the full sketch in SQL and must hash-match.
+
+Shape: ``d`` rows × 256 buckets; hash_i(key) = first two hex chars of
+``md5(i || ':' || key)`` (a STRING bucket id — no numeric base
+conversion needed on either engine). Standard CM guarantees hold:
+``est >= true`` always; ``est <= true + eps*N`` w.h.p. across the d
+rows.
+
+Scale: the exploded build relation is ``d × |input|`` one-hot rows but
+the aggregation is map-side-combined into at most ``d × 256`` counters
+per partition — the sketch that crosses the shuffle is KBs regardless
+of input size, and sketches of partitions/batches merge by addition
+(the streaming story: one sketch per micro-batch, summed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _bucket(i: int, key) -> "F.Column":
+    return F.substring(
+        F.md5(F.concat(F.lit(f"{i}:"), key.cast("string"))), 1, 2
+    )
+
+
+def countmin_sketch(df: DataFrame, key_col: str, d: int = 4) -> DataFrame:
+    """Build the sketch: (i, b, cnt) with at most d×256 rows."""
+    pairs = F.array(
+        *[
+            F.struct(F.lit(i).alias("i"), _bucket(i, F.col(key_col)).alias("b"))
+            for i in range(d)
+        ]
+    )
+    return (
+        df.select(F.explode(pairs).alias("p"))
+        .select("p.i", "p.b")
+        .groupBy("i", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def countmin_estimate(
+    sketch: DataFrame, keys: DataFrame, key_col: str, d: int = 4
+) -> DataFrame:
+    """Point-estimate each key: min over the d rows of its bucket
+    counter. ``keys`` may carry extra columns (they survive). The sketch
+    is tiny — broadcast, never shuffled with the keys."""
+    out = keys
+    for i in range(d):
+        s_i = sketch.filter(F.col("i") == i).select(
+            F.col("b").alias(f"__b{i}"), F.col("cnt").alias(f"__c{i}")
+        )
+        out = out.withColumn(f"__b{i}", _bucket(i, F.col(key_col))).join(
+            F.broadcast(s_i), f"__b{i}", "left"
+        )
+    est = F.least(*[F.coalesce(F.col(f"__c{i}"), F.lit(0)) for i in range(d)])
+    return out.withColumn("est_cnt", est).drop(
+        *[c for i in range(d) for c in (f"__b{i}", f"__c{i}")]
+    )

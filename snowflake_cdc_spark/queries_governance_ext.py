@@ -1,6 +1,9 @@
-"""Round-3 extension q130-q133: corpus retrieval scoring and
+"""Round-3 extension q130-q134: corpus retrieval scoring and
 governance — BM25 keyword ranking, per-domain document caps, a
-one-scan data-quality expectation report, and product-quantization ANN.
+one-scan data-quality expectation report, product-quantization ANN,
+and count-min heavy hitters (the first approximate lane with a FULL
+hash-checked oracle: its md5 hash family is engine-portable, so the
+DuckDB side re-derives every counter — see operators/sketches.py).
 
 These round out the training-data curation lane (SURVEY.md §2.8
 N-family) with the three operations a warehouse user downstream of the
@@ -199,3 +202,72 @@ def q133(spark, sf_dir):
     )
     idx = build_pq(emb, m=8, k=256)
     return pq_recall_check(idx, queries, k=5, shortlist=100, min_recall=0.9)
+
+
+# --------------------------------------------------------------------------
+# Q134 — count-min heavy hitters with a COMPLETE oracle (md5 hash family
+# makes the whole sketch engine-portable — unlike the bounded-error lanes)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q134_countmin_heavy_hitters",
+    """WITH sk AS (
+         SELECT i, substr(md5(CAST(i AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), 1, 2) AS b,
+                CAST(count(*) AS BIGINT) AS cnt
+         FROM events, unnest(generate_series(0, 3)) AS t(i)
+         GROUP BY 1, 2),
+       thr AS (
+         SELECT CAST(ceil(1.2 * (CAST(count(*) AS DOUBLE) / CAST(count(DISTINCT user_id) AS DOUBLE))) AS BIGINT) AS t
+         FROM events),
+       keys AS (SELECT user_id, CAST(count(*) AS BIGINT) AS exact_cnt FROM events GROUP BY 1),
+       est AS (
+         SELECT k.user_id, k.exact_cnt,
+                min(sk.cnt) AS est_cnt
+         FROM keys k,
+              unnest(generate_series(0, 3)) AS t(i)
+         JOIN sk ON sk.i = t.i
+               AND sk.b = substr(md5(CAST(t.i AS VARCHAR) || ':' || CAST(k.user_id AS VARCHAR)), 1, 2)
+         GROUP BY 1, 2)
+       SELECT user_id, exact_cnt, est_cnt
+       FROM est, thr WHERE est_cnt >= thr.t
+       ORDER BY user_id""",
+    "count-min heavy hitters (operators/sketches.py, d=4 x 256 buckets): "
+    "the hash family is md5, so the ENTIRE sketch is engine-portable and "
+    "this approximate operator gets a FULL hash-checked oracle (the "
+    "DuckDB side re-derives every counter) — unlike the q49/q52/q127/"
+    "q133 bounded-error lanes whose sketches are engine-internal. "
+    "Threshold adapts to SF: ceil(1.2 x mean per-key count). CM "
+    "guarantee est >= exact visible in the output columns. Sketch is "
+    "<= 1024 counters (KBs) after map-side combine; batch sketches "
+    "merge by addition (streaming posture)",
+)
+def q134(spark, sf_dir):
+    from snowflake_cdc_spark.operators.sketches import (
+        countmin_estimate,
+        countmin_sketch,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    sketch = countmin_sketch(ev, "user_id", d=4)
+    keys = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_cnt")
+    )
+    thr = ev.agg(
+        F.ceil(
+            F.lit(1.2)
+            * (
+                F.count(F.lit(1)).cast("double")
+                / F.count_distinct("user_id").cast("double")
+            )
+        )
+        .cast("bigint")
+        .alias("__t")
+    )
+    est = countmin_estimate(sketch, keys, "user_id", d=4)
+    return (
+        est.crossJoin(F.broadcast(thr))
+        .filter(F.col("est_cnt") >= F.col("__t"))
+        .select("user_id", "exact_cnt", F.col("est_cnt").cast("bigint").alias("est_cnt"))
+        .orderBy("user_id")
+    )

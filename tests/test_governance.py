@@ -216,3 +216,38 @@ class TestPipelineDqGate:
             raise AssertionError("expected ValueError")
         except ValueError:
             pass
+
+
+class TestCountMin:
+    def test_estimate_never_underestimates_and_merges(self, spark):
+        from snowflake_cdc_spark.operators.sketches import (
+            countmin_estimate,
+            countmin_sketch,
+        )
+
+        df = spark.range(0, 5000).select((F.col("id") % 37).alias("k"))
+        keys = df.groupBy("k").agg(F.count(F.lit(1)).alias("exact"))
+        est = countmin_estimate(countmin_sketch(df, "k"), keys, "k")
+        rows = est.collect()
+        assert all(r.est_cnt >= r.exact for r in rows)  # CM guarantee
+        assert len(rows) == 37
+
+        # mergeability: sketch(a) + sketch(b) == sketch(a union b)
+        a = df.filter(F.col("k") < 20)
+        b = df.filter(F.col("k") >= 20)
+        merged = (
+            countmin_sketch(a, "k")
+            .unionByName(countmin_sketch(b, "k"))
+            .groupBy("i", "b")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        whole = countmin_sketch(df, "k")
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, whole.collect())
+        )
+
+    def test_sketch_is_bounded(self, spark):
+        from snowflake_cdc_spark.operators.sketches import countmin_sketch
+
+        df = spark.range(0, 100000).select(F.col("id").alias("k"))  # all distinct
+        assert countmin_sketch(df, "k", d=4).count() <= 4 * 256
