@@ -69,3 +69,49 @@ def countmin_estimate(
     return out.withColumn("est_cnt", est).drop(
         *[c for i in range(d) for c in (f"__b{i}", f"__c{i}")]
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct-count sketch — Bar-Yossef et al. 2002.
+# Same portability property as count-min above: the "randomness" is md5,
+# so registers, estimates, and merges are bit-identical on any engine.
+# u_k is built from the first 13 hex chars (52 bits — an EXACT double:
+# numerator < 2^52, denominator 16^13 = 2^52), so the estimate
+# (k-1)/u_k is one correctly-rounded division of exact values — no
+# accumulation order anywhere. Merge = union of hash sets, re-take the
+# k smallest. Groups with fewer than k distinct keys degenerate to the
+# exact distinct count (the sketch IS the value set).
+# ---------------------------------------------------------------------------
+
+_KMV_DENOM = float(16**13)  # 2^52
+
+
+def kmv_sketch(
+    df: DataFrame, key_col: str, group_col: str, k: int = 32
+) -> DataFrame:
+    """(group, h, rk): the k lexicographically-smallest distinct md5
+    hashes per group. The distinct + window shuffle carries (group, 32B
+    hash), never the payload."""
+    from pyspark.sql import Window
+
+    hashed = df.select(
+        F.col(group_col), F.md5(F.col(key_col).cast("string")).alias("h")
+    ).distinct()
+    w = Window.partitionBy(group_col).orderBy("h")
+    return (
+        hashed.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+    )
+
+
+def kmv_estimate(sketch: DataFrame, group_col: str, k: int = 32) -> DataFrame:
+    """(group, kmv_est): (k-1)/u_k per group, or the exact count when the
+    group holds fewer than k distinct values."""
+    num = F.conv(F.substring(F.col("h"), 1, 13), 16, 10).cast("bigint")
+    agg = sketch.groupBy(group_col).agg(
+        F.max("rk").alias("__n_h"),
+        F.max(F.when(F.col("rk") == k, num)).alias("__num"),
+    )
+    est = F.when(F.col("__n_h") < k, F.col("__n_h").cast("double")).otherwise(
+        F.lit(float(k - 1)) / (F.col("__num").cast("double") / F.lit(_KMV_DENOM))
+    )
+    return agg.select(group_col, est.alias("kmv_est"))

@@ -1,4 +1,4 @@
-"""Round-3 extension q130-q134: corpus retrieval scoring and
+"""Round-3 extension q130-q135: corpus retrieval scoring and
 governance — BM25 keyword ranking, per-domain document caps, a
 one-scan data-quality expectation report, product-quantization ANN,
 and count-min heavy hitters (the first approximate lane with a FULL
@@ -270,4 +270,47 @@ def q134(spark, sf_dir):
         .filter(F.col("est_cnt") >= F.col("__t"))
         .select("user_id", "exact_cnt", F.col("est_cnt").cast("bigint").alias("est_cnt"))
         .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q135 — KMV distinct-count sketch, also with a COMPLETE oracle
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q135_kmv_distinct",
+    """WITH h AS (SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS h FROM events),
+       r AS (SELECT event_type, h,
+                    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+             FROM h),
+       sk AS (SELECT event_type, max(rk) AS n_h,
+                     max(CASE WHEN rk = 32 THEN ('0x' || substr(h, 1, 13))::BIGINT END) AS num
+              FROM r WHERE rk <= 32 GROUP BY 1),
+       ex AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+              FROM events GROUP BY 1)
+       SELECT ex.event_type, ex.n_exact,
+              CASE WHEN sk.n_h < 32 THEN CAST(sk.n_h AS DOUBLE)
+                   ELSE 31.0 / (CAST(num AS DOUBLE) / 4503599627370496.0) END AS kmv_est
+       FROM ex JOIN sk USING (event_type) ORDER BY event_type""",
+    "KMV (k=32 minimum values, Bar-Yossef 2002) distinct-user estimate "
+    "per event_type, next to the exact count — the second approximate "
+    "lane with a COMPLETE oracle (q134 pattern): the hash family is md5 "
+    "and u_k is an exact 52-bit dyadic double, so the estimate is one "
+    "correctly-rounded division both engines compute bit-identically. "
+    "The sketch shuffle carries (event_type, 32B hash), never payload "
+    "rows; sketches merge by union + re-take-k (tested)",
+)
+def q135(spark, sf_dir):
+    from snowflake_cdc_spark.operators.sketches import kmv_estimate, kmv_sketch
+
+    ev = _t(spark, sf_dir, "events")
+    sk = kmv_sketch(ev, "user_id", "event_type", k=32)
+    ex = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("bigint").alias("n_exact")
+    )
+    return (
+        ex.join(kmv_estimate(sk, "event_type", k=32), "event_type")
+        .select("event_type", "n_exact", "kmv_est")
+        .orderBy("event_type")
     )

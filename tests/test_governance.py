@@ -251,3 +251,41 @@ class TestCountMin:
 
         df = spark.range(0, 100000).select(F.col("id").alias("k"))  # all distinct
         assert countmin_sketch(df, "k", d=4).count() <= 4 * 256
+
+
+class TestKmv:
+    def test_small_groups_degenerate_to_exact(self, spark):
+        from snowflake_cdc_spark.operators.sketches import kmv_estimate, kmv_sketch
+
+        df = spark.range(0, 40).select(
+            (F.col("id") % 2).alias("g"), (F.col("id") % 10).alias("k")
+        )  # ids 0,2,4.. -> k in {0,2,4,6,8}: 5 distinct per group, < k=32
+        est = {r.g: r.kmv_est for r in kmv_estimate(kmv_sketch(df, "k", "g"), "g").collect()}
+        assert est == {0: 5.0, 1: 5.0}
+
+    def test_estimate_within_kmv_error_bound(self, spark):
+        from snowflake_cdc_spark.operators.sketches import kmv_estimate, kmv_sketch
+
+        n, k = 5000, 64
+        df = spark.range(0, n).select(F.lit("g").alias("g"), F.col("id").alias("kk"))
+        est = kmv_estimate(kmv_sketch(df, "kk", "g", k=k), "g", k=k).collect()[0].kmv_est
+        # KMV relative error ~ 1/sqrt(k-2); allow 4x
+        assert abs(est - n) / n < 4 / (k - 2) ** 0.5, est
+
+    def test_merge_is_union_retake_k(self, spark):
+        from snowflake_cdc_spark.operators.sketches import kmv_sketch
+        from pyspark.sql import Window
+
+        df = spark.range(0, 2000).select(F.lit("g").alias("g"), F.col("id").alias("k"))
+        a, b = df.filter(F.col("k") < 1200), df.filter(F.col("k") >= 800)  # overlap
+        w = Window.partitionBy("g").orderBy("h")
+        merged = (
+            kmv_sketch(a, "k", "g", k=32)
+            .select("g", "h")
+            .unionByName(kmv_sketch(b, "k", "g", k=32).select("g", "h"))
+            .distinct()
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 32)
+        )
+        whole = kmv_sketch(df, "k", "g", k=32)
+        assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
