@@ -1,4 +1,4 @@
-"""Round-3 extension q130-q135: corpus retrieval scoring and
+"""Round-3 extension q130-q136: corpus retrieval scoring and
 governance — BM25 keyword ranking, per-domain document caps, a
 one-scan data-quality expectation report, product-quantization ANN,
 and count-min heavy hitters (the first approximate lane with a FULL
@@ -313,4 +313,68 @@ def q135(spark, sf_dir):
         ex.join(kmv_estimate(sk, "event_type", k=32), "event_type")
         .select("event_type", "n_exact", "kmv_est")
         .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q136 — fixed-point PageRank (iterative numeric algorithm, exact oracle)
+# --------------------------------------------------------------------------
+
+def _pr_oracle_sql(iterations: int) -> str:
+    head = """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       edges AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+                 FROM li a JOIN li b
+                   ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+       nodes AS (SELECT DISTINCT l_partkey AS node FROM li),
+       deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
+       r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS rank FROM nodes)"""
+    its = []
+    for i in range(1, iterations + 1):
+        its.append(
+            f""",
+       r{i} AS (SELECT n.node,
+                     CAST(150000000 + (85 * coalesce(s.s, 0)) // 100 AS BIGINT) AS rank
+              FROM nodes n LEFT JOIN (
+                SELECT e.dst AS node, CAST(sum(r.rank // d.deg) AS BIGINT) AS s
+                FROM r{i-1} r
+                JOIN deg d ON d.src = r.node
+                JOIN edges e ON e.src = r.node
+                GROUP BY e.dst) s ON s.node = n.node)"""
+        )
+    return (
+        head
+        + "".join(its)
+        + f"""
+       SELECT node AS part, rank FROM r{iterations}
+       ORDER BY rank DESC, part LIMIT 20"""
+    )
+
+
+@register(
+    "q136_pagerank",
+    _pr_oracle_sql(3),
+    "fixed-point PageRank (operators/pagerank.py), 3 damped rounds over "
+    "the part co-purchase graph (parts sharing an order; edge build is "
+    "bounded by sum of per-order distinct-parts^2, the q27 class — never "
+    "corpus^2). Ranks are 10^9-scaled BIGINTs: integer div contributions "
+    "+ (85*s) div 100 damping mean every intermediate is exact, so the "
+    "iterative algorithm hash-matches a full DuckDB oracle — float "
+    "PageRank could never (per-node float sums are order-nondeterministic). "
+    "Per round: one src-partitioned join + one map-side-combined sum",
+)
+def q136(spark, sf_dir):
+    from snowflake_cdc_spark.operators.pagerank import pagerank_fixed
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "k").filter(F.col("src") != F.col("dst")).select("src", "dst").distinct()
+    )
+    nodes = li.select(F.col("l_partkey").alias("node")).distinct()
+    pr = pagerank_fixed(edges, nodes, iterations=3)
+    return (
+        pr.select(F.col("node").alias("part"), F.col("rank").cast("bigint").alias("rank"))
+        .orderBy(F.desc("rank"), "part")
+        .limit(20)
     )

@@ -289,3 +289,27 @@ class TestKmv:
         )
         whole = kmv_sketch(df, "k", "g", k=32)
         assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+
+
+class TestPagerank:
+    def test_hand_computed_fixed_point_values(self, spark):
+        from snowflake_cdc_spark.operators.pagerank import pagerank_fixed
+
+        edges = spark.createDataFrame([(1, 2)], ["src", "dst"])
+        nodes = spark.createDataFrame([(1,), (2,), (3,)], ["node"])
+        # R0 = 1e9 each. Node 1 receives nothing: R1(1) = 150000000.
+        # R1(2) = 150000000 + (85 * 1e9) div 100 = 1000000000.
+        # Node 3 is isolated: base rank forever.
+        r1 = {r.node: r.rank for r in pagerank_fixed(edges, nodes, 1).collect()}
+        assert r1 == {1: 150_000_000, 2: 1_000_000_000, 3: 150_000_000}
+        # R2(2) = 150000000 + (85 * (150000000 div 1)) div 100 = 277500000
+        r2 = {r.node: r.rank for r in pagerank_fixed(edges, nodes, 2).collect()}
+        assert r2 == {1: 150_000_000, 2: 277_500_000, 3: 150_000_000}
+
+    def test_symmetric_cycle_is_stationary(self, spark):
+        from snowflake_cdc_spark.operators.pagerank import pagerank_fixed
+
+        edges = spark.createDataFrame([(1, 2), (2, 1)], ["src", "dst"])
+        nodes = spark.createDataFrame([(1,), (2,)], ["node"])
+        r = {r.node: r.rank for r in pagerank_fixed(edges, nodes, 3).collect()}
+        assert r == {1: 1_000_000_000, 2: 1_000_000_000}
