@@ -15,9 +15,10 @@ with at most one final double division; ``passed`` is an integer
 comparison against the exact counts — no float thresholds anywhere.
 
 Note on uniqueness: ``count_distinct`` inside the same aggregate makes
-Catalyst plan an Expand (one extra pass over the shuffled, already
-column-pruned data — NOT a second table scan); the scan itself stays
-single.
+Catalyst rewrite to a two-level keyed aggregation (partial per key,
+then merge — one extra reduce over the already column-pruned data, NOT
+a second table scan); the scan itself stays single, plan-asserted in
+``test_governance.py::TestDqReport::test_single_scan_plan``.
 """
 
 from __future__ import annotations

@@ -1,4 +1,4 @@
-"""Round-3 extension q130-q136: corpus retrieval scoring and
+"""Round-3 extension q130-q137: corpus retrieval scoring and
 governance — BM25 keyword ranking, per-domain document caps, a
 one-scan data-quality expectation report, product-quantization ANN,
 and count-min heavy hitters (the first approximate lane with a FULL
@@ -378,3 +378,51 @@ def q136(spark, sf_dir):
         .orderBy(F.desc("rank"), "part")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# Q137 — triangle counting (degree-oriented wedge join, exact oracle)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q137_triangles",
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       und AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+               FROM li x JOIN li y
+                 ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+       deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d
+               FROM (SELECT a AS n FROM und UNION ALL SELECT b AS n FROM und)
+               GROUP BY 1),
+       ort AS (SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND u.a < u.b)
+                           THEN u.a ELSE u.b END AS u,
+                      CASE WHEN (da.d < db.d) OR (da.d = db.d AND u.a < u.b)
+                           THEN u.b ELSE u.a END AS v,
+                      CASE WHEN (da.d < db.d) OR (da.d = db.d AND u.a < u.b)
+                           THEN db.d ELSE da.d END AS dv
+               FROM und u
+               JOIN deg da ON da.n = u.a
+               JOIN deg db ON db.n = u.b),
+       w AS (SELECT l.v AS x, r.v AS y
+             FROM ort l JOIN ort r ON l.u = r.u
+             WHERE (l.dv < r.dv) OR (l.dv = r.dv AND l.v < r.v))
+       SELECT CAST(count(*) AS BIGINT) AS n_triangles
+       FROM w JOIN ort c ON c.u = w.x AND c.v = w.y""",
+    "triangle count over the part co-purchase graph via degree "
+    "orientation (operators/triangles.py, Schank-Wagner 'forward'): "
+    "orienting edges low-(deg,id) -> high caps every out-degree at "
+    "O(sqrt(m)), bounding the wedge join at O(m^1.5) regardless of hub "
+    "skew, and the (dv, v) canonical wedge order makes the closing-edge "
+    "probe a pure equi-join (no OR-join nested loop). Exact integer "
+    "count, full oracle of the same oriented algorithm",
+)
+def q137(spark, sf_dir):
+    from snowflake_cdc_spark.operators.triangles import triangle_count
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    x = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("a"))
+    y = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("b"))
+    und = (
+        x.join(y, "k").filter(F.col("a") < F.col("b")).select("a", "b").distinct()
+    )
+    return triangle_count(und)

@@ -313,3 +313,52 @@ class TestPagerank:
         nodes = spark.createDataFrame([(1,), (2,)], ["node"])
         r = {r.node: r.rank for r in pagerank_fixed(edges, nodes, 3).collect()}
         assert r == {1: 1_000_000_000, 2: 1_000_000_000}
+
+
+class TestTriangles:
+    def _count(self, spark, pairs):
+        from snowflake_cdc_spark.operators.triangles import triangle_count
+
+        und = spark.createDataFrame(pairs, ["a", "b"])
+        return triangle_count(und).collect()[0].n_triangles
+
+    def test_k4_has_four_triangles(self, spark):
+        k4 = [(i, j) for i in range(4) for j in range(4) if i < j]
+        assert self._count(spark, k4) == 4
+
+    def test_path_has_none_cycle_has_one(self, spark):
+        assert self._count(spark, [(1, 2), (2, 3), (3, 4)]) == 0
+        assert self._count(spark, [(1, 2), (2, 3), (1, 3)]) == 1
+
+    def test_hub_star_plus_rim(self, spark):
+        # star center 0 with 6 spokes + rim edges 1-2, 3-4 -> 2 triangles
+        edges = [(0, i) for i in range(1, 7)] + [(1, 2), (3, 4)]
+        assert self._count(spark, edges) == 2
+
+    def test_orientation_bounds_hub_wedges(self, spark):
+        """The scale claim, asserted on candidate COUNTS (deterministic),
+        not timings: on a planted 20k-spoke hub, the id-ordered naive
+        wedge join enumerates ~2e8 hub wedges; degree orientation points
+        every spoke edge AT the hub (max degree), so its wedge count
+        collapses to the rim's."""
+        from snowflake_cdc_spark.operators.triangles import orient_edges
+
+        n = 20_000
+        hub = spark.range(1, n + 1).select(
+            F.lit(0).alias("a"), F.col("id").alias("b")
+        )
+        rim = spark.range(1, n).select(
+            F.col("id").alias("a"), (F.col("id") + 1).alias("b")
+        )
+        und = hub.unionByName(rim)
+
+        def wedges(df, src):
+            d = df.groupBy(src).agg(F.count(F.lit(1)).alias("d"))
+            return d.agg(
+                F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("w")
+            ).collect()[0].w
+
+        naive_w = wedges(und, "a")  # id-ordered: hub 0 keeps all n spokes
+        ort_w = wedges(orient_edges(und), "u")
+        assert naive_w > 1e8
+        assert ort_w < 4 * n  # rim chains only — 5 orders of magnitude less

@@ -211,7 +211,7 @@ def main() -> None:
     p = plan_text(qs["q130_bm25"](spark, SF))
     sections.append(
         "## q130 — BM25: postings filtered before the tf shuffle\n\n```\n"
-        + grep(p, "Filter.*_term", "partial_count", "Generate", max_lines=6)
+        + grep(p, r"IN \(vector", "partial_count", r"^\(\d+\) Generate", max_lines=6)
         + "\n```\nThe `isin(query_terms)` filter sits directly above the "
         "explode and below the (doc, term) aggregation: the tf shuffle "
         "carries only rows mentioning a query term — at corpus scale the "
@@ -220,26 +220,28 @@ def main() -> None:
     )
 
     p = plan_text(qs["q132_dq_report"](spark, SF))
-    n_scan = p.count("Scan parquet")
+    n_scan = len(re.findall(r"^\(\d+\) Scan parquet", p, re.MULTILINE))
     sections.append(
         f"## q132 — DQ report compiles to ONE scan\n\nparquet scans in the "
         f"plan: **{n_scan}** — completeness/uniqueness/accepted-values/"
         "pattern/range all evaluate as conditional aggregates over a single "
         "pass (the naive one-query-per-constraint form scans 5×); the "
-        "count_distinct plans an Expand over the already-pruned columns, "
-        "not a second scan.\n"
+        "count_distinct rewrites to a two-level keyed aggregation over the "
+        "already-pruned columns (partial per o_orderkey, then merge), not "
+        "a second scan.\n"
     )
 
     p = plan_text(qs["q133_pq_ann"](spark, SF))
-    n_py = len(re.findall(r"ArrowEvalPython|BatchEvalPython", p))
+    n_py = len(re.findall(r"^\(\d+\) ArrowEvalPython", p, re.MULTILINE))
     sections.append(
-        f"## q133 — PQ recall check: one vectorized Python stage\n\n"
-        f"Python eval nodes: **{n_py}** (the LUT-ADC pandas_udf) — its input "
-        "projection is (code, query_id): the 64-double query vector never "
-        "crosses the Arrow boundary per candidate pair (the first "
-        "formulation that shipped it measured 13.2 s vs 8.1 s at sf0.1). "
-        "Exact cosine, both windows, and the recall aggregate are JVM "
-        "expressions.\n"
+        f"## q133 — PQ recall check: vectorized Python stages only\n\n"
+        f"ArrowEvalPython stages: **{n_py}** — the frozen-codebook encode "
+        "UDF (once per plan branch that reads the codes relation) and the "
+        "LUT-ADC scorer, whose input projection is (code, query_id): the "
+        "64-double query vector never crosses the Arrow boundary per "
+        "candidate pair (the formulation that shipped it measured 13.2 s "
+        "vs 8.1 s at sf0.1). Exact cosine, both windows, and the recall "
+        "aggregate are JVM expressions; no row-at-a-time Python exists.\n"
     )
 
     p = plan_text(qs["q134_countmin_heavy_hitters"](spark, SF))
