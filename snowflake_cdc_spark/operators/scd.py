@@ -27,7 +27,7 @@ disappears entirely on a bucketed landing (operators/bucketing.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["scd2_from_changes"]
@@ -67,4 +67,20 @@ def scd2_from_changes(
         F.lead(ts_col).over(w2).alias("valid_to"),
         F.lead(ts_col).over(w2).isNull().alias("is_current"),
         *[F.col(c) for c in (keep_cols or [])],
+    )
+
+
+def scd2_as_of(history: DataFrame, ts) -> DataFrame:
+    """Point-in-time (AS OF) read of an SCD2 history table: the version
+    valid at ``ts`` per key — ``valid_from <= ts < valid_to`` with the
+    open interval (``valid_to IS NULL``) matching everything after its
+    ``valid_from``. Inclusive-from / exclusive-to matches the interval
+    construction in ``scd2_from_changes`` (a change AT ``ts`` is already
+    visible AT ``ts``). ``ts`` may be a literal or a (broadcast scalar)
+    Column. A pure partition-prunable filter — no join, no window: at
+    warehouse scale an AS OF read costs one pruned scan of the history."""
+    t = ts if isinstance(ts, Column) else F.lit(ts)
+    return history.filter(
+        (F.col("valid_from") <= t)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
     )

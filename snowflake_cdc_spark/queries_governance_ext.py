@@ -1,4 +1,4 @@
-"""Round-3 extension q130-q137: corpus retrieval scoring and
+"""Round-3 extension q130-q138: corpus retrieval scoring and
 governance — BM25 keyword ranking, per-domain document caps, a
 one-scan data-quality expectation report, product-quantization ANN,
 and count-min heavy hitters (the first approximate lane with a FULL
@@ -426,3 +426,56 @@ def q137(spark, sf_dir):
         x.join(y, "k").filter(F.col("a") < F.col("b")).select("a", "b").distinct()
     )
     return triangle_count(und)
+
+
+# --------------------------------------------------------------------------
+# Q138 — point-in-time (AS OF) read over the SCD2 history
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q138_scd2_as_of",
+    """WITH ordered AS (
+         SELECT user_id, event_type, ts, event_id,
+                lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+                lag(1) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_first
+         FROM events),
+       opens AS (
+         SELECT user_id, event_type, ts, event_id FROM ordered
+         WHERE is_first OR prev IS DISTINCT FROM event_type),
+       hist AS (
+         SELECT user_id, event_type, ts AS valid_from,
+                lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+         FROM opens),
+       t AS (SELECT max(ts) AS t FROM events
+             WHERE event_id <= (SELECT max(event_id) // 2 FROM events))
+       SELECT h.user_id, h.event_type AS attr_as_of
+       FROM hist h, t
+       WHERE h.valid_from <= t.t AND (h.valid_to IS NULL OR h.valid_to > t.t)
+       ORDER BY h.user_id""",
+    "AS OF read (operators/scd.py::scd2_as_of): each user's attribute "
+    "version valid at the log's midpoint timestamp (deterministic scalar: "
+    "max ts among the first half of event ids, integer-div horizon). "
+    "Inclusive-from/exclusive-to interval semantics; the read itself is a "
+    "pure filter over the history — no join, no window: at warehouse "
+    "scale a time-travel query costs one partition-pruned scan. "
+    "Reference parity: the engine's AtTime replay (add_output.py:260,666) "
+    "re-materializes history; the SCD2 history + AS OF filter answers the "
+    "same question without replay",
+)
+def q138(spark, sf_dir):
+    from snowflake_cdc_spark.operators.scd import scd2_as_of, scd2_from_changes
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    hist = scd2_from_changes(ev, ["user_id"], "event_type", "ts", "event_id")
+    horizon = ev.agg(F.max("event_id").alias("__m")).select(
+        F.expr("__m div 2").alias("__h")
+    )
+    t = ev.join(F.broadcast(horizon)).filter(F.col("event_id") <= F.col("__h")).agg(
+        F.max("ts").alias("__t")
+    )
+    asof = scd2_as_of(hist.crossJoin(F.broadcast(t)), F.col("__t"))
+    return (
+        asof.select("user_id", F.col("event_type").alias("attr_as_of"))
+        .orderBy("user_id")
+    )

@@ -362,3 +362,22 @@ class TestTriangles:
         ort_w = wedges(orient_edges(und), "u")
         assert naive_w > 1e8
         assert ort_w < 4 * n  # rim chains only — 5 orders of magnitude less
+
+
+class TestScd2AsOf:
+    def test_boundary_semantics_inclusive_from_exclusive_to(self, spark):
+        from datetime import datetime
+
+        from snowflake_cdc_spark.operators.scd import scd2_as_of
+
+        t1 = datetime(2024, 1, 1)
+        t2 = datetime(2024, 2, 1)
+        hist = spark.createDataFrame(
+            [(1, "a", t1, t2, False), (1, "b", t2, None, True)],
+            ["k", "attr", "valid_from", "valid_to", "is_current"],
+        )
+        at = lambda ts: {r.k: r.attr for r in scd2_as_of(hist, ts).collect()}  # noqa: E731
+        assert at(t1) == {1: "a"}  # inclusive from: visible AT its open
+        assert at(t2) == {1: "b"}  # exclusive to: the successor wins AT t2
+        assert at(datetime(2023, 12, 1)) == {}  # before history
+        assert at(datetime(2030, 1, 1)) == {1: "b"}  # open interval
