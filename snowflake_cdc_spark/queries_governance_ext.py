@@ -1,4 +1,4 @@
-"""Round-3 extension q130-q138: corpus retrieval scoring and
+"""Round-3 extension q130-q139: corpus retrieval scoring and
 governance — BM25 keyword ranking, per-domain document caps, a
 one-scan data-quality expectation report, product-quantization ANN,
 and count-min heavy hitters (the first approximate lane with a FULL
@@ -48,6 +48,7 @@ from snowflake_cdc_spark.operators.expectations import (
 )
 from snowflake_cdc_spark.operators.retrieval import bm25_topk
 from snowflake_cdc_spark.queries import _t, register
+from snowflake_cdc_spark.sources.cdc import CDC_EVENTS_SQL
 
 # --------------------------------------------------------------------------
 # Q130 — BM25 retrieval: top-10 documents for a 3-term keyword query
@@ -478,4 +479,73 @@ def q138(spark, sf_dir):
     return (
         asof.select("user_id", F.col("event_type").alias("attr_as_of"))
         .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q139 — incremental JOIN-view maintenance (IVM, delta-key recompute)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q139_ivm_join",
+    CDC_EVENTS_SQL
+    + """, o AS (SELECT * FROM (
+           SELECT e.*, row_number() OVER (PARTITION BY primary_key ORDER BY seq DESC) AS rn
+           FROM cdc_events e)
+         WHERE rn = 1 AND NOT is_delete),
+       c AS (SELECT c_custkey,
+                    CASE WHEN c_custkey % 5 = 0 THEN 'UPDATED' ELSE c_mktsegment END AS c_mktsegment
+             FROM customer WHERE c_custkey % 97 <> 0)
+       SELECT o.row_o_orderkey AS o_orderkey,
+              o.row_o_custkey AS o_custkey,
+              c.c_mktsegment,
+              o.row_o_totalprice AS o_totalprice
+       FROM o JOIN c ON c.c_custkey = o.row_o_custkey
+       ORDER BY o_orderkey""",
+    "incremental JOIN-view maintenance (operators/ivm.py, delta-key "
+    "recompute): orders⋈customer maintained through 3 zipped CDC batches "
+    "— order inserts + customer load, order updates + customer segment "
+    "updates (custkey%5), order deletes + customer deletes (custkey%97, "
+    "cascading: their orders leave the view via the inner join). Per "
+    "batch only touched fact keys and fact rows referencing touched dim "
+    "keys recompute; the oracle joins the two FINAL snapshots from "
+    "scratch — the maintained view must equal it exactly (pure keyed set "
+    "algebra, no floats)",
+)
+def q139(spark, sf_dir):
+    from snowflake_cdc_spark.operators.ivm import JoinViewMaintainer
+    from snowflake_cdc_spark.sources.cdc import cdc_events_flat
+
+    flat = cdc_events_flat(spark, sf_dir)
+    fact = flat.select(
+        "primary_key",
+        "seq",
+        "is_delete",
+        "op",
+        F.coalesce(F.col("row_o_custkey"), F.col("old_row_o_custkey")).alias(
+            "o_custkey"
+        ),
+        F.col("row_o_orderkey").alias("o_orderkey"),
+        F.col("row_o_totalprice").alias("o_totalprice"),
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    dim_b0 = cust.select(
+        "c_custkey", "c_mktsegment",
+        F.lit(1).alias("seq"), F.lit(False).alias("is_delete"),
+    )
+    dim_b1 = cust.filter(F.col("c_custkey") % 5 == 0).select(
+        "c_custkey", F.lit("UPDATED").alias("c_mktsegment"),
+        F.lit(2).alias("seq"), F.lit(False).alias("is_delete"),
+    )
+    dim_b2 = cust.filter(F.col("c_custkey") % 97 == 0).select(
+        "c_custkey", F.lit(None).cast("string").alias("c_mktsegment"),
+        F.lit(3).alias("seq"), F.lit(True).alias("is_delete"),
+    )
+    m = JoinViewMaintainer("primary_key", "o_custkey", "c_custkey")
+    for op, dim_b in [("insert", dim_b0), ("update", dim_b1), ("delete", dim_b2)]:
+        m.apply_batch(fact.filter(F.col("op") == op).drop("op"), dim_b)
+    return (
+        m.view.select("o_orderkey", "o_custkey", "c_mktsegment", "o_totalprice")
+        .orderBy("o_orderkey")
     )

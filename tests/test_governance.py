@@ -381,3 +381,67 @@ class TestScd2AsOf:
         assert at(t2) == {1: "b"}  # exclusive to: the successor wins AT t2
         assert at(datetime(2023, 12, 1)) == {}  # before history
         assert at(datetime(2030, 1, 1)) == {1: "b"}  # open interval
+
+
+class TestIvmJoin:
+    """Join-view maintenance: after EVERY batch the maintained view must
+    equal a from-scratch join of the current snapshots."""
+
+    FSCHEMA = "fk bigint, jk bigint, val string, seq bigint, is_delete boolean"
+    DSCHEMA = "dk bigint, attr string, seq bigint, is_delete boolean"
+
+    def _changes(self, spark, rows, cols):
+        schema = self.FSCHEMA if cols[0] == "fk" else self.DSCHEMA
+        return spark.createDataFrame(rows, schema)
+
+    def test_every_batch_equals_scratch_recompute(self, spark):
+        from snowflake_cdc_spark.operators.ivm import JoinViewMaintainer
+
+        fcols = ["fk", "jk", "val", "seq", "is_delete"]
+        dcols = ["dk", "attr", "seq", "is_delete"]
+        fact_batches = [
+            [(1, 10, "a", 1, False), (2, 10, "b", 1, False), (3, 20, "c", 1, False)],
+            [(1, 20, "a2", 2, False), (4, 30, "d", 2, False)],  # move fk1 to dim 20
+            [(2, 10, None, 3, True)],  # delete fk2
+        ]
+        dim_batches = [
+            [(10, "x", 1, False), (20, "y", 1, False)],
+            [(20, "y2", 2, False), (30, "z", 2, False)],  # update 20, insert 30
+            [(10, "x", 3, True)],  # delete dim 10 -> cascades
+        ]
+        m = JoinViewMaintainer("fk", "jk", "dk")
+        for fb, db in zip(fact_batches, dim_batches):
+            view = m.apply_batch(
+                self._changes(spark, fb, fcols), self._changes(spark, db, dcols)
+            )
+            scratch = m.fact.join(
+                m.dim.withColumnRenamed("dk", "jk"), "jk"
+            )
+            assert sorted(map(tuple, view.select(*scratch.columns).collect())) == sorted(
+                map(tuple, scratch.collect())
+            )
+        final = {(r.fk, r.jk, r.val, r.attr) for r in m.view.collect()}
+        # fk1 moved to dim 20 (updated attr y2); fk2 deleted; fk3's dim 20
+        # updated; fk4 on dim 30; dim 10 deleted (no fact rows left on it)
+        assert final == {
+            (1, 20, "a2", "y2"),
+            (3, 20, "c", "y2"),
+            (4, 30, "d", "z"),
+        }
+
+    def test_fact_only_and_dim_only_batches(self, spark):
+        from snowflake_cdc_spark.operators.ivm import JoinViewMaintainer
+
+        fcols = ["fk", "jk", "val", "seq", "is_delete"]
+        dcols = ["dk", "attr", "seq", "is_delete"]
+        m = JoinViewMaintainer("fk", "jk", "dk")
+        m.apply_batch(
+            self._changes(spark, [(1, 10, "a", 1, False)], fcols),
+            self._changes(spark, [(10, "x", 1, False)], dcols),
+        )
+        # dim-only batch: update attr -> view row refreshes
+        v = m.apply_batch(None, self._changes(spark, [(10, "x2", 2, False)], dcols))
+        assert [(r.fk, r.attr) for r in v.collect()] == [(1, "x2")]
+        # fact-only batch: new row joins current dim state
+        v = m.apply_batch(self._changes(spark, [(2, 10, "b", 2, False)], fcols), None)
+        assert {(r.fk, r.attr) for r in v.collect()} == {(1, "x2"), (2, "x2")}
