@@ -265,3 +265,59 @@ class CdcPipeline:
                 or f"{self.specs[0].output_interval_minutes} minutes"
             )
         return writer.start()
+
+
+def replay_quarantine(
+    pipeline: CdcPipeline,
+    table: str,
+    batch_ids: list[int] | None = None,
+    kind: str = "dq",
+) -> int:
+    """Re-ingest quarantined rows after the upstream defect is fixed —
+    the second half of the quarantine contract (diverting rows is only
+    safe because they can come back). Reads
+    ``quarantine_dir/<table>/{dq_batch|batch}=<id>`` and merges the rows
+    through the NORMAL seq-guarded sink merge: replays are idempotent,
+    and a quarantined change that was later superseded by a higher seq
+    loses the merge race instead of regressing the row — so replaying
+    late, twice, or out of order is all safe. Re-applies the table's
+    CURRENT expectations first (a still-violating row stays quarantined;
+    pass an empty expectation list via ``pipeline.dq_expectations`` to
+    force-accept). Returns the number of rows merged."""
+    if not pipeline.quarantine_dir:
+        raise ValueError("pipeline has no quarantine_dir")
+    prefix = "dq_batch" if kind == "dq" else "batch"
+    base = f"{pipeline.quarantine_dir}/{table}"
+    spark = pipeline.spark
+    if batch_ids is None:
+        import os
+
+        if not os.path.isdir(base):
+            return 0
+        batch_ids = sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(base)
+            if d.startswith(f"{prefix}=")
+        )
+    spec = next(s for s in pipeline.specs if s.target_table == table)
+    merged = 0
+    for bid in batch_ids:
+        rows = spark.read.parquet(f"{base}/{prefix}={bid}")
+        exps = pipeline.dq_expectations.get(table)
+        if exps:
+            from snowflake_cdc_spark.operators.expectations import row_gate
+
+            rows, still_bad = row_gate(rows, exps, exempt=F.col("is_delete"))
+        keys = pipeline._key_cols(spec)
+        reduced = latest_by_key(rows, keys, "seq")
+        pipeline.sink.merge(
+            reduced,
+            spec.target_table,
+            key_cols=keys,
+            seq_col="seq",
+            delete_col="is_delete",
+            hard_delete=spec.delete_strategy is DeleteStrategy.HARD,
+            logical_col=spec.logical_delete_col,
+        )
+        merged += reduced.count()
+    return merged

@@ -445,3 +445,55 @@ class TestIvmJoin:
         # fact-only batch: new row joins current dim state
         v = m.apply_batch(self._changes(spark, [(2, 10, "b", 2, False)], fcols), None)
         assert {(r.fk, r.attr) for r in v.collect()} == {(1, "x2"), (2, "x2")}
+
+
+class TestQuarantineReplay:
+    def test_fixed_rows_rejoin_snapshot_idempotently(self, spark, tmp_path):
+        from pyspark.sql import Window
+
+        from snowflake_cdc_spark.operators.expectations import in_range
+        from snowflake_cdc_spark.plans.spec import DeleteStrategy, PipelineSpec
+        from snowflake_cdc_spark.sinks.parquet_sink import ParquetSnapshotSink
+        from snowflake_cdc_spark.sources.cdc import (
+            ORDER_COLS,
+            cdc_events_flat,
+            cdc_events_nested,
+        )
+        from snowflake_cdc_spark.streaming.pipeline import (
+            CdcPipeline,
+            replay_quarantine,
+        )
+        from tests.conftest import SF_SMOKE
+
+        raw = str(tmp_path / "raw")
+        cdc_events_nested(spark, SF_SMOKE).write.parquet(raw)
+        sink = ParquetSnapshotSink(str(tmp_path / "wh"))
+        pipe = CdcPipeline(
+            spark,
+            [PipelineSpec("tpch.orders", use_synthetic_key=True,
+                          delete_strategy=DeleteStrategy.HARD)],
+            sink,
+            quarantine_dir=str(tmp_path / "q"),
+            dq_expectations={"ORDERS": [in_range("o_totalprice", 0, 300000)]},
+        )
+        pipe.run_batch(raw)
+        gated = sink.read(spark, "ORDERS").count()
+        assert pipe.dq_violations  # rows were diverted
+
+        # upstream fixed: the bound was wrong — widen and replay
+        pipe.dq_expectations = {"ORDERS": [in_range("o_totalprice", 0, 10**9)]}
+        n1 = replay_quarantine(pipe, "ORDERS")
+        assert n1 > 0
+        full = sink.read(spark, "ORDERS")
+        # must now equal the UN-gated oracle (nothing lost in quarantine)
+        flat = cdc_events_flat(spark, SF_SMOKE)
+        w = Window.partitionBy("primary_key").orderBy(F.col("seq").desc())
+        oracle = (
+            flat.withColumn("rn", F.row_number().over(w))
+            .filter((F.col("rn") == 1) & ~F.col("is_delete"))
+        )
+        assert full.count() == oracle.count() > gated
+
+        # replaying AGAIN is a no-op on the snapshot (seq-guarded merge)
+        replay_quarantine(pipe, "ORDERS")
+        assert sink.read(spark, "ORDERS").count() == oracle.count()
