@@ -23,6 +23,8 @@ Scale posture:
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -32,6 +34,7 @@ from snowflake_cdc_spark.operators.flatten import expand_struct
 from snowflake_cdc_spark.operators.upsert import latest_by_key
 from snowflake_cdc_spark.plans.spec import DeleteStrategy, PipelineSpec, StartPosition
 from snowflake_cdc_spark.sinks.parquet_sink import ParquetSnapshotSink
+from snowflake_cdc_spark.streaming.metrics import BatchMetric
 
 
 class CdcPipeline:
@@ -74,6 +77,7 @@ class CdcPipeline:
         self.dq_expectations = dq_expectations or {}
         self.write_errors: list[tuple[str, int, str]] = []  # (table, batch, err)
         self.dq_violations: list[tuple[str, int, int]] = []  # (table, batch, n)
+        self.metrics: list[BatchMetric] = []  # per-(table, batch) merge stats
 
     # ---- per-table transform (pure, testable) ---------------------------
 
@@ -180,7 +184,8 @@ class CdcPipeline:
                 # pre-reduce before the sink merge: ≤1 row/key enters MERGE
                 reduced = latest_by_key(changes, keys, "seq")
                 try:
-                    self.sink.merge(
+                    t0 = time.perf_counter()
+                    version = self.sink.merge(
                         reduced,
                         spec.target_table,
                         key_cols=keys,
@@ -189,6 +194,14 @@ class CdcPipeline:
                         hard_delete=spec.delete_strategy is DeleteStrategy.HARD,
                         logical_col=spec.logical_delete_col,
                         prefer_incoming_on_tie=prefer_incoming_on_tie,
+                    )
+                    self.metrics.append(
+                        BatchMetric(
+                            spec.target_table,
+                            batch_id,
+                            int(version or 0),
+                            round(time.perf_counter() - t0, 3),
+                        )
                     )
                 except Exception as e:  # noqa: BLE001 - policy decides
                     if self.fail_on_write_error:

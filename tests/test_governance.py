@@ -497,3 +497,46 @@ class TestQuarantineReplay:
         # replaying AGAIN is a no-op on the snapshot (seq-guarded merge)
         replay_quarantine(pipe, "ORDERS")
         assert sink.read(spark, "ORDERS").count() == oracle.count()
+
+
+class TestMetrics:
+    def test_batch_metrics_and_progress_listener(self, spark, tmp_path):
+        from snowflake_cdc_spark.plans.spec import DeleteStrategy, PipelineSpec
+        from snowflake_cdc_spark.sinks.parquet_sink import ParquetSnapshotSink
+        from snowflake_cdc_spark.sources.cdc import cdc_events_nested
+        from snowflake_cdc_spark.streaming.metrics import ProgressListener
+        from snowflake_cdc_spark.streaming.pipeline import CdcPipeline
+        from tests.conftest import SF_SMOKE
+
+        raw = str(tmp_path / "raw")
+        cdc_events_nested(spark, SF_SMOKE).write.parquet(raw)
+        sink = ParquetSnapshotSink(str(tmp_path / "wh"))
+        pipe = CdcPipeline(
+            spark,
+            [PipelineSpec("tpch.orders", use_synthetic_key=True,
+                          delete_strategy=DeleteStrategy.HARD)],
+            sink,
+        )
+        listener = ProgressListener()
+        spark.streams.addListener(listener)
+        try:
+            q = pipe.start_stream(raw, checkpoint=str(tmp_path / "ckpt"),
+                                  available_now=True)
+            q.awaitTermination(120)
+        finally:
+            import time as _t
+
+            # progress events are delivered asynchronously
+            for _ in range(50):
+                if listener.progress:
+                    break
+                _t.sleep(0.2)
+            spark.streams.removeListener(listener)
+
+        assert pipe.metrics, "no batch metrics recorded"
+        m = pipe.metrics[0]
+        assert m.table == "ORDERS" and m.seconds > 0
+        versions = [x.version for x in pipe.metrics]
+        assert versions == sorted(versions)  # snapshot versions monotone
+        assert listener.progress, "no streaming progress captured"
+        assert any(p["num_input_rows"] > 0 for p in listener.progress)
