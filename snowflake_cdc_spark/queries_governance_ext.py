@@ -1,4 +1,4 @@
-"""Round-3 extension q130-q139: corpus retrieval scoring and
+"""Round-3 extension q130-q140: corpus retrieval scoring and
 governance — BM25 keyword ranking, per-domain document caps, a
 one-scan data-quality expectation report, product-quantization ANN,
 and count-min heavy hitters (the first approximate lane with a FULL
@@ -549,3 +549,39 @@ def q139(spark, sf_dir):
         m.view.select("o_orderkey", "o_custkey", "c_mktsegment", "o_totalprice")
         .orderBy("o_orderkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Q140 — exact equi-depth histogram, sort-free construction
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q140_equidepth_histogram",
+    """WITH src AS (SELECT event_id AS id, value AS v FROM events WHERE value IS NOT NULL),
+       tot AS (SELECT count(*) AS n FROM src),
+       r AS (SELECT v, row_number() OVER (ORDER BY v, id) AS rn FROM src),
+       b AS (SELECT v,
+               CASE WHEN rn <= (tot.n % 10) * (tot.n // 10 + 1)
+                    THEN (rn - 1) // (tot.n // 10 + 1) + 1
+                    ELSE (tot.n % 10)
+                         + (rn - (tot.n % 10) * (tot.n // 10 + 1) - 1) // (tot.n // 10) + 1
+               END AS bucket
+             FROM r, tot)
+       SELECT CAST(bucket AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n,
+              min(v) AS lo, max(v) AS hi
+       FROM b GROUP BY bucket ORDER BY bucket""",
+    "exact 10-bucket equi-depth histogram of events.value "
+    "(operators/histogram.py): the engine composes the global rank from "
+    "value-range partitions + per-partition row_number + broadcast "
+    "offsets — NO global sort region (q120's composition, range-keyed by "
+    "value; the only sorted unit is one range bucket). The oracle runs "
+    "the naive single-sort ntile-fill form — an independent algorithm "
+    "that must produce bit-identical buckets (pure integer div/mod "
+    "bucket assignment on both sides)",
+)
+def q140(spark, sf_dir):
+    from snowflake_cdc_spark.operators.histogram import equidepth_histogram
+
+    ev = _t(spark, sf_dir, "events")
+    return equidepth_histogram(ev, "value", "event_id", k=10)

@@ -540,3 +540,43 @@ class TestMetrics:
         assert versions == sorted(versions)  # snapshot versions monotone
         assert listener.progress, "no streaming progress captured"
         assert any(p["num_input_rows"] > 0 for p in listener.progress)
+
+
+class TestEquidepthHistogram:
+    def test_no_global_sort_region_and_bucket_invariance(self, spark):
+        from snowflake_cdc_spark.operators.histogram import equidepth_histogram
+        from snowflake_cdc_spark.sources.io import read_table
+        from tests.conftest import SF_ORACLE
+
+        ev = read_table(spark, SF_ORACLE, "events")
+        h64 = equidepth_histogram(ev, "value", "event_id", k=10, range_buckets=64)
+        # the data-sized relation must never range-partition on the VALUE
+        # (that would be the global sort); the only rangepartitioning in
+        # the plan is the final orderBy over the 10 result rows, and the
+        # only SinglePartition window is over the 64-row offsets table
+        plan = h64._jdf.queryExecution().executedPlan().toString().lower()
+        assert "rangepartitioning(__v" not in plan
+        assert "rangepartitioning(v" not in plan
+        # composed rank == single-sort rank for ANY range-bucket count
+        h7 = equidepth_histogram(ev, "value", "event_id", k=10, range_buckets=7)
+        assert sorted(map(tuple, h64.collect())) == sorted(map(tuple, h7.collect()))
+
+    def test_all_equal_values_single_range_bucket(self, spark):
+        from snowflake_cdc_spark.operators.histogram import equidepth_histogram
+
+        df = spark.range(0, 95).select(
+            F.col("id").alias("event_id"), F.lit(5.0).alias("value")
+        )
+        rows = equidepth_histogram(df, "value", "event_id", k=10).collect()
+        # 95 rows, 10 buckets: first 5 buckets of 10, then 9s (ntile fill)
+        assert [r.n for r in rows] == [10] * 5 + [9] * 5
+        assert all(r.lo == 5.0 and r.hi == 5.0 for r in rows)
+
+    def test_fewer_rows_than_buckets(self, spark):
+        from snowflake_cdc_spark.operators.histogram import equidepth_histogram
+
+        df = spark.range(0, 4).select(
+            F.col("id").alias("event_id"), (F.col("id") * 1.5).alias("value")
+        )
+        rows = equidepth_histogram(df, "value", "event_id", k=10).collect()
+        assert [(r.bucket, r.n) for r in rows] == [(1, 1), (2, 1), (3, 1), (4, 1)]
