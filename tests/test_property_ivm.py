@@ -85,3 +85,42 @@ def test_maintained_view_matches_python_oracle(spark, sc):
         )
     got = {(r.fk, r.jk, r.val, r.attr) for r in m.view.collect()}
     assert got == python_oracle(fact, dim)
+
+
+def test_streaming_fact_side_maintenance(spark, tmp_path):
+    """The maintainer under a REAL stream: fact changes arrive through
+    foreachBatch micro-batches (static dimension seeded first); the view
+    after the stream drains must equal the from-scratch join."""
+    from pyspark.sql import functions as F
+
+    fact_rows = [(i, i % 4, i * 10, i, i % 7 == 0) for i in range(60)]
+    dim_rows = [(d, d * 100, 0, False) for d in range(4)]
+    fschema = "fk long, jk long, val long, seq long, is_delete boolean"
+    dschema = "dk long, attr long, seq long, is_delete boolean"
+
+    src = str(tmp_path / "fact_stream")
+    fdf = spark.createDataFrame(fact_rows, fschema)
+    fdf.withColumn("__c", F.col("fk") % 3).repartition(3, "__c").drop("__c").write.parquet(src)
+
+    m = JoinViewMaintainer("fk", "jk", "dk")
+    # seed both sides (empty fact batch + full dim load)
+    m.apply_batch(
+        spark.createDataFrame([], fschema), spark.createDataFrame(dim_rows, dschema)
+    )
+
+    def on_batch(batch_df, batch_id):
+        m.apply_batch(batch_df, None)
+
+    q = (
+        spark.readStream.schema(fdf.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {(r.fk, r.jk, r.val, r.attr) for r in m.view.collect()}
+    assert got == python_oracle(fact_rows, dim_rows)
