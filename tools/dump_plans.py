@@ -253,6 +253,17 @@ def main() -> None:
         "estimate joins are broadcasts of the sketch.\n"
     )
 
+    p = plan_text(qs["q140_equidepth_histogram"](spark, SF))
+    n_range_on_v = len(re.findall(r"rangepartitioning\(_?_?v", p, re.IGNORECASE))
+    sections.append(
+        f"## q140 — equi-depth histogram without a global sort\n\n"
+        f"rangepartitioning exchanges on the value column: **{n_range_on_v}** — "
+        "the global rank composes from value-range partitions + local "
+        "row_number + broadcast offsets; the only range exchange in the plan "
+        "orders the 10 result rows, and the only SinglePartition window runs "
+        "over the 64-row offsets table.\n"
+    )
+
     n_l, n_r = 20_000_000, 2_000_000
     lhs = spark.range(n_l).select(
         F.when(F.col("id") % 10 < 3, F.col("id") % 97)
