@@ -1,4 +1,4 @@
-"""Round-3 extension q130-q140: corpus retrieval scoring and
+"""Round-3 extension q130-q141: corpus retrieval scoring and
 governance — BM25 keyword ranking, per-domain document caps, a
 one-scan data-quality expectation report, product-quantization ANN,
 and count-min heavy hitters (the first approximate lane with a FULL
@@ -585,3 +585,65 @@ def q140(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     return equidepth_histogram(ev, "value", "event_id", k=10)
+
+
+# --------------------------------------------------------------------------
+# Q141 — point-in-time-correct dimension enrichment (SCD2 × as-of join)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q141_pit_enrichment",
+    """WITH h AS (SELECT max(o_orderkey) // 2 AS h FROM orders)
+       SELECT o.o_orderkey, o.o_custkey,
+              CASE WHEN c.c_custkey % 5 = 0 AND o.o_orderkey >= h.h
+                   THEN 'UPDATED' ELSE c.c_mktsegment END AS segment_at_order
+       FROM orders o
+       JOIN customer c ON c.c_custkey = o.o_custkey
+       CROSS JOIN h
+       ORDER BY o.o_orderkey""",
+    "point-in-time-correct enrichment: each order joins the customer-"
+    "segment VERSION valid at its own position on the change axis "
+    "(custkey%5 customers flip to 'UPDATED' effective at the mid-key "
+    "horizon; earlier orders must keep the original segment — the "
+    "no-leakage property a training-data feature lookup needs). Engine "
+    "composes the SCD2 version table with the single-shuffle union-merge "
+    "as-of join (operators/asof.py — |orders|+|versions| rows through "
+    "ONE exchange, never |orders|x|versions|); the oracle derives the "
+    "version arithmetic independently (CASE on the horizon), not via an "
+    "interval join — two algorithms, one answer",
+)
+def q141(spark, sf_dir):
+    from snowflake_cdc_spark.operators.asof import asof_join
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    horizon = orders.agg(F.expr("max(o_orderkey) div 2").alias("__h"))
+    v0 = cust.select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit(0).cast("bigint").alias("valid_from"),
+    )
+    v1 = (
+        cust.filter(F.col("c_custkey") % 5 == 0)
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.col("c_custkey").alias("o_custkey"),
+            F.lit("UPDATED").alias("segment"),
+            F.col("__h").cast("bigint").alias("valid_from"),
+        )
+    )
+    versions = v0.unionByName(v1)
+    out = asof_join(
+        orders,
+        versions,
+        on="o_custkey",
+        left_ts="o_orderkey",
+        right_ts="valid_from",
+        value_cols={"segment": "segment_at_order"},
+        tie_col="valid_from",
+        strict=False,  # a version effective AT ts is visible AT ts
+    )
+    return out.select("o_orderkey", "o_custkey", "segment_at_order").orderBy(
+        "o_orderkey"
+    )
