@@ -115,3 +115,56 @@ def kmv_estimate(sketch: DataFrame, group_col: str, k: int = 32) -> DataFrame:
         F.lit(float(k - 1)) / (F.col("__num").cast("double") / F.lit(_KMV_DENOM))
     )
     return agg.select(group_col, est.alias("kmv_est"))
+
+
+def kmv_rolling_distinct(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    window_days: int = 7,
+    k: int = 64,
+) -> DataFrame:
+    """Rolling ``window_days``-day distinct-count estimates from merged
+    day-level KMV sketches — the workload that makes mergeable sketches
+    earn their keep: exact rolling distinct is NON-additive (each day's
+    window must re-scan ``window_days`` of raw data), while KMV reduces
+    the corpus ONCE to <= k hashes per day and every window is a union
+    of those sketch rows + re-take-k (tiny by construction:
+    days x k x window rows).
+
+    Output: (day_num, kmv_est) — day_num = days since 1970-01-01,
+    windows ending on each observed day. Deterministic: md5 hashes,
+    lexicographic top-k, exact dyadic u_k (see ``kmv_estimate``)."""
+    from pyspark.sql import Window
+
+    day = F.datediff(
+        F.to_date(F.date_trunc("day", F.col(ts_col))),
+        F.to_date(F.lit("1970-01-01")),
+    )
+    hashed = df.select(
+        day.alias("day"), F.md5(F.col(key_col).cast("string")).alias("h")
+    ).distinct()
+    # day-level sketch: k smallest distinct hashes per day
+    w_day = Window.partitionBy("day").orderBy("h")
+    day_sketch = (
+        hashed.withColumn("rk", F.row_number().over(w_day))
+        .filter(F.col("rk") <= k)
+        .select("day", "h")
+    )
+    # each sketch row contributes to the windows ending on day..day+w-1;
+    # keep only windows ending on an observed day
+    days = hashed.select("day").distinct()
+    contrib = (
+        day_sketch.withColumn(
+            "end_day", F.explode(F.sequence(F.col("day"), F.col("day") + (window_days - 1)))
+        )
+        .join(days.withColumnRenamed("day", "end_day"), "end_day", "left_semi")
+        .select("end_day", "h")
+        .distinct()  # same hash may appear in several days of one window
+    )
+    w_end = Window.partitionBy("end_day").orderBy("h")
+    merged = (
+        contrib.withColumn("rk", F.row_number().over(w_end)).filter(F.col("rk") <= k)
+    )
+    est = kmv_estimate(merged.withColumnRenamed("end_day", "day"), "day", k=k)
+    return est.select(F.col("day").alias("day_num"), "kmv_est")

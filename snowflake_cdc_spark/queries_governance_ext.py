@@ -1,4 +1,4 @@
-"""Round-3 extension q130-q141: corpus retrieval scoring and
+"""Round-3 extension q130-q142: corpus retrieval scoring and
 governance — BM25 keyword ranking, per-domain document caps, a
 one-scan data-quality expectation report, product-quantization ANN,
 and count-min heavy hitters (the first approximate lane with a FULL
@@ -646,4 +646,75 @@ def q141(spark, sf_dir):
     )
     return out.select("o_orderkey", "o_custkey", "segment_at_order").orderBy(
         "o_orderkey"
+    )
+
+
+# --------------------------------------------------------------------------
+# Q142 — rolling distinct users via merged day-level KMV sketches
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q142_rolling_distinct_kmv",
+    """WITH h AS (SELECT DISTINCT
+                    date_diff('day', DATE '1970-01-01',
+                              CAST(date_trunc('day', ts) AS DATE)) AS day,
+                    md5(CAST(user_id AS VARCHAR)) AS h
+              FROM events),
+       ds AS (SELECT day, h FROM (
+                SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rk
+                FROM h) WHERE rk <= 64),
+       days AS (SELECT DISTINCT day FROM h),
+       contrib AS (SELECT DISTINCT t.end_day, ds.h
+                   FROM ds, unnest(generate_series(ds.day, ds.day + 6)) AS t(end_day)
+                   WHERE t.end_day IN (SELECT day FROM days)),
+       merged AS (SELECT end_day, h, row_number() OVER (PARTITION BY end_day ORDER BY h) AS rk
+                  FROM contrib),
+       sk AS (SELECT end_day, max(rk) AS n_h,
+                     max(CASE WHEN rk = 64 THEN ('0x' || substr(h, 1, 13))::BIGINT END) AS num
+              FROM merged WHERE rk <= 64 GROUP BY 1),
+       ex AS (SELECT t.end_day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS n_exact
+              FROM (SELECT DISTINCT
+                      date_diff('day', DATE '1970-01-01',
+                                CAST(date_trunc('day', ts) AS DATE)) AS day,
+                      user_id
+                    FROM events) u,
+                   unnest(generate_series(u.day, u.day + 6)) AS t(end_day)
+              WHERE t.end_day IN (SELECT day FROM days)
+              GROUP BY 1)
+       SELECT ex.end_day AS day_num, ex.n_exact,
+              CASE WHEN sk.n_h < 64 THEN CAST(sk.n_h AS DOUBLE)
+                   ELSE 63.0 / (CAST(num AS DOUBLE) / 4503599627370496.0) END AS kmv_est
+       FROM ex JOIN sk ON sk.end_day = ex.end_day
+       ORDER BY day_num""",
+    "7-day rolling distinct users per day from MERGED day-level KMV "
+    "sketches (k=64): exact rolling distinct is non-additive (every "
+    "window re-scans 7 days of raw events — the oracle's ex CTE does "
+    "exactly that), the sketch path reduces the corpus ONCE to <=k "
+    "hashes/day and each window is a union + re-take-k over "
+    "days x k x 7 tiny rows. Both the estimate and the exact comparison "
+    "column are in the output; complete oracle (q134/q135 md5 "
+    "portability)",
+)
+def q142(spark, sf_dir):
+    from snowflake_cdc_spark.operators.sketches import kmv_rolling_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    est = kmv_rolling_distinct(ev, "user_id", "ts", window_days=7, k=64)
+    day = F.datediff(
+        F.to_date(F.date_trunc("day", F.col("ts"))), F.to_date(F.lit("1970-01-01"))
+    )
+    du = ev.select(day.alias("day"), "user_id").distinct()
+    days = du.select("day").distinct()
+    exact = (
+        du.withColumn("end_day", F.explode(F.sequence(F.col("day"), F.col("day") + 6)))
+        .join(days.withColumnRenamed("day", "end_day"), "end_day", "left_semi")
+        .groupBy("end_day")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("n_exact"))
+        .withColumnRenamed("end_day", "day_num")
+    )
+    return (
+        exact.join(est, "day_num")
+        .select("day_num", "n_exact", "kmv_est")
+        .orderBy("day_num")
     )

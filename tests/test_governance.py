@@ -580,3 +580,31 @@ class TestEquidepthHistogram:
         )
         rows = equidepth_histogram(df, "value", "event_id", k=10).collect()
         assert [(r.bucket, r.n) for r in rows] == [(1, 1), (2, 1), (3, 1), (4, 1)]
+
+
+class TestRollingKmv:
+    def test_rolling_estimates_track_exact_within_kmv_error(self, spark):
+        from datetime import datetime
+
+        from snowflake_cdc_spark.operators.sketches import kmv_rolling_distinct
+
+        # 20 days x 400 users/day with day-dependent overlap
+        rows = [
+            (datetime(2024, 1, 1 + d), (d * 137 + u) % 2000)
+            for d in range(20)
+            for u in range(400)
+        ]
+        df = spark.createDataFrame(rows, "ts timestamp, user_id long")
+        est = {
+            r.day_num: r.kmv_est
+            for r in kmv_rolling_distinct(df, "user_id", "ts", 7, k=128).collect()
+        }
+        # exact rolling distinct per window, computed in python
+        from collections import defaultdict
+
+        by_day = defaultdict(set)
+        for ts, u in rows:
+            by_day[(ts - datetime(1970, 1, 1)).days].add(u)
+        for end, e in est.items():
+            exact = len(set().union(*[by_day.get(d, set()) for d in range(end - 6, end + 1)]))
+            assert abs(e - exact) / exact < 4 / (128 - 2) ** 0.5, (end, e, exact)
