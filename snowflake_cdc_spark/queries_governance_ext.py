@@ -30,7 +30,13 @@ Determinism contract: q130 follows the round-3 ratio amendment
 only libm call is ``ln``, the q89 precedent). q131 compares md5 hex
 strings (lexicographic ≡ numeric at fixed width). q132 metrics are
 exact BIGINT pairs with one final double division and integer-compare
-booleans.
+booleans. q133 is the bounded-error pattern (exact + in-bound boolean).
+q134/q135/q142 are FULLY hash-checked approximate operators — their
+md5 hash families are engine-portable, and the KMV u_k is an exact
+52-bit dyadic double. q136-q140 are pure integer/set algebra (fixed-
+point PageRank, oriented wedge counts, interval filters, keyed
+recompute, ntile-fill ranks). q141's as-of match carries raw values
+with no arithmetic.
 """
 
 from __future__ import annotations
