@@ -1,4 +1,4 @@
-"""Round-3 extension q130-q142: corpus retrieval scoring and
+"""Round-3 extension q130-q143: corpus retrieval scoring and
 governance — BM25 keyword ranking, per-domain document caps, a
 one-scan data-quality expectation report, product-quantization ANN,
 and count-min heavy hitters (the first approximate lane with a FULL
@@ -724,3 +724,42 @@ def q142(spark, sf_dir):
         .select("day_num", "n_exact", "kmv_est")
         .orderBy("day_num")
     )
+
+
+# --------------------------------------------------------------------------
+# Q143 — multiset set-operations (INTERSECT ALL / EXCEPT ALL)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q143_multiset_ops",
+    """WITH a AS (SELECT l_suppkey AS k FROM lineitem WHERE l_quantity > 45),
+       b AS (SELECT l_suppkey AS k FROM lineitem WHERE l_discount > 0.08),
+       i AS (SELECT k FROM a INTERSECT ALL SELECT k FROM b),
+       e AS (SELECT k FROM a EXCEPT ALL SELECT k FROM b)
+       SELECT 'intersect_all' AS op, CAST(count(*) AS BIGINT) AS n,
+              CAST(count(DISTINCT k) AS BIGINT) AS n_distinct FROM i
+       UNION ALL
+       SELECT 'except_all', CAST(count(*) AS BIGINT), CAST(count(DISTINCT k) AS BIGINT) FROM e
+       ORDER BY op""",
+    "U2 multiset completion: INTERSECT ALL / EXCEPT ALL (duplicate-"
+    "preserving bag semantics — min/difference of per-key "
+    "multiplicities), distinct from q19's set forms. Both engines "
+    "implement SQL-standard bag semantics; counts + distinct-counts "
+    "summarize the (large) result multisets determinism-safely",
+)
+def q143(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") > 45).select(F.col("l_suppkey").alias("k"))
+    b = li.filter(F.col("l_discount") > 0.08).select(F.col("l_suppkey").alias("k"))
+    i = a.intersectAll(b).agg(
+        F.lit("intersect_all").alias("op"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count_distinct("k").cast("bigint").alias("n_distinct"),
+    )
+    e = a.exceptAll(b).agg(
+        F.lit("except_all").alias("op"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count_distinct("k").cast("bigint").alias("n_distinct"),
+    )
+    return i.unionByName(e).orderBy("op")
