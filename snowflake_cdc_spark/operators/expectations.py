@@ -77,6 +77,8 @@ def row_gate(
     to NULL counts as a violation (``coalesce(pred, false)``), so a
     NULL value cannot slip through an accepted-values or range check.
     """
+    if not expectations:
+        raise ValueError("row_gate requires at least one expectation")
     preds = []
     for e in expectations:
         if e.distinct_col is not None:

@@ -106,7 +106,11 @@ def build_ivf(
     max_iter: int = 20,
     train_sample: int = 100_000,
     use_ml: bool = False,
+    sample_rows: list | None = None,
 ) -> IvfIndex:
+    """``sample_rows``: a pre-collected ``bounded_md5_sample`` result —
+    lets a caller training several indexes over the same corpus (see
+    ``build_ivfpq``) pay the sample scan once."""
     spark = corpus.sparkSession
     if use_ml:
         from pyspark.ml.clustering import KMeans
@@ -130,7 +134,11 @@ def build_ivf(
         import pandas as pd
         from pyspark.sql.types import IntegerType
 
-        rows = bounded_md5_sample(corpus, id_col, [id_col, vec_col], train_sample)
+        rows = (
+            sample_rows
+            if sample_rows is not None
+            else bounded_md5_sample(corpus, id_col, [id_col, vec_col], train_sample)
+        )
         X = np.array([r[1] for r in rows], dtype=np.float64)
         C = _train_centroids(X, n_cells, seed, max_iter)
         c_sq = (C * C).sum(1)

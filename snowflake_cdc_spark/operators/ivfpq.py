@@ -66,16 +66,20 @@ def build_ivfpq(
     max_iter: int = 20,
     train_sample: int = 100_000,
 ) -> IvfPqIndex:
-    """Both trainings share the same bounded md5-keyed sample discipline;
-    the corpus-wide pass assigns cells and encodes codes in ONE plan
-    (``pq.codes`` is lazy — nothing is computed twice)."""
+    """Both trainings share ONE bounded md5-keyed sample — collected
+    here once and passed to both (two scans/collects of the same rows
+    otherwise); the corpus-wide pass assigns cells and encodes codes in
+    ONE plan (``pq.codes`` is lazy — nothing is computed twice)."""
+    from snowflake_cdc_spark.operators.ivf import bounded_md5_sample
+
+    rows = bounded_md5_sample(corpus, id_col, [id_col, vec_col], train_sample)
     ivf = build_ivf(
         corpus, id_col, vec_col, n_cells=n_cells, seed=seed, max_iter=max_iter,
-        train_sample=train_sample,
+        train_sample=train_sample, sample_rows=rows,
     )
     pq = build_pq(
         corpus, id_col, vec_col, m=m, k=k, seed=seed, max_iter=max_iter,
-        train_sample=train_sample,
+        train_sample=train_sample, sample_rows=rows,
     )
     # re-point the codes relation at the cell-assigned corpus: one pass
     # computes (id, vec, cell_id, code)

@@ -100,12 +100,18 @@ def build_pq(
     seed: int = 42,
     max_iter: int = 20,
     train_sample: int = 100_000,
+    sample_rows: list | None = None,
 ) -> PqIndex:
     """Train per-subspace codebooks on a bounded sample, then encode the
-    corpus in one distributed pass. ``m`` must divide the dimension."""
+    corpus in one distributed pass. ``m`` must divide the dimension.
+    ``sample_rows`` = pre-collected sample (see ``build_ivf``)."""
     import numpy as np
 
-    rows = bounded_md5_sample(corpus, id_col, [id_col, vec_col], train_sample)
+    rows = (
+        sample_rows
+        if sample_rows is not None
+        else bounded_md5_sample(corpus, id_col, [id_col, vec_col], train_sample)
+    )
     X = np.array([r[1] for r in rows], dtype=np.float64)
     dim = X.shape[1]
     if dim % m:
@@ -124,21 +130,47 @@ def build_pq(
     return index
 
 
-def _adc_udf(index: PqIndex, queries: DataFrame, query_id: str, query_vec: str):
+ADC_MAX_QUERIES = 100_000
+"""Hard bound on the query set ``_adc_udf`` will collect to the driver.
+
+100k × (64 doubles + id) ≈ 55 MB raw and an m=8×k=256 LUT of
+100k × 2048 doubles ≈ 1.6 GB in the UDF closure — already generous; a
+larger query set is not "a batch of probes" any more and must be chunked
+by the caller. Enforced the same way ``similarity.cosine_topk`` enforces
+its broadcast contract: fail fast with guidance, never a silent
+driver-OOM collect."""
+
+
+def _adc_udf(
+    index: PqIndex,
+    queries: DataFrame,
+    query_id: str,
+    query_vec: str,
+    max_queries: int = ADC_MAX_QUERIES,
+):
     """Vectorized asymmetric-distance pandas UDF in the classic LUT form
-    (Jégou §IV-A): the (small, broadcastable-by-contract) query set is
-    collected into the closure and expanded to a per-query m×k table of
-    subspace distances ONCE; each Arrow batch then reduces to one fancy
-    gather + sum. Crucially the UDF input is ``(code, query_id)`` — 8
-    ints + a key per pair — NOT the raw query vector, which would
-    otherwise ship |corpus|×|queries| copies of a 64-double array
-    through Arrow (measured ~2× the whole check's wall clock)."""
+    (Jégou §IV-A): the query set — small-enough-to-broadcast by contract,
+    ENFORCED via ``max_queries`` (one ``limit(n+1)`` collect, no extra
+    count job) — is collected into the closure and expanded to a
+    per-query m×k table of subspace distances ONCE; each Arrow batch
+    then reduces to one fancy gather + sum. Crucially the UDF input is
+    ``(code, query_id)`` — 8 ints + a key per pair — NOT the raw query
+    vector, which would otherwise ship |corpus|×|queries| copies of a
+    64-double array through Arrow (measured ~2× the whole check's wall
+    clock)."""
     import numpy as np
     import pandas as pd
 
     books = np.stack([b.astype(np.float64) for b in index.codebooks])  # (m,k,sub)
     m, k, sub = books.shape
-    qrows = queries.select(query_id, query_vec).collect()
+    qrows = queries.select(query_id, query_vec).limit(max_queries + 1).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"ADC query set exceeds max_queries={max_queries}: the LUT "
+            "closure would not be broadcastable. Chunk the query set and "
+            "union the per-chunk search results (each chunk is an "
+            "independent top-k), or raise max_queries deliberately."
+        )
     qkey = {r[0]: i for i, r in enumerate(qrows)}
     # LUT[i, j, c] = ||q_i[sub_j] - books[j][c]||²
     Q = np.array([r[1] for r in qrows], dtype=np.float64).reshape(len(qrows), m, 1, sub)

@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["scd2_from_changes"]
+__all__ = ["scd2_from_changes", "scd2_as_of"]
 
 
 def scd2_from_changes(

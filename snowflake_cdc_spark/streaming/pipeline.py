@@ -172,14 +172,22 @@ class CdcPipeline:
                     changes, bad = row_gate(
                         changes, exps, exempt=F.col("is_delete")
                     )
-                    n_bad = bad.count()
-                    if n_bad:
-                        bad.write.mode("overwrite").parquet(
-                            f"{self.quarantine_dir}/{spec.target_table}/dq_batch={batch_id}"
-                        )
-                        self.dq_violations.append(
-                            (spec.target_table, batch_id, n_bad)
-                        )
+                    # persist before count+write: otherwise the
+                    # transform+gate plan executes twice per violating
+                    # table per micro-batch (events is cached but the
+                    # flatten/gate work above it is not)
+                    bad = bad.persist()
+                    try:
+                        n_bad = bad.count()
+                        if n_bad:
+                            bad.write.mode("overwrite").parquet(
+                                f"{self.quarantine_dir}/{spec.target_table}/dq_batch={batch_id}"
+                            )
+                            self.dq_violations.append(
+                                (spec.target_table, batch_id, n_bad)
+                            )
+                    finally:
+                        bad.unpersist()
                 keys = self._key_cols(spec)
                 # pre-reduce before the sink merge: ≤1 row/key enters MERGE
                 reduced = latest_by_key(changes, keys, "seq")
@@ -296,7 +304,14 @@ def replay_quarantine(
     late, twice, or out of order is all safe. Re-applies the table's
     CURRENT expectations first (a still-violating row stays quarantined;
     pass an empty expectation list via ``pipeline.dq_expectations`` to
-    force-accept). Returns the number of rows merged."""
+    force-accept). Returns the number of rows merged.
+
+    Quarantine contents always reflect PENDING work: after a successful
+    merge each replayed partition is rewritten with only its
+    still-violating rows (deleted outright when none remain), so a
+    repeat call neither re-merges already-replayed rows nor
+    double-counts them, and still-violating rows survive explicitly
+    rather than by the accident of the original file persisting."""
     if not pipeline.quarantine_dir:
         raise ValueError("pipeline has no quarantine_dir")
     prefix = "dq_batch" if kind == "dq" else "batch"
@@ -312,25 +327,51 @@ def replay_quarantine(
             for d in os.listdir(base)
             if d.startswith(f"{prefix}=")
         )
+    import os
+    import shutil
+
     spec = next(s for s in pipeline.specs if s.target_table == table)
     merged = 0
     for bid in batch_ids:
-        rows = spark.read.parquet(f"{base}/{prefix}={bid}")
+        part = f"{base}/{prefix}={bid}"
+        rows = spark.read.parquet(part)
         exps = pipeline.dq_expectations.get(table)
+        still_bad = None
         if exps:
             from snowflake_cdc_spark.operators.expectations import row_gate
 
             rows, still_bad = row_gate(rows, exps, exempt=F.col("is_delete"))
+            # materialize before the partition rewrite below: the plan
+            # reads the very files we are about to replace
+            still_bad = still_bad.persist()
+            still_bad.count()
         keys = pipeline._key_cols(spec)
         reduced = latest_by_key(rows, keys, "seq")
-        pipeline.sink.merge(
-            reduced,
-            spec.target_table,
-            key_cols=keys,
-            seq_col="seq",
-            delete_col="is_delete",
-            hard_delete=spec.delete_strategy is DeleteStrategy.HARD,
-            logical_col=spec.logical_delete_col,
-        )
-        merged += reduced.count()
+        # persist for the same reason as still_bad — merge() and the
+        # returned count both execute after the source files are gone
+        reduced = reduced.persist()
+        try:
+            n_merged = reduced.count()
+            pipeline.sink.merge(
+                reduced,
+                spec.target_table,
+                key_cols=keys,
+                seq_col="seq",
+                delete_col="is_delete",
+                hard_delete=spec.delete_strategy is DeleteStrategy.HARD,
+                logical_col=spec.logical_delete_col,
+            )
+            merged += n_merged
+            # merge succeeded: the partition now holds only pending work
+            tmp = f"{base}/.__replay_tmp_{prefix}={bid}"
+            if still_bad is not None and still_bad.count():
+                still_bad.write.mode("overwrite").parquet(tmp)
+                shutil.rmtree(part)
+                os.rename(tmp, part)
+            else:
+                shutil.rmtree(part)
+        finally:
+            reduced.unpersist()
+            if still_bad is not None:
+                still_bad.unpersist()
     return merged

@@ -494,9 +494,75 @@ class TestQuarantineReplay:
         )
         assert full.count() == oracle.count() > gated
 
-        # replaying AGAIN is a no-op on the snapshot (seq-guarded merge)
-        replay_quarantine(pipe, "ORDERS")
+        # quarantine now reflects pending work: fully replayed -> cleared,
+        # so replaying AGAIN merges zero rows (not a re-merge of the same
+        # rows saved only by the seq guard) and the snapshot is unchanged
+        import os
+
+        assert not os.path.isdir(str(tmp_path / "q" / "ORDERS")) or not os.listdir(
+            str(tmp_path / "q" / "ORDERS")
+        )
+        assert replay_quarantine(pipe, "ORDERS") == 0
         assert sink.read(spark, "ORDERS").count() == oracle.count()
+
+    def test_partial_replay_keeps_only_still_violating_rows(self, spark, tmp_path):
+        import os
+
+        from snowflake_cdc_spark.operators.expectations import in_range
+        from snowflake_cdc_spark.plans.spec import DeleteStrategy, PipelineSpec
+        from snowflake_cdc_spark.sinks.parquet_sink import ParquetSnapshotSink
+        from snowflake_cdc_spark.sources.cdc import cdc_events_nested
+        from snowflake_cdc_spark.streaming.pipeline import (
+            CdcPipeline,
+            replay_quarantine,
+        )
+        from tests.conftest import SF_SMOKE
+
+        raw = str(tmp_path / "raw")
+        cdc_events_nested(spark, SF_SMOKE).write.parquet(raw)
+        sink = ParquetSnapshotSink(str(tmp_path / "wh"))
+        pipe = CdcPipeline(
+            spark,
+            [PipelineSpec("tpch.orders", use_synthetic_key=True,
+                          delete_strategy=DeleteStrategy.HARD)],
+            sink,
+            quarantine_dir=str(tmp_path / "q"),
+            dq_expectations={"ORDERS": [in_range("o_totalprice", 0, 100000)]},
+        )
+        pipe.run_batch(raw)
+        quarantined = sum(n for _, _, n in pipe.dq_violations)
+        assert quarantined > 0
+
+        # partially fixed bound: some quarantined rows pass, some still fail
+        pipe.dq_expectations = {"ORDERS": [in_range("o_totalprice", 0, 200000)]}
+        n1 = replay_quarantine(pipe, "ORDERS")
+        assert 0 < n1 < quarantined
+        # partition was REWRITTEN with only the still-violating rows
+        qdir = str(tmp_path / "q" / "ORDERS")
+        parts = [d for d in os.listdir(qdir) if d.startswith("dq_batch=")]
+        assert parts
+        pending = spark.read.parquet(f"{qdir}/{parts[0]}")
+        assert pending.filter(F.col("o_totalprice") <= 200000).count() == 0
+        # a repeat call with unchanged expectations merges nothing and
+        # does not double count
+        assert replay_quarantine(pipe, "ORDERS") == 0
+        # full fix drains the quarantine completely
+        pipe.dq_expectations = {"ORDERS": [in_range("o_totalprice", 0, 10**9)]}
+        n2 = replay_quarantine(pipe, "ORDERS")
+        # replay counts are post latest_by_key reduction, so <= raw count
+        assert n2 > 0 and n1 + n2 <= quarantined
+        assert not os.path.isdir(qdir) or not any(
+            d.startswith("dq_batch=") for d in os.listdir(qdir)
+        )
+
+    def test_row_gate_rejects_empty_expectation_list(self, spark):
+        import pytest
+
+        from snowflake_cdc_spark.operators.expectations import row_gate
+
+        df = spark.range(3)
+        with pytest.raises(ValueError, match="at least one expectation"):
+            row_gate(df, [])
 
 
 class TestMetrics:

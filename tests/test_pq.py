@@ -78,6 +78,22 @@ def test_tight_shortlist_still_returns_k_rows_per_query(spark):
     assert all(n == 5 for n in per_q.values())
 
 
+def test_oversized_query_set_fails_fast(spark):
+    """VERDICT r03 #2: the ADC LUT collect is guarded — an oversized
+    query set raises with guidance instead of a silent driver OOM."""
+    import pytest
+
+    from snowflake_cdc_spark.operators.pq import _adc_udf
+
+    emb = _emb(spark)
+    index = build_pq(emb, m=4, k=4, train_sample=50)
+    queries = _queries(emb, 50)  # > 3 queries
+    with pytest.raises(ValueError, match="max_queries"):
+        _adc_udf(index, queries, "query_id", "query_vec", max_queries=3)
+    # within bound: builds fine
+    assert _adc_udf(index, queries, "query_id", "query_vec", max_queries=10_000)
+
+
 def test_streaming_incremental_encode_matches_batch(spark, tmp_path):
     """Index maintenance: vectors arriving through a stream are encoded
     incrementally (frozen codebooks, foreachBatch append) and the
