@@ -149,3 +149,85 @@ def ivfpq_search(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def ivfpq_recall_check(
+    index: IvfPqIndex,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 12,
+    shortlist: int = 200,
+    min_recall: float = 0.9,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """One-row (n_queries, recall_ok): recall@k of the COMPOSED
+    IVF-PQ search against the exhaustive top-k, scoring every candidate
+    ONCE (the q52/q133 single-pass pattern, now with both pruning layers
+    reconstructed from flags):
+
+    - ``__in_probe``: the candidate's cell is among the query's nprobe
+      nearest (left-join against the probe table).
+    - rank *within the probed subset* under the shortlist order
+      ``(adc asc, id)`` = running sum of the probe flag over that
+      order — exactly the rank ``ivfpq_search``'s shortlist window
+      assigns (same order restricted to the same subset).
+    - ``__in_short`` = probed AND probe-subset-rank <= shortlist; the
+      ANN rank after exact re-rank = running sum of ``__in_short`` over
+      ``(sim desc, id)`` — again the identical order ``ivfpq_search``
+      uses. A pair is an ANN hit iff shortlisted and ann-rank <= k.
+
+    Two stacked window chains share two sorts total (adc order, sim
+    order) over ONE |corpus|x|queries| candidate relation — vs three
+    full scoring passes for the naive search-twice-and-join."""
+    scored_cells = queries.crossJoin(F.broadcast(index.ivf.centroids)).select(
+        query_id,
+        "cell_id",
+        cosine_similarity(F.col(query_vec), F.col("centroid")).alias("__csim"),
+    )
+    w_cells = Window.partitionBy(query_id).orderBy(F.desc("__csim"), F.col("cell_id"))
+    probes = (
+        scored_cells.withColumn("__rn", F.row_number().over(w_cells))
+        .filter(F.col("__rn") <= nprobe)
+        .select(query_id, "cell_id", F.lit(1).alias("__flag"))
+    )
+    adc = _adc_udf(index.pq, queries, query_id, query_vec)
+    cand = (
+        index.pq.codes.crossJoin(F.broadcast(queries))
+        .filter(F.col(index.id_col) != F.col(query_id))
+        .join(F.broadcast(probes), [query_id, "cell_id"], "left")
+        .select(
+            query_id,
+            index.id_col,
+            adc(F.col("code"), F.col(query_id)).alias("__adc"),
+            F.round(
+                cosine_similarity(F.col(index.vec_col), F.col(query_vec)), 4
+            ).alias("sim"),
+            F.coalesce(F.col("__flag"), F.lit(0)).alias("__in_probe"),
+        )
+    )
+    w_adc = Window.partitionBy(query_id).orderBy("__adc", index.id_col)
+    run = w_adc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = cand.withColumn(
+        "__in_short",
+        (
+            (F.col("__in_probe") == 1)
+            & (F.sum("__in_probe").over(run) <= shortlist)
+        ).cast("int"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.col(index.id_col))
+    ranked = flagged.select(
+        query_id,
+        "__in_short",
+        F.row_number().over(w).alias("__exact_rn"),
+        F.sum("__in_short")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("__ann_rn"),
+    ).filter(F.col("__exact_rn") <= k)
+    hit = (F.col("__in_short") == 1) & (F.col("__ann_rn") <= k)
+    return ranked.agg(
+        F.count_distinct(query_id).alias("n_queries"),
+        (
+            F.sum(hit.cast("long")) >= F.lit(min_recall) * F.count(F.lit(1))
+        ).alias("recall_ok"),
+    )

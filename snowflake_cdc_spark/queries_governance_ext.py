@@ -763,3 +763,40 @@ def q143(spark, sf_dir):
         F.count_distinct("k").cast("bigint").alias("n_distinct"),
     )
     return i.unionByName(e).orderBy("op")
+
+
+# --------------------------------------------------------------------------
+# Q144 — composed IVF-PQ ANN (both scale paths stacked; bounded-error)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q144_ivfpq_ann",
+    """SELECT CAST(count(*) AS BIGINT) AS n_queries, TRUE AS recall_ok
+       FROM embeddings WHERE vec_id % 10 = 0""",
+    "N3 composition (operators/ivfpq.py — the FAISS IndexIVFPQ "
+    "architecture): IVF prunes WHICH vectors are scored (nprobe=12 of "
+    "16 cells), PQ shrinks WHAT is scanned (m=8 x 256 codewords, 8-byte "
+    "codes, LUT-ADC), exact cosine re-ranks the top-200 shortlist — a "
+    "probe reads nprobe/n_cells x 1/32 of the raw corpus bytes. "
+    "Bounded-error restatement (q52/q133 pattern): ivfpq_recall_check "
+    "computes recall@5 of the composed search against the exhaustive "
+    "top-5 in ONE candidate pass — both pruning layers reconstructed "
+    "from flags under the exact search orderings, pinned to the direct "
+    "two-search measurement by test — and emits (n_queries, recall_ok "
+    ":= recall >= 0.9); the oracle emits the exact query count + "
+    "literal TRUE. Operating point tuned round 4 (VERDICT r03 #1): "
+    "measured recall@5 0.952 at sf0.01, 0.931 at sf0.1 "
+    "(tools/ivfpq_recall.py sweep, docs/ANN.md)",
+)
+def q144(spark, sf_dir):
+    from snowflake_cdc_spark.operators.ivfpq import build_ivfpq, ivfpq_recall_check
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    idx = build_ivfpq(emb, n_cells=16, m=8, k=256)
+    return ivfpq_recall_check(
+        idx, queries, k=5, nprobe=12, shortlist=200, min_recall=0.9
+    )

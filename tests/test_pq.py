@@ -156,6 +156,9 @@ class TestIvfPq:
         assert sorted(map(tuple, ann.collect())) == sorted(map(tuple, exact.collect()))
 
     def test_pruned_search_recall(self, spark):
+        # the q144 operating point (nprobe=12, shortlist=200 — the
+        # tools/ivfpq_recall.py sweep measures 0.952 sf0.01 / 0.931
+        # sf0.1, both clear the shipped >= 0.9 bound)
         from snowflake_cdc_spark.operators.ivfpq import build_ivfpq, ivfpq_search
 
         emb = _emb(spark)
@@ -163,13 +166,47 @@ class TestIvfPq:
         idx = build_ivfpq(emb, n_cells=16, m=8, k=256)
         ann = {
             (r.query_id, r.vec_id)
-            for r in ivfpq_search(idx, q, k=5, nprobe=12, shortlist=100).collect()
+            for r in ivfpq_search(idx, q, k=5, nprobe=12, shortlist=200).collect()
         }
         exact = {(r.query_id, r.vec_id) for r in cosine_topk(emb, q, k=5).collect()}
         recall = len(ann & exact) / len(exact)
-        # both approximations stack: IVF@nprobe=12 alone measures 0.948-0.952,
-        # PQ@shortlist=100 alone 0.992 (sf0.01) — the composition stays >= 0.9
         assert recall >= 0.9, recall
+
+    def test_recall_check_matches_direct_measurement(self, spark):
+        """The q144 single-pass check computes EXACTLY the recall a
+        direct ivfpq_search-vs-brute-force measurement yields: recall_ok
+        flips between min_recall = measured and measured + epsilon."""
+        from snowflake_cdc_spark.operators.ivfpq import (
+            build_ivfpq,
+            ivfpq_recall_check,
+            ivfpq_search,
+        )
+
+        emb = _emb(spark)
+        q = _queries(emb, mod=10)
+        idx = build_ivfpq(emb, n_cells=16, m=8, k=256)
+        idx.pq.codes = idx.pq.codes.persist()
+        try:
+            # deliberately lossy params so recall is strictly < 1 and the
+            # flag reconstruction of BOTH pruning layers is exercised
+            kw = dict(k=5, nprobe=6, shortlist=20)
+            ann = {
+                (r.query_id, r.vec_id)
+                for r in ivfpq_search(idx, q, **kw).collect()
+            }
+            exact = {
+                (r.query_id, r.vec_id) for r in cosine_topk(emb, q, k=5).collect()
+            }
+            recall = len(ann & exact) / len(exact)
+            assert 0 < recall < 1
+            ok = ivfpq_recall_check(idx, q, min_recall=recall, **kw).first()
+            not_ok = ivfpq_recall_check(
+                idx, q, min_recall=recall + 1e-6, **kw
+            ).first()
+            assert ok.recall_ok and not not_ok.recall_ok
+            assert ok.n_queries == q.count()
+        finally:
+            idx.pq.codes.unpersist()
 
     def test_codes_table_carries_cell_and_code(self, spark):
         from snowflake_cdc_spark.operators.ivfpq import build_ivfpq
