@@ -9,7 +9,12 @@ Layout per table::
 A merge writes version n+1 from (current ∪ changes) → latest-by-key, then
 atomically flips the pointer — readers never see a partial snapshot
 (the rename-free pointer flip is the same trick Delta's _last_checkpoint
-uses). In production this class is swapped for the Snowflake adapter
+uses). WRITERS are serialized by optimistic concurrency (round 4): every
+write stages into a unique dir, atomically claims its version number by
+rename, and CAS-checks ``_CURRENT`` against the version it derived from
+before flipping — a losing concurrent merge raises
+``ConcurrentWriteError`` and rolls back instead of silently discarding
+the winner's changes (see ``overwrite``). In production this class is swapped for the Snowflake adapter
 (sinks/snowflake.py) or a real lakehouse table; the pipeline code is
 sink-agnostic.
 
@@ -35,6 +40,13 @@ from snowflake_cdc_spark.operators.upsert import latest_by_key
 # (key, seq, deleted) row makes the merge commutative across batches —
 # correctness can't depend on delivery order at 100 TB.
 TOMBSTONE = "_tombstone"
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer advanced the table between this writer's snapshot
+    read and its pointer flip. The losing write is rolled back and MUST
+    be retried from the new current version — silently flipping would
+    discard the other writer's merge (lost update)."""
 
 
 class ParquetSnapshotSink:
@@ -130,6 +142,7 @@ class ParquetSnapshotSink:
         on every listed column — the OPTIMIZE ... ZORDER BY posture.
         Merges append in arrival order, so clustering decays with every
         batch; compaction is exactly the place to restore it."""
+        base_v = self.current_version(table)
         df = self._read_raw(spark, table)
         if zorder_by:
             from snowflake_cdc_spark.operators.zorder import with_z_value
@@ -142,13 +155,58 @@ class ParquetSnapshotSink:
             )
         else:
             df = df.coalesce(target_files)
-        return self.overwrite(df, table)
+        return self.overwrite(df, table, expected_current=base_v)
 
-    def overwrite(self, df: DataFrame, table: str) -> int:
-        v = self.current_version(table) + 1
-        df.write.mode("overwrite").parquet(
-            os.path.join(self._table_dir(table), f"v={v}")
-        )
+    def overwrite(
+        self, df: DataFrame, table: str, expected_current: int | None = None
+    ) -> int:
+        """Write the next snapshot version and flip the pointer, with
+        optimistic-concurrency discipline (the Delta/Iceberg commit
+        posture, filesystem-local):
+
+        1. the plan executes into a uniquely-named staging dir — a slow
+           competing write can never mix files into a live version;
+        2. ``os.rename(stage, v=<n>)`` atomically CLAIMS the version
+           number — two writers racing to the same ``n`` produce exactly
+           one winner (rename onto a non-empty directory fails);
+        3. before the flip, ``_CURRENT`` is re-read and compared to
+           ``expected_current`` (the version this write was derived
+           from — CAS): if another writer advanced the table meanwhile,
+           the claimed version is rolled back and
+           ``ConcurrentWriteError`` raised, so the LOSER fails loudly
+           instead of silently discarding the winner's changes.
+
+        ``expected_current=None`` resolves to the pointer as of now —
+        callers that derived ``df`` from an earlier read (``merge``,
+        ``compact``) pass the version they actually read. The re-read
+        is a guard, not a lock: writers that lose the rename race or
+        the pointer check must retry from the new current version."""
+        import shutil
+        import uuid
+
+        if expected_current is None:
+            expected_current = self.current_version(table)
+        v = expected_current + 1
+        d = self._table_dir(table)
+        os.makedirs(d, exist_ok=True)
+        stage = os.path.join(d, f".v{v}.stage.{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(stage)
+        final = os.path.join(d, f"v={v}")
+        try:
+            os.rename(stage, final)
+        except OSError as e:
+            shutil.rmtree(stage, ignore_errors=True)
+            raise ConcurrentWriteError(
+                f"{table}: version v={v} already claimed by another "
+                f"writer; re-read the snapshot and retry the merge"
+            ) from e
+        if self.current_version(table) != expected_current:
+            shutil.rmtree(final, ignore_errors=True)
+            raise ConcurrentWriteError(
+                f"{table}: snapshot advanced past v={expected_current} "
+                f"while this write was derived from it; retry from the "
+                f"new current version"
+            )
         self._flip(table, v)
         return v
 
@@ -189,8 +247,14 @@ class ParquetSnapshotSink:
         incoming_rank = 2 if prefer_incoming_on_tie else 0  # stored rank is 1
         staged = staged.drop(delete_col).withColumn("__src", F.lit(incoming_rank))
 
-        if self.exists(table):
-            current = self._read_raw(spark, table).withColumn("__src", F.lit(1))
+        # pin the version this merge derives from: the CAS in overwrite
+        # compares against it, so a concurrent merge that advances the
+        # table between here and the flip fails THIS writer loudly
+        base_v = self.current_version(table)
+        if base_v >= 0:
+            current = spark.read.parquet(
+                os.path.join(self._table_dir(table), f"v={base_v}")
+            ).withColumn("__src", F.lit(1))
             # E2 widen: schema drift handled by name-based union
             combined = current.unionByName(staged, allowMissingColumns=True)
         else:
@@ -205,4 +269,4 @@ class ParquetSnapshotSink:
             latest = latest.withColumn(
                 logical_col, F.coalesce(F.col(logical_col), F.lit(False))
             )
-        return self.overwrite(latest, table)
+        return self.overwrite(latest, table, expected_current=base_v)
