@@ -31,9 +31,38 @@ final snapshots (asserted per batch in tests and by the q139 oracle).
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame, functions as F
 
 from snowflake_cdc_spark.operators.upsert import latest_by_key
+
+
+@dataclass
+class BucketSpec:
+    """Warehouse-scale state layout for ``JoinViewMaintainer``: persist
+    the three snapshots as BUCKETED tables between batches (the
+    docstring's "at warehouse scale the fact snapshot is bucketed by the
+    join column" promise, wired per VERDICT r03 #4) —
+
+    - fact bucketed by ``join_col``  → the recompute join and the
+      dim-touched semi-join consume it Exchange-free;
+    - dim bucketed by ``dim_key``    → co-located with fact (same
+      Murmur3 buckets on the same join values);
+    - view bucketed by ``fact_key``  → the splice anti-join never
+      shuffles the (view-sized) kept side.
+
+    Combined with broadcasting the (per-batch-bounded) ``affected`` key
+    set, the WHOLE per-batch maintenance plan contains zero shuffle
+    Exchanges — asserted via ``last_exchange_count`` in
+    ``tests/test_bucketing.py``. Tables ping-pong between ``_a``/``_b``
+    suffixes because Spark cannot overwrite a table its own plan reads;
+    the bucketed write replaces ``localCheckpoint`` as the per-batch
+    lineage truncation (in streaming the sink write plays this role —
+    here the sink write IS the bucketed table)."""
+
+    prefix: str
+    buckets: int = 32
 
 
 class JoinViewMaintainer:
@@ -49,12 +78,16 @@ class JoinViewMaintainer:
         dim_key: str,
         seq_col: str = "seq",
         delete_col: str = "is_delete",
+        bucket_spec: BucketSpec | None = None,
     ) -> None:
         self.fact_key, self.join_col, self.dim_key = fact_key, join_col, dim_key
         self.seq_col, self.delete_col = seq_col, delete_col
+        self.bucket_spec = bucket_spec
         self.fact: DataFrame | None = None
         self.dim: DataFrame | None = None
         self.view: DataFrame | None = None
+        self._gen = 0  # ping-pong generation for bucketed tables
+        self.last_exchange_count: int | None = None  # bucketed mode only
 
     # -- keyed snapshot merge (upsert + hard delete) ----------------------
 
@@ -65,7 +98,12 @@ class JoinViewMaintainer:
         )
         if snap is None:
             return live
-        survivors = snap.join(latest.select(key), key, "left_anti")
+        keys = latest.select(key)
+        if self.bucket_spec is not None:
+            # change-driven key set: broadcast so the (bucketed) snapshot
+            # side is never shuffled by the anti-join
+            keys = F.broadcast(keys)
+        survivors = snap.join(keys, key, "left_anti")
         return survivors.unionByName(live)
 
     def apply_batch(
@@ -73,31 +111,59 @@ class JoinViewMaintainer:
     ) -> DataFrame:
         """Apply one micro-batch of changes (either side may be None) and
         return the maintained view."""
+        # Touched-key sets feed only semi/anti joins, which are
+        # duplicate-insensitive — the .distinct() is a size nicety, not a
+        # correctness need. In bucketed mode it is SKIPPED: its shuffle
+        # is the only Exchange the per-batch view plan would otherwise
+        # contain (the broadcast then carries at-most-batch-sized dups).
+        dedup = self.bucket_spec is None
         dim_touched = None
         if dim_changes is not None:
-            dim_touched = dim_changes.select(self.dim_key).distinct()
+            dim_touched = dim_changes.select(self.dim_key)
+            if dedup:
+                dim_touched = dim_touched.distinct()
             self.dim = self._merge(self.dim, dim_changes, self.dim_key)
         fact_touched = None
         if fact_changes is not None:
-            fact_touched = fact_changes.select(self.fact_key).distinct()
+            fact_touched = fact_changes.select(self.fact_key)
+            if dedup:
+                fact_touched = fact_touched.distinct()
             self.fact = self._merge(self.fact, fact_changes, self.fact_key)
         if self.fact is None or self.dim is None:
             # contract: the first batch seeds BOTH sides (an empty change
             # frame is fine); maintaining half a join has no defined view
             raise ValueError("apply_batch before both sides were seeded")
+        if self.bucket_spec is not None:
+            # Persist the merged snapshots bucketed FIRST: the recompute
+            # and splice below then read only bucketed scans (+ broadcast
+            # key sets), so the whole view plan is shuffle-Exchange-free
+            # — the one hash clustering per batch happens at these writes
+            # (the bucketing bargain: shuffle once on write, join free
+            # thereafter).
+            gen = "ab"[self._gen % 2]
+            self.fact = self._write_tbl("fact", self.fact, self.join_col, gen)
+            self.dim = self._write_tbl("dim", self.dim, self.dim_key, gen)
 
-        # affected fact keys: touched directly, or referencing a touched dim
+        # affected fact keys: touched directly, or referencing a touched
+        # dim. The touched/affected key sets are per-batch-bounded (they
+        # are change-driven, never view-sized), so in bucketed mode they
+        # are broadcast — the big sides then join Exchange-free off
+        # their bucketed layout.
+        bucketed = self.bucket_spec is not None
+        hint = F.broadcast if bucketed else (lambda df: df)
         affected = fact_touched
         if dim_touched is not None:
             via_dim = self.fact.join(
-                dim_touched.withColumnRenamed(self.dim_key, self.join_col),
+                hint(dim_touched.withColumnRenamed(self.dim_key, self.join_col)),
                 self.join_col,
                 "left_semi",
             ).select(self.fact_key)
             affected = via_dim if affected is None else affected.unionByName(via_dim)
         if affected is None:  # no changes at all
             return self.view
-        affected = affected.distinct()
+        if dedup:
+            affected = affected.distinct()
+        affected = hint(affected)
 
         recomputed = (
             self.fact.join(affected, self.fact_key, "left_semi")
@@ -111,13 +177,58 @@ class JoinViewMaintainer:
         else:
             kept = self.view.join(affected, self.fact_key, "left_anti")
             self.view = kept.unionByName(recomputed)
-        # Truncate lineage per batch (components.py discipline): each
-        # state references the previous batch's state — without this the
-        # final plan re-executes every batch's merges multiplicatively
-        # (measured 21 s -> 9 s at sf0.1 for 3 batches; eager materialization measured 11 s — lazy wins because states the next batch never touches are not forced). In a streaming
-        # foreachBatch the sink write IS the truncation; localCheckpoint
-        # is its batch-mode stand-in.
-        self.fact = self.fact.localCheckpoint(eager=False)
-        self.dim = self.dim.localCheckpoint(eager=False)
-        self.view = self.view.localCheckpoint(eager=False)
+        if bucketed:
+            from snowflake_cdc_spark.operators.bucketing import (
+                shuffle_exchanges_in_plan,
+            )
+
+            # the plan just composed (splice + recompute) reads only the
+            # freshly-written bucketed fact/dim, the PREVIOUS generation's
+            # bucketed view, and broadcast key sets — record its shuffle
+            # count before the write below truncates the lineage
+            self.last_exchange_count = shuffle_exchanges_in_plan(self.view)
+            gen, old = "ab"[self._gen % 2], "ab"[(self._gen + 1) % 2]
+            self.view = self._write_tbl("view", self.view, self.fact_key, gen)
+            spark = self.view.sparkSession
+            for name in ("fact", "dim", "view"):
+                spark.sql(
+                    f"DROP TABLE IF EXISTS {self.bucket_spec.prefix}_{name}_{old}"
+                )
+            self._gen += 1
+        else:
+            # Truncate lineage per batch (components.py discipline): each
+            # state references the previous batch's state — without this the
+            # final plan re-executes every batch's merges multiplicatively
+            # (measured 21 s -> 9 s at sf0.1 for 3 batches; eager materialization measured 11 s — lazy wins because states the next batch never touches are not forced). In a streaming
+            # foreachBatch the sink write IS the truncation; localCheckpoint
+            # is its batch-mode stand-in.
+            self.fact = self.fact.localCheckpoint(eager=False)
+            self.dim = self.dim.localCheckpoint(eager=False)
+            self.view = self.view.localCheckpoint(eager=False)
         return self.view
+
+    def _write_tbl(self, name: str, df: DataFrame, key: str, gen: str) -> DataFrame:
+        """Persist one snapshot as a bucketed table of the current
+        generation and return the bucketed scan."""
+        from snowflake_cdc_spark.operators.bucketing import write_bucketed
+
+        table = f"{self.bucket_spec.prefix}_{name}_{gen}"
+        write_bucketed(df, table, key, self.bucket_spec.buckets)
+        return df.sparkSession.table(table)
+
+    def drop_bucketed_tables(self) -> None:
+        """Cleanup for bucketed mode (tests / teardown)."""
+        if self.bucket_spec is None:
+            return
+        spark = None
+        for df in (self.fact, self.dim, self.view):
+            if df is not None:
+                spark = df.sparkSession
+                break
+        if spark is None:
+            return
+        for name in ("fact", "dim", "view"):
+            for gen in "ab":
+                spark.sql(
+                    f"DROP TABLE IF EXISTS {self.bucket_spec.prefix}_{name}_{gen}"
+                )
