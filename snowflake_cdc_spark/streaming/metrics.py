@@ -31,6 +31,26 @@ class BatchMetric:
     seconds: float  # wall time of the table's merge
 
 
+@dataclass(frozen=True)
+class IndexHealthMetric:
+    """Per-batch ANN index health (round 4, VERDICT r03 #5): the
+    quantization error of vectors encoded against FROZEN codebooks,
+    relative to the codebooks' training-time error. A drifting embedding
+    distribution shows up here first — codes stay valid (encode is
+    deterministic) but they discriminate worse, so recall decays
+    silently unless watched. Recorded by
+    ``operators/pq.py::CodebookDriftMonitor`` inside the foreachBatch
+    maintenance path; ``rebuild_recommended`` trips when
+    ``mean_qerr > threshold_ratio × baseline_qerr``."""
+
+    batch_id: int
+    n_vectors: int
+    mean_qerr: float  # mean Σ_j min_c ||v_j - c||² over the batch
+    baseline_qerr: float  # training-sample error frozen at build time
+    ratio: float
+    rebuild_recommended: bool
+
+
 class ProgressListener(StreamingQueryListener):
     """Collects micro-batch progress events. Attach with
     ``spark.streams.addListener(listener)``; events arrive
