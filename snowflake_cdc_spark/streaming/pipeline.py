@@ -24,6 +24,7 @@ Scale posture:
 from __future__ import annotations
 
 import time
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -35,6 +36,29 @@ from snowflake_cdc_spark.operators.upsert import latest_by_key
 from snowflake_cdc_spark.plans.spec import DeleteStrategy, PipelineSpec, StartPosition
 from snowflake_cdc_spark.sinks.parquet_sink import ParquetSnapshotSink
 from snowflake_cdc_spark.streaming.metrics import BatchMetric
+
+
+@dataclass(frozen=True)
+class MaintenancePolicy:
+    """Automatic snapshot maintenance (round 4, VERDICT r03 #7): every
+    micro-batch merge writes ``shuffle.partitions`` files and one new
+    snapshot version, so an unattended stream decays into thousands of
+    small files plus unbounded version history — scan death at scale.
+    ``compact``/``vacuum`` existed but were manual; this policy runs
+    them every ``every_n_batches`` batches inside the same foreachBatch
+    that did the merges (no separate scheduler, and the stream's
+    exactly-once story is untouched: compaction rewrites identical data
+    and vacuum only drops non-current versions).
+
+    ``zorder_by``: optional per-target-table cluster columns — the
+    every-N compaction is exactly where Z-order clustering is restored
+    (merges append in arrival order, so clustering decays batch over
+    batch; see ``ParquetSnapshotSink.compact``)."""
+
+    every_n_batches: int = 10
+    target_files: int = 8
+    keep_versions: int = 2
+    zorder_by: dict[str, list[str]] | None = None
 
 
 class CdcPipeline:
@@ -49,6 +73,7 @@ class CdcPipeline:
         fail_on_write_error: bool = True,
         quarantine_dir: str | None = None,
         dq_expectations: dict[str, list] | None = None,
+        maintenance: MaintenancePolicy | None = None,
     ) -> None:
         """``fail_on_write_error`` mirrors the reference's
         ``failOnWriteError: True`` default (add_output.py:115): a failing
@@ -75,9 +100,13 @@ class CdcPipeline:
         self.fail_on_write_error = fail_on_write_error
         self.quarantine_dir = quarantine_dir
         self.dq_expectations = dq_expectations or {}
+        self.maintenance = maintenance
         self.write_errors: list[tuple[str, int, str]] = []  # (table, batch, err)
         self.dq_violations: list[tuple[str, int, int]] = []  # (table, batch, n)
         self.metrics: list[BatchMetric] = []  # per-(table, batch) merge stats
+        self._batches_applied = 0
+        # (table, batch_id, compacted_version, vacuumed_versions)
+        self.maintenance_events: list[tuple[str, int, int, list[int]]] = []
 
     # ---- per-table transform (pure, testable) ---------------------------
 
@@ -230,6 +259,38 @@ class CdcPipeline:
                             )
         finally:
             events.unpersist()
+        self._batches_applied += 1
+        if (
+            self.maintenance is not None
+            and self._batches_applied % self.maintenance.every_n_batches == 0
+        ):
+            self._run_maintenance(batch_id)
+
+    def _run_maintenance(self, batch_id: int) -> None:
+        """Compact + vacuum every table snapshot (MaintenancePolicy).
+        Runs inside the foreachBatch turn, after all merges: the stream
+        is between commits, so no concurrent writer exists (the sink's
+        CAS would catch one loudly if it did). Failures follow the
+        ``fail_on_write_error`` policy — maintenance is a storage
+        optimization and must not take a permissive stream down."""
+        pol = self.maintenance
+        for spec in self.specs:
+            table = spec.target_table
+            if not self.sink.exists(table):
+                continue
+            try:
+                zo = (pol.zorder_by or {}).get(table)
+                v = self.sink.compact(
+                    self.spark, table, target_files=pol.target_files, zorder_by=zo
+                )
+                removed = self.sink.vacuum(table, keep_last=pol.keep_versions)
+                self.maintenance_events.append((table, batch_id, v, removed))
+            except Exception as e:  # noqa: BLE001 - policy decides
+                if self.fail_on_write_error:
+                    raise
+                self.write_errors.append(
+                    (table, batch_id, f"maintenance failed: {e}")
+                )
 
     # ---- entry points ----------------------------------------------------
 

@@ -222,3 +222,56 @@ class TestWriterConcurrency:
             sink.overwrite(df, "T", expected_current=5)
         assert sink.versions("T") == [0]
         assert sink.current_version("T") == 0
+
+
+def test_auto_maintenance_bounds_small_file_decay(spark, tmp_path):
+    """VERDICT r03 #7: MaintenancePolicy compacts + vacuums every N
+    batches inside the pipeline itself — across a 20-batch stream the
+    file count and version history stay bounded while the snapshot is
+    bit-identical to an unmaintained run."""
+    from snowflake_cdc_spark.streaming.pipeline import MaintenancePolicy
+
+    events = cdc_events_nested(spark, SF_SMOKE).persist()
+    try:
+        shard = F.pmod(F.hash(F.col("data.primary_key")), F.lit(20))
+
+        def run(root, maintenance):
+            sink = ParquetSnapshotSink(str(tmp_path / root))
+            pipe = CdcPipeline(
+                spark,
+                [PipelineSpec("tpch.orders", use_synthetic_key=True)],
+                sink,
+                maintenance=maintenance,
+            )
+            for b in range(20):
+                pipe.materialize_batch(events.filter(shard == b), batch_id=b)
+            return pipe, sink
+
+        pol = MaintenancePolicy(every_n_batches=5, target_files=4, keep_versions=2)
+        pipe, sink = run("maint", pol)
+        _, plain_sink = run("plain", None)
+
+        # maintenance fired at batches 4, 9, 14, 19 (1-based counts 5/10/15/20)
+        assert len(pipe.maintenance_events) == 4
+        # version history bounded (vacuum) — unmaintained run has ~20+
+        assert len(sink.versions("ORDERS")) <= 2
+        assert len(plain_sink.versions("ORDERS")) >= 20
+        # current snapshot compacted to <= target_files parquet parts
+        cur = sink.current_version("ORDERS")
+        vdir = tmp_path / "maint" / "ORDERS" / f"v={cur}"
+        parts = [f for f in os.listdir(vdir) if f.endswith(".parquet")]
+        assert 0 < len(parts) <= 4
+        # total on-disk file count bounded across the whole table dir
+        total = sum(len(fs) for _, _, fs in os.walk(tmp_path / "maint" / "ORDERS"))
+        plain_total = sum(
+            len(fs) for _, _, fs in os.walk(tmp_path / "plain" / "ORDERS")
+        )
+        assert total < plain_total / 5
+        # and the data is untouched: maintained == unmaintained snapshot
+        a = sink.read(spark, "ORDERS")
+        b = plain_sink.read(spark, "ORDERS")
+        assert sorted(map(tuple, a.select(*sorted(a.columns)).collect())) == sorted(
+            map(tuple, b.select(*sorted(b.columns)).collect())
+        )
+    finally:
+        events.unpersist()
