@@ -800,3 +800,34 @@ def q144(spark, sf_dir):
     return ivfpq_recall_check(
         idx, queries, k=5, nprobe=12, shortlist=200, min_recall=0.9
     )
+
+
+# --------------------------------------------------------------------------
+# Q145 — iterative BPE vocabulary training with a COMPLETE oracle
+# --------------------------------------------------------------------------
+
+from snowflake_cdc_spark.operators.bpe import (  # noqa: E402
+    bpe_oracle_sql,
+    train_bpe,
+    word_frequencies,
+)
+
+
+@register(
+    "q145_bpe_train",
+    bpe_oracle_sql(rounds=8),
+    "Iterative BPE merge-pair training (operators/bpe.py, Sennrich 2016) "
+    "over the documents corpus: 8 rounds of exact BIGINT pair counting "
+    "on the word-FREQUENCY table (the 100 TB reduction — the corpus is "
+    "scanned once, every round touches only vocab-sized relations), "
+    "total-order winner (count DESC, left, right), merge applied via "
+    "expression-level replace on marker-PREFIXED symbol strings (greedy "
+    "left-to-right non-overlap identical in both engines — the prefix "
+    "marker makes consecutive merges share no characters). COMPLETE "
+    "hash-checked oracle: the fixed rounds unroll as a DuckDB CTE chain "
+    "(q136 fixed-point precedent — iterative training is "
+    "oracle-checkable when every round is exact integer algebra)",
+)
+def q145(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return train_bpe(word_frequencies(docs), rounds=8)
