@@ -18,12 +18,17 @@ DuckDB-oracle-checkable):
 - winner per round = ORDER BY (pair_count DESC, left, right) LIMIT 1 —
   a total order, no float anywhere;
 - the merge rewrite is greedy-left-to-right-non-overlapping BY
-  CONSTRUCTION: words are stored as marker-PREFIXED symbol strings
-  (``\\x1f a \\x1f b ...``) so ``replace(w, m+l+m+r, m+l+r)`` — the
-  same non-overlapping left-to-right scan in Spark and DuckDB —
-  implements exactly the BPE merge (the prefix marker, unlike a
-  separator, lets consecutive merges share no characters:
-  ``·a·a·a·a -> ·aa·aa``, not ``·aa·a·a``).
+  CONSTRUCTION: words are stored with every symbol WRAPPED in open/close
+  markers (``\\x1e a \\x1f \\x1e b \\x1f ...``) so
+  ``replace(w, ‹l›‹r›, ‹lr›)`` — the same non-overlapping left-to-right
+  scan in Spark and DuckDB — implements exactly the BPE merge.
+  BOTH boundaries must be explicit: a prefix-only marker lets a merge
+  pattern match where ``r`` is merely a PREFIX of the next symbol
+  (``·aa·a`` would corrupt ``·aa·ab``), and a single shared separator
+  breaks greedy chaining (``·a·a·`` consumes the next pair's left
+  boundary). Wrapped symbols share no characters between adjacent
+  matches: ``‹a›‹a›‹a›‹a› -> ‹aa›‹aa›``, and ``‹aa›‹a›`` cannot touch
+  ``‹aa›‹ab›``.
 
 The per-round winner is a 1-row ``collect`` (a driver scalar, the
 components/pagerank fixpoint discipline); ``rounds`` is fixed and
@@ -35,7 +40,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-US = "\x1f"  # unit-separator marker; excluded from symbols by contract
+SO = "\x1e"  # symbol-open marker
+SC = "\x1f"  # symbol-close marker; both excluded from symbols by contract
 
 
 def word_frequencies(
@@ -56,10 +62,11 @@ def word_frequencies(
 
 
 def _pairs(words: DataFrame) -> DataFrame:
-    """(w: marker-prefixed symbol string, cnt) -> (l, r, pair_count)
+    """(w: marker-wrapped symbol string, cnt) -> (l, r, pair_count)
     over every adjacent symbol position."""
-    s = F.split(F.col("w"), US)
-    syms = F.slice(s, 2, F.size(s) - 1)  # split yields a leading ''
+    # symbols are [a-z]+ by the word_frequencies contract — extract them
+    # directly rather than splitting around markers
+    syms = F.regexp_extract_all(F.col("w"), F.lit("[a-z]+"), 0)
     adj = F.filter(
         F.transform(
             syms,
@@ -82,7 +89,7 @@ def train_bpe(words: DataFrame, rounds: int = 8) -> DataFrame:
     (merge_round, left_s, right_s, merged, pair_count)."""
     spark = words.sparkSession
     cur = words.select(
-        F.regexp_replace(F.col("word"), "(.)", US + "$1").alias("w"),
+        F.regexp_replace(F.col("word"), "(.)", SO + "$1" + SC).alias("w"),
         F.col("cnt"),
     ).persist()
     cur.count()
@@ -104,8 +111,8 @@ def train_bpe(words: DataFrame, rounds: int = 8) -> DataFrame:
                 F.call_function(
                     "replace",
                     F.col("w"),
-                    F.lit(US + l + US + rt),
-                    F.lit(US + l + rt),
+                    F.lit(SO + l + SC + SO + rt + SC),
+                    F.lit(SO + l + rt + SC),
                 ),
             ).persist()
             nxt.count()
@@ -120,11 +127,30 @@ def train_bpe(words: DataFrame, rounds: int = 8) -> DataFrame:
     )
 
 
-def bpe_oracle_sql(rounds: int = 8, table: str = "documents") -> str:
-    """The COMPLETE DuckDB oracle: the fixed training rounds unrolled as
-    a CTE chain (pair counts -> total-order winner -> greedy rewrite per
-    round) — token-for-token the same arithmetic and the same
-    ``replace`` scan semantics as the Spark loop."""
+def apply_bpe(words: DataFrame, merges: list[tuple], word_col: str = "word") -> DataFrame:
+    """Tokenize the vocabulary with a learned merge list: apply the
+    merges IN TRAINING ORDER (each one the same greedy non-overlapping
+    ``replace`` used during training) and return
+    (word, n_bpe_tokens). The merge list is tiny (``rounds`` entries) so
+    the application composes into one projection — the scalable shape
+    is vocab-level tokenization + a broadcast join back to the corpus
+    (see q146), never re-scanning documents per merge."""
+    w = F.regexp_replace(F.col(word_col), "(.)", SO + "$1" + SC)
+    for m in merges:
+        l, rt = m[1], m[2]
+        w = F.call_function(
+            "replace", w, F.lit(SO + l + SC + SO + rt + SC), F.lit(SO + l + rt + SC)
+        )
+    return words.select(
+        F.col(word_col),
+        (F.size(F.split(w, SO)) - 1).cast("bigint").alias("n_bpe_tokens"),
+    )
+
+
+def _bpe_chain_ctes(rounds: int, table: str) -> list[str]:
+    """The shared CTE chain: words -> w0 -> (p{r}, m{r}, w{r})* — every
+    ``w{r}`` carries the original ``word`` so downstream oracles can
+    join tokenizations back to the corpus."""
     ctes = [
         (
             "words AS (SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt "
@@ -132,15 +158,15 @@ def bpe_oracle_sql(rounds: int = 8, table: str = "documents") -> str:
             f"FROM {table}) GROUP BY 1)"
         ),
         (
-            "w0 AS (SELECT regexp_replace(word, '(.)', chr(31)||'\\1', 'g') AS w, "
-            "cnt FROM words)"
+            "w0 AS (SELECT word, regexp_replace(word, '(.)', "
+            "chr(30)||'\\1'||chr(31), 'g') AS w, cnt FROM words)"
         ),
     ]
     for r in range(1, rounds + 1):
         ctes.append(
             f"p{r} AS (SELECT pr[1] AS l, pr[2] AS r2, "
             "CAST(sum(cnt) AS BIGINT) AS pair_count "
-            f"FROM (SELECT string_split(w, chr(31))[2:] AS s, cnt FROM w{r-1}), "
+            f"FROM (SELECT regexp_extract_all(w, '[a-z]+') AS s, cnt FROM w{r-1}), "
             "UNNEST(list_zip(s, s[2:])) AS u(pr) "
             "WHERE pr[2] IS NOT NULL GROUP BY 1, 2)"
         )
@@ -150,11 +176,44 @@ def bpe_oracle_sql(rounds: int = 8, table: str = "documents") -> str:
             "ORDER BY pair_count DESC, l, r2 LIMIT 1)"
         )
         ctes.append(
-            f"w{r} AS (SELECT replace(w, chr(31)||left_s||chr(31)||right_s, "
-            f"chr(31)||merged) AS w, cnt FROM w{r-1}, m{r})"
+            f"w{r} AS (SELECT word, replace(w, "
+            "chr(30)||left_s||chr(31)||chr(30)||right_s||chr(31), "
+            f"chr(30)||merged||chr(31)) AS w, cnt FROM w{r-1}, m{r})"
         )
+    return ctes
+
+
+def bpe_oracle_sql(rounds: int = 8, table: str = "documents") -> str:
+    """The COMPLETE DuckDB oracle for ``train_bpe``: the fixed training
+    rounds unrolled as a CTE chain (pair counts -> total-order winner ->
+    greedy rewrite per round) — token-for-token the same arithmetic and
+    the same ``replace`` scan semantics as the Spark loop."""
+    ctes = _bpe_chain_ctes(rounds, table)
     union = " UNION ALL ".join(
         f"SELECT merge_round, left_s, right_s, merged, pair_count FROM m{r}"
         for r in range(1, rounds + 1)
     )
     return f"WITH {', '.join(ctes)} {union} ORDER BY merge_round"
+
+
+def bpe_apply_oracle_sql(rounds: int = 8, table: str = "documents") -> str:
+    """Oracle for the tokenizer-APPLY lane (q146): re-derive the merges
+    with the same chain, read each word's final representation off
+    ``w{rounds}``, and aggregate per-source token totals."""
+    ctes = _bpe_chain_ctes(rounds, table)
+    ctes.append(
+        f"tok AS (SELECT word, CAST(len(string_split(w, chr(30))) - 1 AS BIGINT) "
+        f"AS n_tok FROM w{rounds})"
+    )
+    ctes.append(
+        "docw AS (SELECT source, "
+        "unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word "
+        f"FROM {table})"
+    )
+    return (
+        f"WITH {', '.join(ctes)} "
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_words, "
+        "CAST(sum(length(word)) AS BIGINT) AS n_char_tokens, "
+        "CAST(sum(n_tok) AS BIGINT) AS n_bpe_tokens "
+        "FROM docw JOIN tok USING (word) GROUP BY source ORDER BY source"
+    )

@@ -831,3 +831,48 @@ from snowflake_cdc_spark.operators.bpe import (  # noqa: E402
 def q145(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return train_bpe(word_frequencies(docs), rounds=8)
+
+
+# --------------------------------------------------------------------------
+# Q146 — BPE tokenizer APPLY: vocab-level tokenization + broadcast join
+# --------------------------------------------------------------------------
+
+from snowflake_cdc_spark.operators.bpe import (  # noqa: E402
+    apply_bpe,
+    bpe_apply_oracle_sql,
+)
+
+
+@register(
+    "q146_bpe_tokenize",
+    bpe_apply_oracle_sql(rounds=8),
+    "Tokenizer-apply lane completing q145: the 8 learned merges are "
+    "applied IN TRAINING ORDER to the VOCABULARY (a rounds-deep "
+    "projection over vocab-sized data — documents are never re-scanned "
+    "per merge), then one broadcast join maps every corpus word to its "
+    "BPE token count; per-source totals (words, char-level tokens, BPE "
+    "tokens) show the compression the learned vocab buys. All exact "
+    "BIGINTs; the oracle re-derives the merges with the q145 CTE chain "
+    "and reads final representations off its last rewrite stage",
+)
+def q146(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    words = word_frequencies(docs)
+    merges = train_bpe(words, rounds=8).collect()
+    tok = apply_bpe(words, [tuple(m) for m in merges])
+    docw = docs.select(
+        "source",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+        ).alias("word"),
+    )
+    return (
+        docw.join(F.broadcast(tok), "word")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum(F.length("word")).cast("bigint").alias("n_char_tokens"),
+            F.sum("n_bpe_tokens").cast("bigint").alias("n_bpe_tokens"),
+        )
+        .orderBy("source")
+    )

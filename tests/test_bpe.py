@@ -39,3 +39,16 @@ def test_word_frequencies_reduce_corpus(spark):
     docs = _docs(spark, ["the cat the", "cat!"])
     wf = {r.word: r.cnt for r in word_frequencies(docs).collect()}
     assert wf == {"the": 2, "cat": 2}
+
+
+def test_apply_bpe_uses_training_order_and_greedy_scan(spark):
+    words = spark.createDataFrame(
+        [("aaab", 1), ("b", 1), ("aaaa", 1)], "word string, cnt bigint"
+    )
+    merges = [(1, "a", "a", "aa", 0), (2, "aa", "a", "aaa", 0)]
+    got = {r.word: r.n_bpe_tokens for r in
+           __import__("snowflake_cdc_spark.operators.bpe", fromlist=["apply_bpe"])
+           .apply_bpe(words, merges).collect()}
+    # aaab: [a,a,a,b] -> merge1 greedy -> [aa,a,b] -> merge2 -> [aaa,b]
+    # aaaa: -> [aa,aa] (greedy non-overlap) -> merge2 no match -> 2
+    assert got == {"aaab": 2, "b": 1, "aaaa": 2}
