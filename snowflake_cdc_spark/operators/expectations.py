@@ -95,6 +95,54 @@ def row_gate(
     return df.filter(ok), df.filter(~ok)
 
 
+def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Column DISCOVERY profiling in ONE aggregation pass — the other
+    half of data-quality tooling beside ``dq_report`` (which CHECKS
+    expectations you already have; the profiler is how you find out what
+    to expect: Deequ's ColumnProfilerRunner posture). Per column:
+    ``(col_name, n_total, n_null, n_distinct, min_val, max_val)``, min
+    and max computed on the NATIVE type then rendered to string (so
+    numeric columns order numerically, not lexicographically).
+
+    One scan regardless of column count: all metrics fold into a single
+    ``agg`` (the multiple count_distincts plan as one Expand over the
+    scan — still one pass over the data, the same trade
+    grouping-sets/q64 makes), then an array-of-structs explode unpivots
+    the 1-row result. ``n_distinct`` counts non-null values (SQL
+    COUNT(DISTINCT) semantics, identical in DuckDB).
+
+    Cross-engine rendering note (determinism contract): string casts of
+    BIGINT/VARCHAR/DATE render identically in Spark and DuckDB;
+    float/decimal rendering does NOT — oracle-checked profiles should
+    select non-float columns (the operator itself takes any column)."""
+    cols = columns or df.columns
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("_total")]
+    for i, c in enumerate(cols):
+        aggs += [
+            F.sum(F.col(c).isNull().cast("int")).cast("bigint").alias(f"_null{i}"),
+            F.count_distinct(F.col(c)).cast("bigint").alias(f"_nd{i}"),
+            F.min(F.col(c)).cast("string").alias(f"_min{i}"),
+            F.max(F.col(c)).cast("string").alias(f"_max{i}"),
+        ]
+    one = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("_total").alias("n_total"),
+                F.col(f"_null{i}").alias("n_null"),
+                F.col(f"_nd{i}").alias("n_distinct"),
+                F.col(f"_min{i}").alias("min_val"),
+                F.col(f"_max{i}").alias("max_val"),
+            )
+            for i, c in enumerate(cols)
+        ]
+    )
+    return (
+        one.select(F.explode(rows).alias("r")).select("r.*").orderBy("col_name")
+    )
+
+
 def dq_report(df: DataFrame, expectations: list[Expectation]) -> DataFrame:
     """Evaluate all expectations in one aggregation pass. Returns
     ``(check_name, n_pass, n_total, ratio, passed)`` one row per

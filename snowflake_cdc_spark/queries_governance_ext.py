@@ -876,3 +876,42 @@ def q146(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Q147 — one-scan column profiler (discovery beside q132's checking)
+# --------------------------------------------------------------------------
+
+from snowflake_cdc_spark.operators.expectations import profile_table  # noqa: E402
+
+
+def _profile_oracle(table: str, cols: list[str]) -> str:
+    parts = [
+        (
+            f"SELECT '{c}' AS col_name, CAST(count(*) AS BIGINT) AS n_total, "
+            f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null, "
+            f"CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct, "
+            f"CAST(min({c}) AS VARCHAR) AS min_val, "
+            f"CAST(max({c}) AS VARCHAR) AS max_val FROM {table}"
+        )
+        for c in cols
+    ]
+    return " UNION ALL ".join(parts) + " ORDER BY col_name"
+
+
+@register(
+    "q147_column_profile",
+    _profile_oracle("documents", ["doc_id", "text", "lang", "source", "n_chars"]),
+    "Deequ-style column DISCOVERY profiling "
+    "(operators/expectations.py::profile_table) — the complement of "
+    "q132's expectation CHECKING: per column, (n_total, n_null, "
+    "n_distinct, min, max) computed in ONE scan (all metrics fold into "
+    "a single agg; the multiple count_distincts plan as one Expand — "
+    "one pass regardless of column count) then unpivoted via "
+    "array-of-structs explode. min/max on NATIVE types rendered to "
+    "string; profiled columns are bigint/varchar so the rendering is "
+    "engine-identical (float rendering is not — documented contract)",
+)
+def q147(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return profile_table(docs, ["doc_id", "text", "lang", "source", "n_chars"])

@@ -128,6 +128,37 @@ class TestDqReport:
         assert plan.count("Scan parquet") == 1
 
 
+class TestColumnProfile:
+    """profile_table (q147): discovery-side profiling — exact per-column
+    stats, null semantics, native-type min/max, one-scan plan."""
+
+    def test_profile_stats_and_null_semantics(self, spark):
+        from snowflake_cdc_spark.operators.expectations import profile_table
+
+        df = spark.createDataFrame(
+            [(1, "a"), (2, None), (10, "b"), (None, "b")], ["k", "v"]
+        )
+        prof = {r.col_name: r for r in profile_table(df).collect()}
+        k = prof["k"]
+        # min/max on the NATIVE type: 2 < 10 numerically (a lex string
+        # min would give "1" < "10" < "2")
+        assert (k.n_total, k.n_null, k.n_distinct) == (4, 1, 3)
+        assert (k.min_val, k.max_val) == ("1", "10")
+        v = prof["v"]
+        assert (v.n_null, v.n_distinct, v.min_val, v.max_val) == (1, 2, "a", "b")
+
+    def test_single_scan_plan(self, spark, tmp_path):
+        from snowflake_cdc_spark.operators.expectations import profile_table
+
+        p = str(tmp_path / "t.parquet")
+        spark.range(0, 100).select(
+            F.col("id"), (F.col("id") % 5).alias("v"), (F.col("id") % 7).alias("w")
+        ).write.parquet(p)
+        prof = profile_table(spark.read.parquet(p))
+        plan = prof._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Scan parquet") == 1
+
+
 class TestPipelineDqGate:
     """Row-level DQ gating inside the CDC pipeline (S5 extension):
     violating change rows are quarantined before the merge, delete
