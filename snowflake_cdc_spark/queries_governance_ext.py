@@ -915,3 +915,76 @@ def _profile_oracle(table: str, cols: list[str]) -> str:
 def q147(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return profile_table(docs, ["doc_id", "text", "lang", "source", "n_chars"])
+
+
+# --------------------------------------------------------------------------
+# Q148 — deterministic Bloom-filter join pruning (runtime-filter lane)
+# --------------------------------------------------------------------------
+
+from snowflake_cdc_spark.operators.bloom import (  # noqa: E402
+    bloom_prefilter,
+    build_bloom,
+)
+
+_BLOOM_ORACLE = """
+WITH dim AS (SELECT DISTINCT c_custkey FROM customer WHERE c_acctbal > 9000),
+bloom AS (
+  SELECT DISTINCT
+    ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || CAST(c_custkey AS VARCHAR)), 1, 13))::BIGINT % 4096 AS pos
+  FROM dim, unnest(generate_series(0, 3)) AS t(i)),
+probek AS (SELECT DISTINCT o_custkey AS key FROM orders),
+pk AS (
+  SELECT key, i,
+    ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || CAST(key AS VARCHAR)), 1, 13))::BIGINT % 4096 AS pos
+  FROM probek, unnest(generate_series(0, 3)) AS t(i)),
+passkeys AS (
+  SELECT key FROM pk JOIN bloom USING (pos)
+  GROUP BY key HAVING count(DISTINCT i) = 4),
+stats AS (
+  SELECT
+    CAST((SELECT count(*) FROM dim) AS BIGINT) AS n_dim_keys,
+    CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_probe,
+    CAST((SELECT count(*) FROM orders WHERE o_custkey IN (SELECT key FROM passkeys)) AS BIGINT) AS n_bloom_pass,
+    CAST((SELECT count(*) FROM orders WHERE o_custkey IN (SELECT c_custkey FROM dim)) AS BIGINT) AS n_true_match)
+SELECT n_dim_keys, n_probe, n_bloom_pass, n_true_match,
+       n_bloom_pass - n_true_match AS n_false_pos
+FROM stats
+"""
+
+
+@register(
+    "q148_bloom_join_pruning",
+    _BLOOM_ORACLE,
+    "Runtime-filter lane (operators/bloom.py): Bloom-filter join pruning "
+    "with an md5 hash family, so the WHOLE filter is engine-portable and "
+    "this approximate structure gets a COMPLETE oracle (q134 count-min "
+    "precedent — DuckDB re-derives every set bit). Build = one distinct "
+    "over the selective dim keys' k=4 positions (<= m=4096 rows ~ 16 KB "
+    "broadcast REGARDLESS of key count — the object that still fits "
+    "when the dim key set itself no longer broadcasts); probe = pure "
+    "scan-side conjunction of array_contains probes, no exchange, no "
+    "probe-side explode — non-matching fact rows die at the scan before "
+    "any shuffle. Output: exact probe/pass/true-match/false-positive "
+    "counts (Bloom errs only toward keeping, so join semantics stay "
+    "exact — asserted in tests)",
+)
+def q148(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    dim = cust.filter(F.col("c_acctbal") > 9000).select("c_custkey").distinct()
+    bloom = build_bloom(dim, "c_custkey", k=4, m=4096)
+    passed = bloom_prefilter(orders, "o_custkey", bloom, k=4, m=4096)
+    a = dim.agg(F.count(F.lit(1)).cast("bigint").alias("n_dim_keys"))
+    b = orders.agg(F.count(F.lit(1)).cast("bigint").alias("n_probe"))
+    c = passed.agg(F.count(F.lit(1)).cast("bigint").alias("n_bloom_pass"))
+    d = orders.join(
+        F.broadcast(dim), orders.o_custkey == dim.c_custkey, "left_semi"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_true_match"))
+    return (
+        a.crossJoin(b)
+        .crossJoin(c)
+        .crossJoin(d)
+        .withColumn(
+            "n_false_pos", (F.col("n_bloom_pass") - F.col("n_true_match"))
+        )
+    )
