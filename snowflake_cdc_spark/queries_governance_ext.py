@@ -988,3 +988,68 @@ def q148(spark, sf_dir):
             "n_false_pos", (F.col("n_bloom_pass") - F.col("n_true_match"))
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Q149 — exact set-similarity join via prefix filtering (PPJoin family)
+# --------------------------------------------------------------------------
+
+from snowflake_cdc_spark.operators.setsim import (  # noqa: E402
+    allpairs_jaccard_join,
+    shingle_sets,
+)
+
+_SETSIM_ORACLE = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, sh AS tok FROM (
+    SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+    FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w
+          FROM documents),
+         unnest(generate_series(1, len(w) - 2)) AS t(i))),
+df AS (SELECT tok, CAST(count(*) AS BIGINT) AS dfc FROM toks GROUP BY 1),
+ranked AS (
+  SELECT doc_id, tok,
+         row_number() OVER (PARTITION BY doc_id ORDER BY dfc, tok) AS rn,
+         count(*) OVER (PARTITION BY doc_id) AS sz
+  FROM toks JOIN df USING (tok)),
+pref AS (SELECT * FROM ranked WHERE rn <= sz - ((6*sz + 9) // 10) + 1),
+cand AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM pref a JOIN pref b ON a.tok = b.tok AND a.doc_id < b.doc_id
+   AND 10 * b.sz >= 6 * a.sz AND 10 * a.sz >= 6 * b.sz),
+sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM toks GROUP BY 1),
+inter AS (
+  SELECT c.da, c.db, CAST(count(*) AS BIGINT) AS n_inter
+  FROM cand c
+  JOIN toks x ON x.doc_id = c.da
+  JOIN toks y ON y.doc_id = c.db AND y.tok = x.tok
+  GROUP BY 1, 2)
+SELECT i.da AS doc_a, i.db AS doc_b, i.n_inter,
+       sa.sz + sb.sz - i.n_inter AS n_union
+FROM inter i JOIN sz sa ON sa.doc_id = i.da JOIN sz sb ON sb.doc_id = i.db
+WHERE 10 * i.n_inter >= 6 * (sa.sz + sb.sz - i.n_inter)
+ORDER BY doc_a, doc_b
+"""
+
+
+@register(
+    "q149_setsim_join",
+    _SETSIM_ORACLE,
+    "EXACT set-similarity join (operators/setsim.py, SSJoin/PPJoin "
+    "family): every document pair with Jaccard >= 0.6 over 3-word "
+    "shingle sets — the recall-1.0 counterpart of the MinHash/SimHash "
+    "probabilistic near-dup lanes (q25/q26). Registry runs the direct "
+    "inverted-index form (thin postings on this corpus make it optimal "
+    "— the q131/q140 pattern); the operator's `prefix_filter_join` is "
+    "the identical-output scale path whose candidates come only from "
+    "shared PREFIX tokens under the global rarest-first order "
+    "(pigeonhole guarantees completeness; boilerplate shingles never "
+    "enter prefixes, so the Σdf² quadratic dies — planted-skew bound + "
+    "equivalence asserted in test_setsim.py). All exact integer "
+    "algebra: den*inter >= num*union verify, integer-ceil prefix "
+    "lengths — no float boundary anywhere",
+)
+def q149(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    toks = shingle_sets(docs, n=3)
+    return allpairs_jaccard_join(toks, threshold_num=6, threshold_den=10)
