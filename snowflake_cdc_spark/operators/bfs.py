@@ -1,0 +1,60 @@
+"""Multi-source BFS / k-hop reachability with exact distances — the
+graph-traversal lane beside components (q102/q118), PageRank (q136) and
+triangles (q137). The warehouse uses: blast-radius analysis ("what can
+a failing part reach in <= k hops"), recall expansion for retrieval,
+lineage walks.
+
+Frontier expansion, the scalable form: per hop, ONE join of the CURRENT
+frontier (not the visited set, not the graph) against the edge list,
+then an anti-join against the visited set so each node is settled
+exactly once at its minimal distance — the textbook level-synchronous
+BFS invariant. Work per hop is O(frontier-adjacent edges); the visited
+set is persisted and the per-hop ``localCheckpoint`` keeps lineage flat
+(components.py discipline). ``max_hops`` is fixed and small (the q136
+fixed-rounds precedent), which is also what makes the whole traversal
+DuckDB-oracle-checkable via a depth-bounded recursive CTE + min(dist)
+— pure integer set algebra, nothing to drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def khop_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 3,
+    node_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(node, dist): minimal hop distance from ANY seed, for every node
+    within ``max_hops`` (seeds at dist 0)."""
+    visited = seeds.select(node_col).distinct().withColumn(
+        "dist", F.lit(0).cast("int")
+    ).persist()
+    visited.count()
+    frontier = visited.select(node_col)
+    try:
+        for h in range(1, max_hops + 1):
+            nxt = (
+                frontier.join(
+                    edges, frontier[node_col] == edges[src_col]
+                )
+                .select(F.col(dst_col).alias(node_col))
+                .distinct()
+                .join(visited.select(node_col), node_col, "left_anti")
+                .withColumn("dist", F.lit(h).cast("int"))
+            )
+            new_visited = visited.unionByName(nxt).localCheckpoint(eager=False)
+            new_visited = new_visited.persist()
+            new_visited.count()
+            visited.unpersist()
+            visited = new_visited
+            frontier = visited.filter(F.col("dist") == h).select(node_col)
+        return visited
+    except Exception:
+        visited.unpersist()
+        raise

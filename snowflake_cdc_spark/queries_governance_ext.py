@@ -1053,3 +1053,102 @@ def q149(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     toks = shingle_sets(docs, n=3)
     return allpairs_jaccard_join(toks, threshold_num=6, threshold_den=10)
+
+
+# --------------------------------------------------------------------------
+# Q150 — funnel analysis: ordered-sequence conversion in ONE shuffle
+# --------------------------------------------------------------------------
+
+from snowflake_cdc_spark.operators.funnel import funnel_counts  # noqa: E402
+
+_FUNNEL_ORACLE = """
+WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+           WHERE event_type = 'view' GROUP BY 1),
+c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1)
+SELECT 1 AS step, 'view' AS step_name,
+       CAST((SELECT count(*) FROM v) AS BIGINT) AS n_users
+UNION ALL
+SELECT 2, 'click', CAST((SELECT count(*) FROM c) AS BIGINT)
+UNION ALL
+SELECT 3, 'purchase', CAST((SELECT count(*) FROM p) AS BIGINT)
+ORDER BY step
+"""
+
+
+@register(
+    "q150_funnel",
+    _FUNNEL_ORACLE,
+    "Funnel conversion (operators/funnel.py): users completing "
+    "view -> click -> purchase in strict temporal order, each step "
+    "matched to its earliest qualifying event. ONE shuffle total: "
+    "events filtered to funnel types at the scan, grouped per user, and "
+    "the step times fall out of a single expression-level aggregate "
+    "fold over each user's time-sorted events — vs the naive k-fold "
+    "join-chain (k shuffles + k scans), which is exactly the "
+    "INDEPENDENT algorithm the oracle runs (min-ts chain with strict > "
+    "joins), so the hash check proves the two formulations equivalent. "
+    "Counts only cross engines; timestamps compare at us resolution",
+)
+def q150(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return funnel_counts(ev, ["view", "click", "purchase"])
+
+
+# --------------------------------------------------------------------------
+# Q151 — multi-source BFS k-hop distances (frontier expansion)
+# --------------------------------------------------------------------------
+
+from snowflake_cdc_spark.operators.bfs import khop_distances  # noqa: E402
+
+_BFS_ORACLE = """
+WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+bfs AS (
+  SELECT l_partkey AS node, 0 AS dist
+  FROM (SELECT DISTINCT l_partkey FROM li WHERE l_partkey <= 10)
+  UNION
+  SELECT e.dst, bfs.dist + 1
+  FROM bfs JOIN edges e ON e.src = bfs.node
+  WHERE bfs.dist < 3),
+settled AS (SELECT node, CAST(min(dist) AS INT) AS dist FROM bfs GROUP BY 1)
+SELECT dist, CAST(count(*) AS BIGINT) AS n_parts
+FROM settled GROUP BY dist ORDER BY dist
+"""
+
+
+@register(
+    "q151_bfs_khop",
+    _BFS_ORACLE,
+    "Multi-source BFS (operators/bfs.py): minimal hop distance from the "
+    "seed parts (partkey <= 10) over the co-purchase graph, settled up "
+    "to 3 hops — frontier expansion joins ONLY the current frontier "
+    "against the edge list per hop (never the visited set, never "
+    "graph x graph), anti-join settles each node once at its minimal "
+    "distance, per-hop localCheckpoint keeps lineage flat. Exact "
+    "integer distances make the traversal fully hash-checkable against "
+    "a depth-bounded recursive-CTE oracle (an INDEPENDENT algorithm — "
+    "DuckDB's set-semantics recursion + min(dist) vs level-synchronous "
+    "settling). Output: nodes-per-distance histogram",
+)
+def q151(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "k").filter(F.col("src") != F.col("dst"))
+        .select("src", "dst").distinct()
+    )
+    seeds = li.filter(F.col("l_partkey") <= 10).select(
+        F.col("l_partkey").alias("node")
+    )
+    dist = khop_distances(edges, seeds, max_hops=3)
+    return (
+        dist.groupBy("dist")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_parts"))
+        .orderBy("dist")
+    )

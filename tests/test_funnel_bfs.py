@@ -1,0 +1,71 @@
+"""Funnel conversion (operators/funnel.py) and multi-source BFS
+(operators/bfs.py): planted-sequence and planted-graph exactness."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from snowflake_cdc_spark.operators.bfs import khop_distances
+from snowflake_cdc_spark.operators.funnel import funnel_counts
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [(u, datetime(2024, 1, 1, 0, 0, s), t) for u, s, t in rows],
+        "user_id long, ts timestamp, event_type string",
+    )
+
+
+class TestFunnel:
+    def test_strict_order_and_earliest_match(self, spark):
+        rows = [
+            # u1 converts fully, in order
+            (1, 1, "view"), (1, 2, "click"), (1, 3, "purchase"),
+            # u2: purchase BEFORE click -> stops at click
+            (2, 1, "view"), (2, 2, "purchase"), (2, 3, "click"),
+            # u3: only views
+            (3, 1, "view"), (3, 2, "view"),
+            # u4: click with no prior view -> never enters funnel
+            (4, 1, "click"), (4, 2, "purchase"),
+            # u5: matched to EARLIEST view; purchase after later click
+            (5, 1, "view"), (5, 5, "click"), (5, 6, "purchase"), (5, 4, "view"),
+        ]
+        got = {
+            (r.step, r.step_name): r.n_users
+            for r in funnel_counts(_ev(spark, rows), ["view", "click", "purchase"]).collect()
+        }
+        assert got == {(1, "view"): 4, (2, "click"): 3, (3, "purchase"): 2}
+
+    def test_equal_timestamps_do_not_advance(self, spark):
+        # click at the SAME second as the view: strict > rejects it
+        rows = [(1, 1, "view"), (1, 1, "click"), (1, 2, "click")]
+        got = {r.step_name: r.n_users
+               for r in funnel_counts(_ev(spark, rows), ["view", "click"]).collect()}
+        assert got == {"view": 1, "click": 1}
+        rows2 = [(1, 1, "view"), (1, 1, "click")]
+        got2 = {r.step_name: r.n_users
+                for r in funnel_counts(_ev(spark, rows2), ["view", "click"]).collect()}
+        assert got2 == {"view": 1, "click": 0}
+
+
+class TestBfs:
+    def _edges(self, spark, pairs):
+        # undirected: both directions
+        both = pairs + [(b, a) for a, b in pairs]
+        return spark.createDataFrame(both, "src long, dst long")
+
+    def test_chain_distances_and_hop_bound(self, spark):
+        edges = self._edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (8, 9)])
+        seeds = spark.createDataFrame([(1,)], "node long")
+        got = {r.node: r.dist for r in khop_distances(edges, seeds, 3).collect()}
+        # 5 is 4 hops away -> outside max_hops; 8/9 disconnected
+        assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+
+    def test_multi_source_takes_minimal_distance(self, spark):
+        edges = self._edges(spark, [(1, 2), (2, 3), (3, 4), (4, 10), (10, 2)])
+        seeds = spark.createDataFrame([(1,), (10,)], "node long")
+        got = {r.node: r.dist for r in khop_distances(edges, seeds, 3).collect()}
+        # node 4: dist 1 via seed 10 (not 3 via seed 1); node 3: 2 either way
+        assert got == {1: 0, 10: 0, 2: 1, 4: 1, 3: 2}
