@@ -1152,3 +1152,89 @@ def q151(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_parts"))
         .orderBy("dist")
     )
+
+
+# --------------------------------------------------------------------------
+# Q152 — peak concurrency per hour (bucketed sweep line, no global sort)
+# --------------------------------------------------------------------------
+
+from snowflake_cdc_spark.operators.sweepline import (  # noqa: E402
+    peak_concurrency_by_bucket,
+)
+
+_SWEEP_ORACLE = """
+WITH iv AS (SELECT ts AS s, ts + INTERVAL 10 MINUTE AS e FROM events),
+b AS (SELECT s AS t, 1 AS delta FROM iv UNION ALL SELECT e, -1 FROM iv),
+sw AS (SELECT date_trunc('hour', t) AS bkt, t, delta,
+              sum(delta) OVER (PARTITION BY date_trunc('hour', t)
+                               ORDER BY t, delta
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+       FROM b),
+pb AS (SELECT bkt, max(run) AS max_run, sum(delta) AS net,
+              CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_starts
+       FROM sw GROUP BY 1)
+SELECT bkt AS bucket_ts, n_starts,
+       CAST(coalesce(sum(net) OVER (ORDER BY bkt
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            + max_run AS BIGINT) AS peak
+FROM pb ORDER BY bucket_ts
+"""
+
+
+@register(
+    "q152_peak_concurrency",
+    _SWEEP_ORACLE,
+    "Peak concurrent sessions per hour (operators/sweepline.py): each "
+    "event opens a 10-minute session; the BUCKETED sweep line computes "
+    "the exact per-hour maximum concurrency with NO global data sort — "
+    "per-bucket running sums (bounded window sorts) + carry-in from a "
+    "running net over the tiny hour-level table (the q120/q140 "
+    "broadcast-offsets shape; the only unpartitioned window is over "
+    "hours, not rows). Half-open [start, end): ends sort before starts "
+    "at the same instant. Pure integer deltas; tied boundary rows carry "
+    "equal deltas so the within-bucket max is order-invariant",
+)
+def q152(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.select(
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("end_ts"),
+    )
+    return peak_concurrency_by_bucket(iv, bucket="hour")
+
+
+# --------------------------------------------------------------------------
+# Q153 — frequent pair mining with a-priori pruning
+# --------------------------------------------------------------------------
+
+from snowflake_cdc_spark.operators.itemsets import frequent_pairs  # noqa: E402
+
+
+@register(
+    "q153_frequent_pairs",
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS it FROM lineitem),
+       fi AS (SELECT it FROM li GROUP BY 1 HAVING count(*) >= 2),
+       fl AS (SELECT li.ok, li.it FROM li JOIN fi ON fi.it = li.it)
+       SELECT a.it AS item_a, b.it AS item_b, CAST(count(*) AS BIGINT) AS support
+       FROM fl a JOIN fl b ON a.ok = b.ok AND a.it < b.it
+       GROUP BY 1, 2 HAVING count(*) >= 2
+       ORDER BY item_a, item_b""",
+    "Market-basket frequent pairs (operators/itemsets.py, a-priori): "
+    "parts co-purchased in >= 2 orders. Downward closure prunes "
+    "infrequent items from every basket BEFORE the quadratic per-basket "
+    "pair expansion (Σ b² bounded by frequent items only — the planted "
+    "test shows a basket of one-off items generating ZERO candidates); "
+    "exact integer support counts over distinct (order, part) pairs",
+)
+def q153(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
+    )
+    return (
+        frequent_pairs(li, min_support=2)
+        .select(
+            F.col("item_a").alias("item_a"),
+            F.col("item_b").alias("item_b"),
+            "support",
+        )
+    )
