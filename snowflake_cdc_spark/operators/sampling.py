@@ -82,3 +82,36 @@ def stratified_hash_sample(
         else F.lit(hash_bucket_threshold(default_fraction))
     )
     return df.filter(hash_col < thr)
+
+
+def weighted_sample_aes(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement — Efraimidis-Spirakis A-ES
+    (2006): each row draws a deterministic uniform u from md5(id) and is
+    ranked by ``ln(u) / w`` (the log-monotone form of ``u^(1/w)``); the
+    top-k ranks ARE a weighted sample without replacement. One scan +
+    a TakeOrdered top-k — no global sort shuffle, no seed lottery:
+    every engine, run, and partitioning picks the same k rows.
+
+    Cross-engine exactness (the q124/q135 discipline): u is the exact
+    dyadic ``(md5_52bit + 1) / 2^52`` in (0, 1], ``ln`` is the one
+    tolerated libm call, and both engines evaluate the identical
+    expression on identical inputs — bit-identical ranks, so the top-k
+    set and its order hash-match. Zero/negative weights are excluded
+    (their limit rank is -inf: never sampled)."""
+    num = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 13), 16, 10
+    ).cast("bigint")
+    u = (num + F.lit(1)).cast("double") / F.lit(float(2**52))
+    r = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__r", r)
+        .orderBy(F.desc("__r"), id_col)
+        .limit(k)
+        .drop("__r")
+    )

@@ -1238,3 +1238,50 @@ def q153(spark, sf_dir):
             "support",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Q154 — weighted sampling without replacement (Efraimidis-Spirakis)
+# --------------------------------------------------------------------------
+
+from snowflake_cdc_spark.operators.sampling import weighted_sample_aes  # noqa: E402
+
+
+@register(
+    "q154_weighted_sample",
+    """WITH keyed AS (
+         SELECT doc_id, n_chars,
+                ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT + 1)
+                   / 4503599627370496.0)
+                / CAST(n_chars AS DOUBLE) AS r
+         FROM documents WHERE n_chars > 0),
+       top AS (
+         SELECT doc_id, n_chars,
+                row_number() OVER (ORDER BY r DESC, doc_id) AS rn
+         FROM keyed)
+       SELECT doc_id, n_chars, CAST(rn AS BIGINT) AS sample_rank
+       FROM top WHERE rn <= 100 ORDER BY sample_rank""",
+    "Weighted sampling WITHOUT replacement (operators/sampling.py, "
+    "Efraimidis-Spirakis A-ES): 100 documents drawn with probability "
+    "proportional to length — rank = ln(u)/w with u the exact dyadic "
+    "(md5_52bit+1)/2^52 and ln the one tolerated libm call, so both "
+    "engines compute bit-identical ranks and the SAMPLE ITSELF "
+    "hash-matches (no seed lottery, layout-invariant). Spark side is "
+    "one scan + TakeOrdered top-k — no global sort shuffle",
+)
+def q154(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    sampled = weighted_sample_aes(docs, "n_chars", 100, "doc_id")
+    # re-rank the (tiny) selected set for a stable output order
+    num = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10
+    ).cast("bigint")
+    u = (num + F.lit(1)).cast("double") / F.lit(float(2**52))
+    r = F.log(u) / F.col("n_chars").cast("double")
+    w = Window.orderBy(F.desc(r), "doc_id")
+    return (
+        sampled.withColumn("sample_rank", F.row_number().over(w).cast("bigint"))
+        .orderBy("sample_rank")
+    )

@@ -133,3 +133,31 @@ class TestHashSample:
         assert sorted(r["k"] for r in out.collect()) == sorted(
             r["k"] for r in again.collect()
         )
+
+
+class TestWeightedSampleAes:
+    def test_layout_invariant_and_zero_weight_excluded(self, spark):
+        from snowflake_cdc_spark.operators.sampling import weighted_sample_aes
+
+        df = spark.range(0, 2000).select(
+            F.col("id").alias("k"), (F.col("id") % 7 + 1).alias("w")
+        ).withColumn("w", F.when(F.col("k") % 10 == 0, 0).otherwise(F.col("w")))
+        a = sorted(r.k for r in weighted_sample_aes(df, "w", 50, "k").collect())
+        b = sorted(
+            r.k
+            for r in weighted_sample_aes(df.repartition(13), "w", 50, "k").collect()
+        )
+        assert a == b and len(a) == 50
+        assert all(k % 10 != 0 for k in a)  # zero-weight rows never sampled
+
+    def test_heavy_weights_dominate(self, spark):
+        from snowflake_cdc_spark.operators.sampling import weighted_sample_aes
+
+        rows = [(i, 10_000) for i in range(50)] + [
+            (i, 1) for i in range(50, 1050)
+        ]
+        df = spark.createDataFrame(rows, "k long, w long")
+        got = {r.k for r in weighted_sample_aes(df, "w", 50, "k").collect()}
+        heavy = sum(1 for k in got if k < 50)
+        # E[heavy] ~ 50 * (1 - tiny); a uniform sampler would pick ~2.4
+        assert heavy >= 40, heavy
