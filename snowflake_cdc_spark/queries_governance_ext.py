@@ -1285,3 +1285,92 @@ def q154(spark, sf_dir):
         sampled.withColumn("sample_rank", F.row_number().over(w).cast("bigint"))
         .orderBy("sample_rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Q155 — linear-interpolation resampling onto an hourly grid
+# --------------------------------------------------------------------------
+
+from snowflake_cdc_spark.operators.resample import interpolate_resample  # noqa: E402
+
+_RESAMPLE_ORACLE = """
+WITH ev AS (
+  SELECT user_id, ts, max(value) AS value FROM events
+  WHERE user_id < 20 GROUP BY user_id, ts),
+span AS (SELECT date_trunc('hour', min(ts)) AS a, date_trunc('hour', max(ts)) AS b
+         FROM ev),
+hours AS (SELECT unnest(generate_series((SELECT a FROM span),
+                                        (SELECT b FROM span),
+                                        INTERVAL 1 HOUR)) AS g),
+grid AS (SELECT u.user_id, h.g AS grid_ts
+         FROM (SELECT DISTINCT user_id FROM ev) u, hours h),
+merged AS (
+  SELECT user_id AS k, ts AS t, 0 AS side, value AS v FROM ev
+  UNION ALL
+  SELECT user_id, grid_ts, 1, NULL FROM grid),
+win AS (
+  SELECT k, t, side,
+    last_value(v IGNORE NULLS) OVER
+      (PARTITION BY k ORDER BY t, side
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+    last_value(CASE WHEN v IS NOT NULL THEN CAST(epoch_us(t) AS DOUBLE) END IGNORE NULLS) OVER
+      (PARTITION BY k ORDER BY t, side
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+    first_value(v IGNORE NULLS) OVER
+      (PARTITION BY k ORDER BY t, side
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+    first_value(CASE WHEN v IS NOT NULL THEN CAST(epoch_us(t) AS DOUBLE) END IGNORE NULLS) OVER
+      (PARTITION BY k ORDER BY t, side
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+  FROM merged),
+iv AS (
+  SELECT k, t,
+    CASE WHEN pv IS NULL THEN nv
+         WHEN nv IS NULL OR nt = pt THEN pv
+         ELSE pv + (nv - pv) * ((CAST(epoch_us(t) AS DOUBLE) - pt) / (nt - pt))
+    END AS x
+  FROM win WHERE side = 1)
+SELECT k AS user_id, t AS grid_ts,
+       floor(x * 10000.0 + 0.5) / 10000.0 AS value
+FROM iv ORDER BY user_id, grid_ts
+"""
+
+
+@register(
+    "q155_interpolate_resample",
+    _RESAMPLE_ORACLE,
+    "Time-series resampling with LINEAR INTERPOLATION "
+    "(operators/resample.py): each user's irregular event values "
+    "projected onto the hourly grid — the "
+    "time_bucket_gapfill(interpolate) workload (q86 gap-fills counts, "
+    "q98 forward-fills; this lane interpolates). Single-shuffle "
+    "union-merge run in BOTH directions at once: one per-key sort, two "
+    "stacked window passes (last/first ignorenulls) — never a "
+    "grid x observations join. Interpolation on epoch-micro integers "
+    "cast to double (exact < 2^52), written token-identically in both "
+    "engines; boundary semantics: backfill before first, hold after "
+    "last, exact value AT observations; round_half_up final projection",
+)
+def q155(spark, sf_dir):
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 20)
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    span = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("a"),
+        F.date_trunc("hour", F.max("ts")).alias("b"),
+    )
+    grid = (
+        ev.select("user_id")
+        .distinct()
+        .crossJoin(F.broadcast(span))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("a"), F.col("b"), F.expr("INTERVAL 1 HOUR"))
+            ).alias("grid_ts"),
+        )
+    )
+    return interpolate_resample(ev, grid)

@@ -59,3 +59,42 @@ class TestFrequentPairs:
         got2 = [(r.item_a, r.item_b, r.support)
                 for r in frequent_pairs(dup, min_support=2).collect()]
         assert got2 == [(1, 2, 3)]
+
+
+class TestInterpolateResample:
+    def test_planted_interpolation_and_boundaries(self, spark):
+        from snowflake_cdc_spark.operators.resample import interpolate_resample
+
+        obs = spark.createDataFrame(
+            [
+                (1, datetime(2024, 1, 1, 1, 0), 10.0),
+                (1, datetime(2024, 1, 1, 3, 0), 20.0),
+                (1, datetime(2024, 1, 1, 3, 30), 100.0),
+            ],
+            "user_id long, ts timestamp, value double",
+        )
+        grid = spark.createDataFrame(
+            [(1, datetime(2024, 1, 1, h, 0)) for h in range(0, 5)],
+            "user_id long, grid_ts timestamp",
+        )
+        got = {r.grid_ts.hour: r.value
+               for r in interpolate_resample(obs, grid).collect()}
+        assert got[0] == 10.0   # before first obs -> backfill
+        assert got[1] == 10.0   # exactly AT an observation
+        assert got[2] == 15.0   # midpoint of (10, 20)
+        assert got[3] == 20.0   # at the 3:00 observation (not the 3:30 one)
+        assert got[4] == 100.0  # after last obs -> hold
+
+    def test_single_observation_key_is_constant(self, spark):
+        from snowflake_cdc_spark.operators.resample import interpolate_resample
+
+        obs = spark.createDataFrame(
+            [(7, datetime(2024, 1, 1, 2, 15), 42.5)],
+            "user_id long, ts timestamp, value double",
+        )
+        grid = spark.createDataFrame(
+            [(7, datetime(2024, 1, 1, h, 0)) for h in (0, 2, 4)],
+            "user_id long, grid_ts timestamp",
+        )
+        vals = [r.value for r in interpolate_resample(obs, grid).collect()]
+        assert vals == [42.5, 42.5, 42.5]
