@@ -35,7 +35,7 @@ def khop_distances(
     visited = seeds.select(node_col).distinct().withColumn(
         "dist", F.lit(0).cast("int")
     ).persist()
-    visited.count()
+    n_prev = visited.count()
     frontier = visited.select(node_col)
     try:
         for h in range(1, max_hops + 1):
@@ -50,9 +50,16 @@ def khop_distances(
             )
             new_visited = visited.unionByName(nxt).localCheckpoint(eager=False)
             new_visited = new_visited.persist()
-            new_visited.count()
+            n_now = new_visited.count()
             visited.unpersist()
             visited = new_visited
+            if n_now == n_prev:
+                # frontier drained: every reachable node is settled —
+                # stop instead of running empty-frontier no-op hops
+                # (the count is the same driver scalar the persist
+                # materialization already pays for)
+                break
+            n_prev = n_now
             frontier = visited.filter(F.col("dist") == h).select(node_col)
         return visited
     except Exception:

@@ -30,10 +30,21 @@ def funnel_counts(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    within: str | None = None,
 ) -> DataFrame:
     """(step, step_name, n_users): users whose event history contains
     the steps in strict temporal order (step i+1 strictly after step i;
-    each step matched to its EARLIEST qualifying event)."""
+    each step matched to its EARLIEST qualifying event).
+
+    ``within``: optional per-transition conversion window (an INTERVAL
+    string, e.g. ``"30 minutes"``) — step i+1 must land strictly after
+    step i AND no later than step i's time + window. Real funnels are
+    windowed: a purchase a month after the click is not a conversion.
+    Semantics are ANCHORED: each step binds to the earliest event
+    qualifying relative to the already-bound previous step; an expired
+    window does not re-anchor to a later step-1 event (the same
+    anchored chain the min-ts join oracle computes, so the two stay
+    equivalent)."""
     k = len(steps)
     per_user = (
         events.filter(F.col(type_col).isin(steps))
@@ -55,6 +66,10 @@ def funnel_counts(
             ok = e["y"] == F.lit(s)
             if i > 0:
                 ok = ok & acc[f"t{i-1}"].isNotNull() & (e["t"] > acc[f"t{i-1}"])
+                if within is not None:
+                    ok = ok & (
+                        e["t"] <= acc[f"t{i-1}"] + F.expr(f"INTERVAL {within}")
+                    )
             fields.append(
                 F.coalesce(cur, F.when(ok, e["t"])).alias(f"t{i}")
             )

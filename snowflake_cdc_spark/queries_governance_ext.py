@@ -1374,3 +1374,45 @@ def q155(spark, sf_dir):
         )
     )
     return interpolate_resample(ev, grid)
+
+
+# --------------------------------------------------------------------------
+# Q156 — windowed funnel (30-minute conversion windows)
+# --------------------------------------------------------------------------
+
+_FUNNEL_W_ORACLE = """
+WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+           WHERE event_type = 'view' GROUP BY 1),
+c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > v.t1
+        AND e.ts <= v.t1 + INTERVAL 30 MINUTE GROUP BY 1),
+p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+        AND e.ts <= c.t2 + INTERVAL 30 MINUTE GROUP BY 1)
+SELECT 1 AS step, 'view' AS step_name,
+       CAST((SELECT count(*) FROM v) AS BIGINT) AS n_users
+UNION ALL
+SELECT 2, 'click', CAST((SELECT count(*) FROM c) AS BIGINT)
+UNION ALL
+SELECT 3, 'purchase', CAST((SELECT count(*) FROM p) AS BIGINT)
+ORDER BY step
+"""
+
+
+@register(
+    "q156_funnel_windowed",
+    _FUNNEL_W_ORACLE,
+    "Windowed funnel (q150 + per-transition conversion windows): each "
+    "step must land within 30 minutes of the previous bound step — the "
+    "form real funnels take (a purchase a month after the click is not "
+    "a conversion). ANCHORED semantics: steps bind to the earliest "
+    "event qualifying relative to the already-bound predecessor; an "
+    "expired window does not re-anchor — exactly the windowed min-ts "
+    "join chain the oracle runs, so the single-shuffle fold and the "
+    "k-join algorithm are again proven equivalent by the hash check",
+)
+def q156(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return funnel_counts(
+        ev, ["view", "click", "purchase"], within="30 minutes"
+    )

@@ -69,3 +69,43 @@ class TestBfs:
         got = {r.node: r.dist for r in khop_distances(edges, seeds, 3).collect()}
         # node 4: dist 1 via seed 10 (not 3 via seed 1); node 3: 2 either way
         assert got == {1: 0, 10: 0, 2: 1, 4: 1, 3: 2}
+
+
+class TestWindowedFunnel:
+    def test_window_excludes_late_transitions(self, spark):
+        rows = [
+            # u1: click 10 min after view -> converts with 30-min window
+            (1, 0, "view"), (1, 10, "click"),
+            # u2: click 40 min after view -> window expired
+            (2, 0, "view"), (2, 40, "click"),
+        ]
+        ev = spark.createDataFrame(
+            [(u, datetime(2024, 1, 1, 0, m), t) for u, m, t in rows],
+            "user_id long, ts timestamp, event_type string",
+        )
+        got = {r.step_name: r.n_users
+               for r in funnel_counts(ev, ["view", "click"],
+                                      within="30 minutes").collect()}
+        assert got == {"view": 2, "click": 1}
+
+    def test_anchored_no_reanchor(self, spark):
+        # u1 has a second view (minute 45) whose 30-min window WOULD
+        # cover the click at minute 55, but semantics anchor to the
+        # EARLIEST view (minute 0) -> no conversion
+        rows = [(1, 0, "view"), (1, 45, "view"), (1, 55, "click")]
+        ev = spark.createDataFrame(
+            [(u, datetime(2024, 1, 1, 0, m), t) for u, m, t in rows],
+            "user_id long, ts timestamp, event_type string",
+        )
+        got = {r.step_name: r.n_users
+               for r in funnel_counts(ev, ["view", "click"],
+                                      within="30 minutes").collect()}
+        assert got == {"view": 1, "click": 0}
+
+
+class TestBfsEarlyExit:
+    def test_stops_when_frontier_drains(self, spark):
+        edges = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+        seeds = spark.createDataFrame([(1,)], "node long")
+        got = {r.node: r.dist for r in khop_distances(edges, seeds, 50).collect()}
+        assert got == {1: 0, 2: 1}
