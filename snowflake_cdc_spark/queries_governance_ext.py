@@ -1416,3 +1416,69 @@ def q156(spark, sf_dir):
     return funnel_counts(
         ev, ["view", "click", "purchase"], within="30 minutes"
     )
+
+
+# --------------------------------------------------------------------------
+# Q157 — exact-arithmetic distributed k-means (fully oracle-checked Lloyd)
+# --------------------------------------------------------------------------
+
+from snowflake_cdc_spark.operators.kmeans_exact import kmeans_exact  # noqa: E402
+
+
+def _kmeans_oracle(k: int = 8, rounds: int = 2, dim: int = 64) -> str:
+    head = """WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor((CAST(x AS DOUBLE) + 1.0) * 10000.0 + 0.5) AS BIGINT)) AS qv
+  FROM embeddings),
+sd AS (SELECT vec_id, qv FROM q
+       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k}),
+c0 AS (SELECT CAST(row_number() OVER (
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS cell,
+              qv
+       FROM sd)""".format(k=k)
+    parts = [head]
+    for r in range(1, rounds + 1):
+        prev_c = f"c{r-1}"
+        parts.append(f""",
+d{r} AS (SELECT q.vec_id, q.qv, c.cell,
+              CAST(list_sum(list_transform(list_zip(q.qv, c.qv),
+                     p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) AS dist
+       FROM q, {prev_c} c),
+a{r} AS (SELECT vec_id, qv, cell, dist FROM (
+         SELECT *, row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cell) AS rn FROM d{r})
+       WHERE rn = 1)""")
+        if r < rounds:
+            parts.append(f""",
+s{r} AS (SELECT cell, i AS pos, CAST(sum(qv[i]) AS BIGINT) AS s,
+               CAST(count(*) AS BIGINT) AS n
+       FROM a{r}, unnest(generate_series(1, {dim})) t(i) GROUP BY 1, 2),
+c{r} AS (SELECT cell, list(s // n ORDER BY pos) AS qv FROM s{r} GROUP BY 1)""")
+    parts.append(f"""
+SELECT cell, CAST(count(*) AS BIGINT) AS n_members,
+       CAST(sum(dist) AS BIGINT) AS inertia
+FROM a{rounds} GROUP BY 1 ORDER BY cell""")
+    return "".join(parts)
+
+
+@register(
+    "q157_kmeans_exact",
+    _kmeans_oracle(),
+    "Exact-arithmetic distributed k-means (operators/kmeans_exact.py): "
+    "Lloyd's algorithm with every quantity an exact integer — vectors "
+    "quantized once to an offset BIGINT grid (floor-of-double identical "
+    "on both engines; offset makes integer-division truncation == "
+    "floor), distances are order-free integer sums, centroid updates "
+    "are per-dim sums DIV counts, seeds are the k md5-smallest ids, "
+    "ties to the lowest cell — so an ITERATIVE SHUFFLE-HEAVY ML "
+    "TRAINING LOOP hash-matches a full unrolled-CTE oracle (the q136 "
+    "fixed-point discipline; float k-means can never, its centroid "
+    "means are order-dependent float sums). Per round: one "
+    "broadcast-closure assignment pass (centroids are k x d ints in "
+    "the plan, no join) + one partial-aggregated (cell, dim) sum; "
+    "k=8, 2 assignment rounds, output (cell, n_members, inertia)",
+)
+def q157(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans_exact(emb, k=8, rounds=2)

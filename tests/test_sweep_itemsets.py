@@ -98,3 +98,65 @@ class TestInterpolateResample:
         )
         vals = [r.value for r in interpolate_resample(obs, grid).collect()]
         assert vals == [42.5, 42.5, 42.5]
+
+
+class TestKmeansExact:
+    def _blobs(self, spark):
+        # three tight, well-separated 4-d blobs (20/30/50 members).
+        # Lloyd only recovers blobs when initialization spreads across
+        # them, so the blob labels are arranged such that the 3
+        # md5-smallest vec_ids (the operator's deterministic seeds)
+        # land one per blob — otherwise a merged-blob local optimum is
+        # CORRECT Lloyd behavior, not a defect.
+        import hashlib
+
+        centers = {0: 0.0, 1: 0.3, 2: -0.4}
+        sizes = {0: 20, 1: 30, 2: 50}
+        ids = list(range(100))
+        md5_order = sorted(ids, key=lambda i: hashlib.md5(str(i).encode()).hexdigest())
+        blob_of = {md5_order[0]: 0, md5_order[1]: 1, md5_order[2]: 2}
+        remaining = {b: n - 1 for b, n in sizes.items()}
+        for i in ids:
+            if i in blob_of:
+                continue
+            b = next(bb for bb, left in remaining.items() if left > 0)
+            blob_of[i] = b
+            remaining[b] -= 1
+        rows = []
+        for i in ids:
+            eps = ((i % 5) - 2) * 1e-3
+            rows.append((i, [centers[blob_of[i]] + eps] * 4))
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>"), sizes
+
+    def test_recovers_planted_blobs(self, spark):
+        from snowflake_cdc_spark.operators.kmeans_exact import kmeans_exact
+
+        df, sizes = self._blobs(spark)
+        res = kmeans_exact(df, k=3, rounds=3).collect()
+        assert sorted(r.n_members for r in res) == sorted(sizes.values())
+        # inertia is tiny: every member within 2e-3 of its blob center
+        assert all(r.inertia < 4 * (0.003 * 10_000) ** 2 * 100 for r in res)
+
+    def test_layout_invariant(self, spark):
+        from snowflake_cdc_spark.operators.kmeans_exact import kmeans_exact
+
+        df, _ = self._blobs(spark)
+        a = sorted(map(tuple, kmeans_exact(df, k=3, rounds=2).collect()))
+        b = sorted(
+            map(tuple, kmeans_exact(df.repartition(7), k=3, rounds=2).collect())
+        )
+        assert a == b
+
+    def test_collapsed_cells_drop_deterministically(self, spark):
+        from snowflake_cdc_spark.operators.kmeans_exact import kmeans_exact
+
+        # only TWO distinct point locations but k=4: after the first
+        # update at most 2 cells keep members; the rest drop and the
+        # final summary still accounts for every vector
+        rows = [(i, [0.0] * 4) for i in range(10)] + [
+            (i, [0.5] * 4) for i in range(10, 30)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        res = kmeans_exact(df, k=4, rounds=3).collect()
+        assert sum(r.n_members for r in res) == 30
+        assert len(res) <= 4 and all(r.inertia == 0 for r in res)
