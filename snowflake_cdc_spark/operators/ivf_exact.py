@@ -1,0 +1,87 @@
+"""Fully-oracle-checked IVF ANN search — the complete-oracle analog of
+the bounded-error ANN lanes (q52 IVF, q133 PQ, q144 IVF-PQ declare
+"recall >= bound" because their float trainers and cosine scores are
+not cross-engine reproducible; THIS lane makes the entire index and
+search exact, so the DuckDB oracle re-derives every centroid, every
+cell assignment, every probe, and every neighbor — the q134/q135
+"approximate operator with a COMPLETE oracle" discipline applied to
+ANN).
+
+The trade: clustering runs on the exact integer grid
+(``operators/kmeans_exact.py``) and candidates rank by integer squared
+L2 distance instead of float cosine. On the unit-ish embedding fixtures
+L2-on-grid and cosine agree closely, but the POINT here is different —
+same pruning architecture as ``operators/ivf.py`` (probe nprobe cells,
+scan only their members), with bit-for-bit verifiability end to end.
+
+Scale shape: probes derive from the driver-held k×d centroid grid (a
+plan literal, no join); candidates come from ONE equi-join of the
+probe table against the cell-assigned corpus — the corpus shuffles on
+``cell`` exactly once (or not at all if bucketed by cell), never
+corpus × queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from snowflake_cdc_spark.operators.kmeans_exact import _dist
+
+
+def ivf_exact_search(
+    centroids: list[tuple[int, list[int]]],
+    assigned: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    query_id: str = "query_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Top-k neighbors by exact integer squared L2 on the quantized
+    grid. ``assigned``: (id, qv, cell) from ``kmeans_fit``; ``queries``:
+    (query_id, qv) quantized with the same grid. Output
+    (query_id, <id_col>, dist) — every value exact."""
+    cells = F.slice(
+        F.array_sort(
+            F.array(
+                *[
+                    F.struct(
+                        _dist(F.col("qv"), c).alias("d"),
+                        F.lit(int(cell)).alias("c"),
+                    )
+                    for cell, c in centroids
+                ]
+            )
+        ),
+        1,
+        nprobe,
+    )
+    probes = queries.select(
+        query_id, "qv", F.explode(F.transform(cells, lambda s: s["c"])).alias("cell")
+    )
+    cand = probes.join(
+        assigned.select(
+            F.col(id_col), F.col("qv").alias("__cqv"), F.col("cell")
+        ),
+        "cell",
+    )
+    if exclude_self:
+        cand = cand.filter(F.col(id_col) != F.col(query_id))
+    scored = cand.select(
+        query_id,
+        id_col,
+        F.aggregate(
+            F.zip_with(F.col("qv"), F.col("__cqv"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + x,
+        ).alias("dist"),
+    )
+    w = Window.partitionBy(query_id).orderBy("dist", id_col)
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+        .orderBy(query_id, id_col)
+    )

@@ -83,16 +83,19 @@ def _assign(q: DataFrame, centroids: list[tuple[int, list[int]]]) -> DataFrame:
     ).drop("__b")
 
 
-def kmeans_exact(
+def kmeans_fit(
     vectors: DataFrame,
     k: int = 8,
     rounds: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
-    """Run ``rounds`` assignment passes (with ``rounds - 1`` centroid
-    updates between them) and return the final per-cell summary:
-    (cell, n_members, inertia) — all exact BIGINTs."""
+) -> tuple[list[tuple[int, list[int]]], DataFrame]:
+    """Fit the exact-integer model: returns (centroids, assigned) where
+    ``centroids`` is the final ``[(cell, int-grid vector), …]`` list
+    (driver-held, k×d ints) and ``assigned`` the corpus with
+    (id, qv, cell, dist) from the LAST assignment pass. The building
+    block for both the clustering summary (``kmeans_exact``) and the
+    fully-oracle-checked IVF search (``operators/ivf_exact.py``)."""
     q = quantize_vectors(
         vectors.select(id_col, vec_col), vec_col
     ).select(id_col, "qv").persist()
@@ -116,13 +119,27 @@ def kmeans_exact(
                 ] = r["s"] // r["n"]  # non-negative by OFFSET: floor==trunc
             centroids = sorted((c, v) for c, v in by_cell.items())
             assigned = _assign(q, centroids)
-        return (
-            assigned.groupBy("cell")
-            .agg(
-                F.count(F.lit(1)).cast("bigint").alias("n_members"),
-                F.sum("dist").cast("bigint").alias("inertia"),
-            )
-            .orderBy("cell")
-        )
+        return centroids, assigned
     finally:
         q.unpersist()
+
+
+def kmeans_exact(
+    vectors: DataFrame,
+    k: int = 8,
+    rounds: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Run ``rounds`` assignment passes (with ``rounds - 1`` centroid
+    updates between them) and return the final per-cell summary:
+    (cell, n_members, inertia) — all exact BIGINTs."""
+    _, assigned = kmeans_fit(vectors, k, rounds, id_col, vec_col)
+    return (
+        assigned.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.sum("dist").cast("bigint").alias("inertia"),
+        )
+        .orderBy("cell")
+    )

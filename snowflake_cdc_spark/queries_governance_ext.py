@@ -1425,7 +1425,10 @@ def q156(spark, sf_dir):
 from snowflake_cdc_spark.operators.kmeans_exact import kmeans_exact  # noqa: E402
 
 
-def _kmeans_oracle(k: int = 8, rounds: int = 2, dim: int = 64) -> str:
+def _kmeans_chain(k: int = 8, rounds: int = 2, dim: int = 64) -> str:
+    """Shared unrolled-CTE chain: q/seeds/c0 + per-round (d{r}, a{r})
+    with centroid updates (s{r}, c{r}) between assignment rounds —
+    used by the q157 clustering summary AND the q158 exact-IVF oracle."""
     head = """WITH q AS (
   SELECT vec_id,
          list_transform(embedding,
@@ -1455,11 +1458,37 @@ s{r} AS (SELECT cell, i AS pos, CAST(sum(qv[i]) AS BIGINT) AS s,
                CAST(count(*) AS BIGINT) AS n
        FROM a{r}, unnest(generate_series(1, {dim})) t(i) GROUP BY 1, 2),
 c{r} AS (SELECT cell, list(s // n ORDER BY pos) AS qv FROM s{r} GROUP BY 1)""")
-    parts.append(f"""
+    return "".join(parts)
+
+
+def _kmeans_oracle(k: int = 8, rounds: int = 2, dim: int = 64) -> str:
+    return _kmeans_chain(k, rounds, dim) + f"""
 SELECT cell, CAST(count(*) AS BIGINT) AS n_members,
        CAST(sum(dist) AS BIGINT) AS inertia
-FROM a{rounds} GROUP BY 1 ORDER BY cell""")
-    return "".join(parts)
+FROM a{rounds} GROUP BY 1 ORDER BY cell"""
+
+
+def _ivf_exact_oracle(k: int = 8, rounds: int = 2, dim: int = 64,
+                      nprobe: int = 4, topk: int = 5) -> str:
+    return _kmeans_chain(k, rounds, dim) + f""",
+qs AS (SELECT vec_id AS query_id, qv FROM q WHERE vec_id % 10 = 3),
+pd AS (SELECT s.query_id, s.qv, c.cell,
+              CAST(list_sum(list_transform(list_zip(s.qv, c.qv),
+                     p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) AS cdist
+       FROM qs s, c{rounds - 1} c),
+pr AS (SELECT query_id, qv, cell FROM (
+         SELECT *, row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cdist, cell) AS rn FROM pd)
+       WHERE rn <= {nprobe}),
+cand AS (SELECT p.query_id, a.vec_id,
+                CAST(list_sum(list_transform(list_zip(p.qv, a.qv),
+                       pp -> (pp[1]-pp[2])*(pp[1]-pp[2]))) AS BIGINT) AS dist
+         FROM pr p JOIN a{rounds} a
+           ON a.cell = p.cell AND a.vec_id <> p.query_id)
+SELECT query_id, vec_id, dist FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY dist, vec_id) AS rn FROM cand)
+WHERE rn <= {topk} ORDER BY query_id, vec_id"""
 
 
 @register(
@@ -1482,3 +1511,41 @@ FROM a{rounds} GROUP BY 1 ORDER BY cell""")
 def q157(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return kmeans_exact(emb, k=8, rounds=2)
+
+
+# --------------------------------------------------------------------------
+# Q158 — FULLY-oracle-checked IVF ANN (exact index + exact search)
+# --------------------------------------------------------------------------
+
+from snowflake_cdc_spark.operators.ivf_exact import ivf_exact_search  # noqa: E402
+from snowflake_cdc_spark.operators.kmeans_exact import (  # noqa: E402
+    kmeans_fit,
+    quantize_vectors,
+)
+
+
+@register(
+    "q158_ivf_exact_ann",
+    _ivf_exact_oracle(),
+    "COMPLETE-oracle ANN (operators/ivf_exact.py): the q52/q133/q144 "
+    "lanes declare bounded-error recall because float trainers and "
+    "cosine scores are not cross-engine reproducible; here the WHOLE "
+    "index and search are exact — centroids from the q157 integer "
+    "Lloyd, probes by integer centroid distance (nprobe=4 of 8, tie to "
+    "lowest cell), candidates from ONE cell equi-join of the assigned "
+    "corpus (never corpus x queries), neighbors ranked by integer "
+    "squared L2 on the quantized grid — so DuckDB re-derives every "
+    "centroid, assignment, probe and NEIGHBOR, and the ANN result "
+    "itself hash-matches (the q134/q135 complete-oracle discipline "
+    "applied to ANN)",
+)
+def q158(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids, assigned = kmeans_fit(emb, k=8, rounds=2)
+    queries = (
+        quantize_vectors(
+            emb.filter(F.col("vec_id") % 10 == 3).select("vec_id", "embedding")
+        )
+        .select(F.col("vec_id").alias("query_id"), "qv")
+    )
+    return ivf_exact_search(centroids, assigned, queries, k=5, nprobe=4)

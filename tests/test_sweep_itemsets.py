@@ -160,3 +160,60 @@ class TestKmeansExact:
         res = kmeans_exact(df, k=4, rounds=3).collect()
         assert sum(r.n_members for r in res) == 30
         assert len(res) <= 4 and all(r.inertia == 0 for r in res)
+
+
+class TestIvfExact:
+    def test_full_probe_equals_brute_force(self, spark):
+        from snowflake_cdc_spark.operators.ivf_exact import ivf_exact_search
+        from snowflake_cdc_spark.operators.kmeans_exact import (
+            kmeans_fit,
+            quantize_vectors,
+        )
+        from snowflake_cdc_spark.sources.io import read_table
+        from tests.conftest import SF_ORACLE
+
+        emb = read_table(spark, SF_ORACLE, "embeddings")
+        centroids, assigned = kmeans_fit(emb, k=8, rounds=2)
+        assigned = assigned.persist()
+        try:
+            qs = quantize_vectors(
+                emb.filter(F.col("vec_id") % 25 == 0).select("vec_id", "embedding")
+            ).select(F.col("vec_id").alias("query_id"), "qv")
+            full = ivf_exact_search(centroids, assigned, qs, k=5, nprobe=8)
+            # brute force on the same integer grid
+            corpus = assigned.select(
+                F.col("vec_id"), F.col("qv").alias("cqv")
+            )
+            brute = (
+                qs.crossJoin(corpus)
+                .filter(F.col("vec_id") != F.col("query_id"))
+                .select(
+                    "query_id",
+                    "vec_id",
+                    F.aggregate(
+                        F.zip_with(
+                            "qv", "cqv", lambda x, y: (x - y) * (x - y)
+                        ),
+                        F.lit(0).cast("bigint"),
+                        lambda a, x: a + x,
+                    ).alias("dist"),
+                )
+            )
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("query_id").orderBy("dist", "vec_id")
+            brute = (
+                brute.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= 5)
+                .drop("rn")
+            )
+            assert sorted(map(tuple, full.collect())) == sorted(
+                map(tuple, brute.collect())
+            )
+            # pruned probe keeps decent recall on this corpus
+            pruned = ivf_exact_search(centroids, assigned, qs, k=5, nprobe=4)
+            got = {(r.query_id, r.vec_id) for r in pruned.collect()}
+            want = {(r.query_id, r.vec_id) for r in brute.collect()}
+            assert len(got & want) / len(want) >= 0.7
+        finally:
+            assigned.unpersist()
