@@ -168,3 +168,70 @@ def kmv_rolling_distinct(
     )
     est = kmv_estimate(merged.withColumnRenamed("end_day", "day"), "day", k=k)
     return est.select(F.col("day").alias("day_num"), "kmv_est")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic HyperLogLog (round 4) — the third mergeable sketch, and the
+# one the engine-internal approx_count_distinct (q49) can only bound: built
+# from md5, EVERY register and the estimate itself are engine-portable.
+# ---------------------------------------------------------------------------
+
+
+def hll_sketch(df: DataFrame, key_col: str, b: int = 8) -> DataFrame:
+    """Build the register table: (bucket, reg) with at most 2^b rows —
+    bucket = first two md5 hex chars (b=8 -> 256 buckets), reg = max
+    rho over the bucket's keys. Mergeable by per-bucket MAX (the HLL
+    union law), map-side-combined like the count-min build."""
+    if b != 8:
+        raise ValueError("string-bucket form is fixed at b=8 (2 hex chars)")
+    h = F.md5(F.col(key_col).cast("string"))
+    src = df.select(
+        F.substring(h, 1, 2).alias("bucket"),
+        F.substring(h, 3, 13).alias("__s"),
+    ).withColumn("__t", F.expr("trim(LEADING '0' FROM __s)"))
+    c1 = F.substring(F.col("__t"), 1, 1)
+    nib = (
+        F.when(c1 == "1", 3)
+        .when(c1.isin("2", "3"), 2)
+        .when(c1.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+    )
+    rho = F.when(F.length("__t") == 0, F.lit(53)).otherwise(
+        4 * (13 - F.length("__t")) + nib + 1
+    )
+    return (
+        src.withColumn("rho", rho.cast("int"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+
+
+def hll_estimate(registers: DataFrame, b: int = 8) -> DataFrame:
+    """One-row (hll_estimate): the standard HLL-with-linear-counting
+    estimator, deterministically. Every 2^-reg term is an exact dyadic
+    (1 / (1 << reg)) whose partial sums stay exactly representable, so
+    the harmonic sum is order-independent; absent buckets contribute
+    2^0 = 1 each; the small-range branch uses the tolerated ``ln``.
+    The final value is round_half_up'd for the cross-engine hash."""
+    from snowflake_cdc_spark.functions.vectors import round_half_up
+
+    m = 1 << b
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(m)))
+    agg = registers.agg(
+        # python-API shiftleft requires a literal shift; the SQL form
+        # takes a column
+        F.sum(
+            F.lit(1.0)
+            / F.expr("cast(shiftleft(cast(1 as bigint), reg) as double)")
+        ).alias("s_present"),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    v = F.lit(m) - F.col("n_present")  # zero-register buckets
+    raw = alpha * F.lit(float(m)) * F.lit(float(m)) / (
+        F.col("s_present") + v.cast("double")
+    )
+    est = F.when(
+        (raw <= F.lit(2.5) * F.lit(float(m))) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
+    ).otherwise(raw)
+    return agg.select(round_half_up(est, 4).alias("hll_estimate"))

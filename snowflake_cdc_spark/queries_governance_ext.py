@@ -1549,3 +1549,72 @@ def q158(spark, sf_dir):
         .select(F.col("vec_id").alias("query_id"), "qv")
     )
     return ivf_exact_search(centroids, assigned, queries, k=5, nprobe=4)
+
+
+# --------------------------------------------------------------------------
+# Q159 — deterministic HyperLogLog with a COMPLETE oracle
+# --------------------------------------------------------------------------
+
+from snowflake_cdc_spark.operators.sketches import (  # noqa: E402
+    hll_estimate,
+    hll_sketch,
+)
+
+_HLL_ORACLE = """
+WITH src AS (
+  SELECT substr(md5(CAST(user_id AS VARCHAR)), 1, 2) AS bucket,
+         trim(LEADING '0' FROM substr(md5(CAST(user_id AS VARCHAR)), 3, 13)) AS t
+  FROM events),
+rho AS (
+  SELECT bucket,
+         CASE WHEN length(t) = 0 THEN 53
+              ELSE 4 * (13 - length(t))
+                   + (CASE WHEN substr(t, 1, 1) = '1' THEN 3
+                           WHEN substr(t, 1, 1) IN ('2', '3') THEN 2
+                           WHEN substr(t, 1, 1) IN ('4', '5', '6', '7') THEN 1
+                           ELSE 0 END) + 1
+         END AS r
+  FROM src),
+regs AS (SELECT bucket, max(r) AS reg FROM rho GROUP BY 1),
+agg AS (
+  SELECT sum(1.0 / CAST((CAST(1 AS BIGINT) << reg) AS DOUBLE)) AS s_present,
+         count(*) AS n_present
+  FROM regs),
+est AS (
+  SELECT CASE
+    WHEN (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
+         / (s_present + CAST(256 - n_present AS DOUBLE)) <= 2.5 * 256.0
+         AND 256 - n_present > 0
+    THEN 256.0 * ln(256.0 / CAST(256 - n_present AS DOUBLE))
+    ELSE (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
+         / (s_present + CAST(256 - n_present AS DOUBLE))
+  END AS e FROM agg)
+SELECT (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events) AS exact_distinct,
+       floor(e * 10000.0 + 0.5) / 10000.0 AS hll_estimate
+FROM est
+"""
+
+
+@register(
+    "q159_hll_deterministic",
+    _HLL_ORACLE,
+    "Deterministic HyperLogLog (operators/sketches.py, Flajolet 2007): "
+    "the sketch family's third member beside count-min (q134) and KMV "
+    "(q135) — and the one q49's engine-internal approx_count_distinct "
+    "can only declare as bounded-error. Built from md5: bucket = 2 hex "
+    "chars, rho = leftmost-1-bit position of the 52-bit suffix computed "
+    "by pure string algebra (ANSI trim LEADING both engines), registers "
+    "= per-bucket MAX (mergeable by the HLL union law). The estimator "
+    "is deterministic too: every 2^-reg term is an exact dyadic whose "
+    "partial sums stay exactly representable (order-free), absent "
+    "buckets contribute 1, the small-range branch uses the tolerated "
+    "ln — so the ESTIMATE ITSELF hash-matches, alongside the exact "
+    "distinct count it approximates",
+)
+def q159(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    est = hll_estimate(hll_sketch(ev, "user_id"))
+    exact = ev.agg(
+        F.count_distinct("user_id").cast("bigint").alias("exact_distinct")
+    )
+    return exact.crossJoin(est)

@@ -48,3 +48,37 @@ def test_approx_distinct_within_rsd(spark):
         .collect()
     }
     assert {r.l_returnflag: r.exact_parts for r in rows} == exact
+
+
+class TestDeterministicHll:
+    def test_estimate_accuracy_and_layout_invariance(self, spark):
+        from snowflake_cdc_spark.operators.sketches import hll_estimate, hll_sketch
+
+        df = spark.range(0, 10_000).select(F.col("id").alias("k"))
+        est = hll_estimate(hll_sketch(df, "k")).first()["hll_estimate"]
+        assert abs(est - 10_000) / 10_000 < 0.15  # m=256 -> ~6.5% typical
+        est2 = hll_estimate(hll_sketch(df.repartition(17), "k")).first()[
+            "hll_estimate"
+        ]
+        assert est == est2  # bit-identical under re-partitioning
+
+    def test_union_merge_law(self, spark):
+        from snowflake_cdc_spark.operators.sketches import hll_estimate, hll_sketch
+
+        a = spark.range(0, 3000).select(F.col("id").alias("k"))
+        b = spark.range(2000, 6000).select(F.col("id").alias("k"))
+        merged = (
+            hll_sketch(a, "k")
+            .unionByName(hll_sketch(b, "k"))
+            .groupBy("bucket")
+            .agg(F.max("reg").alias("reg"))
+        )
+        direct = hll_sketch(a.unionByName(b), "k")
+        assert hll_estimate(merged).first() == hll_estimate(direct).first()
+
+    def test_small_range_linear_counting_branch(self, spark):
+        from snowflake_cdc_spark.operators.sketches import hll_estimate, hll_sketch
+
+        df = spark.range(0, 12).select(F.col("id").alias("k"))
+        est = hll_estimate(hll_sketch(df, "k")).first()["hll_estimate"]
+        assert abs(est - 12) < 2  # linear counting is near-exact here
