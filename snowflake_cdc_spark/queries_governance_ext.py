@@ -1618,3 +1618,92 @@ def q159(spark, sf_dir):
         F.count_distinct("user_id").cast("bigint").alias("exact_distinct")
     )
     return exact.crossJoin(est)
+
+
+# --------------------------------------------------------------------------
+# Q160 — unigram surprisal scoring with integer micro-nat accumulation
+# --------------------------------------------------------------------------
+
+_SURPRISAL_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+  FROM documents),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok),
+vocab AS (
+  SELECT w,
+         CAST(floor(-ln(CAST(count(*) AS DOUBLE) / (SELECT CAST(n AS DOUBLE) FROM tot))
+                    * 1000000.0 + 0.5) AS BIGINT) AS sup
+  FROM tok GROUP BY 1),
+scored AS (
+  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(v.sup) AS BIGINT) AS total_surprisal
+  FROM tok t JOIN vocab v ON v.w = t.w
+  GROUP BY 1)
+SELECT doc_id, n_tokens, total_surprisal,
+       total_surprisal // n_tokens AS mean_surprisal_unat
+FROM (SELECT *, row_number() OVER (
+        ORDER BY total_surprisal // n_tokens DESC, doc_id) AS rn
+      FROM scored)
+WHERE rn <= 10 ORDER BY doc_id
+"""
+
+
+@register(
+    "q160_surprisal_score",
+    _SURPRISAL_ORACLE,
+    "Unigram surprisal document scoring (curation lane): the "
+    "language-model-style quality signal (docs whose tokens are "
+    "corpus-rare score high — OCR junk / gibberish detectors). The "
+    "float trap — per-doc Σ -ln p(w) is an order-dependent float sum — "
+    "is closed by quantizing each TOKEN's surprisal once to integer "
+    "micro-nats (floor(-ln(p)*1e6+0.5): ln on identical doubles, "
+    "identical everywhere) and accumulating exact BIGINTs, which are "
+    "order-free — the q136/q157 exact-arithmetic discipline applied to "
+    "a floating-point scoring function. One explode scan, broadcast "
+    "vocab join, top-10 by integer mean surprisal",
+)
+def q160(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+        ).alias("w"),
+    )
+    tot = tok.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    vocab = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w",
+            F.floor(
+                -F.log(F.col("c").cast("double") / F.col("n").cast("double"))
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("sup"),
+        )
+    )
+    scored = (
+        tok.join(F.broadcast(vocab), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("sup").cast("bigint").alias("total_surprisal"),
+        )
+        .withColumn(
+            "mean_surprisal_unat",
+            F.expr("total_surprisal div n_tokens"),
+        )
+    )
+    w = Window.orderBy(F.desc("mean_surprisal_unat"), "doc_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .drop("rn")
+        .orderBy("doc_id")
+    )
