@@ -1707,3 +1707,65 @@ def q160(spark, sf_dir):
         .drop("rn")
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Q161 — hybrid retrieval: reciprocal-rank fusion of BM25 + length prior
+# --------------------------------------------------------------------------
+
+from snowflake_cdc_spark.operators.fusion import rrf_fuse  # noqa: E402
+
+_RRF_ORACLE = _BM25_SQL[: _BM25_SQL.rindex("SELECT doc_id,")].rstrip() + """,
+lex AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r
+        FROM (SELECT doc_id, floor(s * 10000.0 + 0.5) / 10000.0 AS bm25
+              FROM sc ORDER BY bm25 DESC, doc_id LIMIT 50)),
+pri AS (SELECT doc_id, row_number() OVER (ORDER BY n_chars DESC, doc_id) AS r
+        FROM (SELECT doc_id, n_chars FROM documents
+              ORDER BY n_chars DESC, doc_id LIMIT 50)),
+f AS (SELECT coalesce(l.doc_id, p.doc_id) AS doc_id,
+             coalesce(1.0 / (60.0 + CAST(l.r AS DOUBLE)), 0.0)
+             + coalesce(1.0 / (60.0 + CAST(p.r AS DOUBLE)), 0.0) AS sc2
+      FROM lex l FULL OUTER JOIN pri p ON l.doc_id = p.doc_id),
+g AS (SELECT doc_id, floor(sc2 * 1000000.0 + 0.5) / 1000000.0 AS rrf_score
+      FROM f),
+h AS (SELECT doc_id, rrf_score,
+             CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS BIGINT)
+               AS fused_rank
+      FROM g)
+SELECT doc_id, rrf_score, fused_rank FROM h
+WHERE fused_rank <= 10 ORDER BY fused_rank"""
+
+
+@register(
+    "q161_rrf_hybrid",
+    _RRF_ORACLE,
+    "Hybrid retrieval via reciprocal-rank fusion (operators/fusion.py, "
+    "Cormack 2009): BM25 top-50 (q130's lexical ranker) fused with a "
+    "document-length prior top-50 by summing 1/(60+rank) per system — "
+    "rank positions cross systems, not raw scores, so incommensurable "
+    "scorers combine without normalization. Deterministic: integer "
+    "ranks from total orders, per-system terms summed in FIXED order "
+    "(q130 discipline — never a float sum over an unordered group), "
+    "absent docs contribute 0 via coalesce, fused score round_half_up'd "
+    "with ranking on the rounded value; fusion cost bounded by the "
+    "ranking sizes, never the corpus",
+)
+def q161(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    lex = bm25_topk(docs, "doc_id", "text", ["vector", "hash", "merge"], k=50)
+    lex_r = lex.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.desc("bm25"), "doc_id"))
+    ).select("doc_id", "rnk")
+    pri_r = (
+        docs.select("doc_id", "n_chars")
+        .orderBy(F.desc("n_chars"), "doc_id")
+        .limit(50)
+        .withColumn(
+            "rnk",
+            F.row_number().over(Window.orderBy(F.desc("n_chars"), "doc_id")),
+        )
+        .select("doc_id", "rnk")
+    )
+    return rrf_fuse([lex_r, pri_r], topn=10)

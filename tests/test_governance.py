@@ -705,3 +705,29 @@ class TestRollingKmv:
         for end, e in est.items():
             exact = len(set().union(*[by_day.get(d, set()) for d in range(end - 6, end + 1)]))
             assert abs(e - exact) / exact < 4 / (128 - 2) ** 0.5, (end, e, exact)
+
+
+class TestRrfFusion:
+    def test_planted_fusion_and_missing_doc_semantics(self, spark):
+        from snowflake_cdc_spark.operators.fusion import rrf_fuse
+
+        a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "doc_id long, rnk long")
+        b = spark.createDataFrame([(3, 1), (1, 2), (9, 3)], "doc_id long, rnk long")
+        out = {r.doc_id: (r.rrf_score, r.fused_rank)
+               for r in rrf_fuse([a, b], k0=60).collect()}
+        # doc 1: 1/61 + 1/62; doc 3: 1/63 + 1/61; doc 2: 1/62 only;
+        # doc 9: 1/63 only (absent contributes 0, never drops the doc)
+        import math
+        def rhu(x): return math.floor(x * 1e6 + 0.5) / 1e6
+        assert out[1][0] == rhu(1/61 + 1/62)
+        assert out[2][0] == rhu(1/62)
+        assert out[9][0] == rhu(1/63)
+        # fused order: 1 (0.0325) > 3 (0.0323) > 2 > 9
+        assert [d for d, v in sorted(out.items(), key=lambda kv: kv[1][1])] == [1, 3, 2, 9]
+
+    def test_single_system_is_identity_order(self, spark):
+        from snowflake_cdc_spark.operators.fusion import rrf_fuse
+
+        a = spark.createDataFrame([(5, 1), (6, 2), (7, 3)], "doc_id long, rnk long")
+        out = rrf_fuse([a]).collect()
+        assert [r.doc_id for r in out] == [5, 6, 7]
