@@ -1769,3 +1769,62 @@ def q161(spark, sf_dir):
         .select("doc_id", "rnk")
     )
     return rrf_fuse([lex_r, pri_r], topn=10)
+
+
+# --------------------------------------------------------------------------
+# Q162 — per-group OLS trend with an exact rational slope
+# --------------------------------------------------------------------------
+
+from snowflake_cdc_spark.operators.regression import grouped_ols_rational  # noqa: E402
+
+_OLS_ORACLE = """
+WITH m AS (SELECT min(ts) AS t0 FROM events),
+e AS (SELECT event_type,
+             (epoch_us(ts) - (SELECT epoch_us(t0) FROM m)) // 3600000000 AS x,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS y
+      FROM events),
+a AS (SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM e GROUP BY 1)
+SELECT event_type, n_events,
+       CAST(n_events * sxy - sx * sy AS BIGINT) AS slope_num,
+       CAST(n_events * sxx - sx * sx AS BIGINT) AS slope_den
+FROM a ORDER BY event_type
+"""
+
+
+@register(
+    "q162_ols_trend",
+    _OLS_ORACLE,
+    "Per-event-type OLS value trend (operators/regression.py): float "
+    "regr_slope is order-nondeterministic, so both variables are made "
+    "integer — y at its native cent resolution "
+    "(floor(value*100+0.5)), x in whole hours since the corpus start "
+    "(coarse enough that |n*Sxy| < 2^63 with two orders of margin on "
+    "this fixture) — and the closed-form slope is emitted as its EXACT "
+    "(numerator, denominator) pair: nothing rounds anywhere, the "
+    "per-group trend hash-matches bit-for-bit. One scan, one "
+    "map-side-combined aggregation of five sufficient statistics (the "
+    "classic distributed-regression layout)",
+)
+def q162(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    # ts is TIMESTAMP_NTZ (contract); unix_micros needs TIMESTAMP — the
+    # cast is an identity under the UTC session tz
+    t0 = ev.agg(
+        F.min(F.unix_micros(F.col("ts").cast("timestamp"))).alias("t0")
+    )
+    e = ev.crossJoin(F.broadcast(t0)).select(
+        "event_type",
+        F.expr(
+            "(unix_micros(cast(ts as timestamp)) - t0) div 3600000000"
+        ).alias("x"),
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("y"),
+    )
+    return grouped_ols_rational(e, "event_type", F.col("x"), F.col("y"))

@@ -217,3 +217,30 @@ class TestIvfExact:
             assert len(got & want) / len(want) >= 0.7
         finally:
             assigned.unpersist()
+
+
+class TestGroupedOls:
+    def test_planted_slopes_are_exact_rationals(self, spark):
+        from snowflake_cdc_spark.operators.regression import grouped_ols_rational
+
+        # group a: y = 3x exactly -> slope 3; group b: y = 10 - 2x
+        rows = [("a", x, 3 * x) for x in range(10)] + [
+            ("b", x, 10 - 2 * x) for x in range(10)
+        ]
+        df = spark.createDataFrame(rows, "g string, x long, y long")
+        out = {r.g: (r.slope_num, r.slope_den, r.n_events)
+               for r in grouped_ols_rational(df, "g", F.col("x"), F.col("y")).collect()}
+        for g, want in (("a", 3), ("b", -2)):
+            num, den, n = out[g]
+            assert n == 10 and den > 0 and num == want * den
+
+    def test_layout_invariant(self, spark):
+        from snowflake_cdc_spark.operators.regression import grouped_ols_rational
+
+        rows = [("g", x, (x * 7919) % 1000) for x in range(500)]
+        df = spark.createDataFrame(rows, "g string, x long, y long")
+        a = grouped_ols_rational(df, "g", F.col("x"), F.col("y")).collect()
+        b = grouped_ols_rational(
+            df.repartition(11), "g", F.col("x"), F.col("y")
+        ).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
