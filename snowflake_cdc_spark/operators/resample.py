@@ -64,7 +64,11 @@ def interpolate_resample(
         .orderBy(*order)
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
-    us = F.unix_micros(F.col("__t")).cast("double")
+    # explicit cast: ts columns are TIMESTAMP_NTZ by the engine contract
+    # and unix_micros only accepts TIMESTAMP — the cast is an identity
+    # under the UTC session tz (q162 hit this; here a union happened to
+    # coerce to LTZ already, but that's an accident, not a contract)
+    us = F.unix_micros(F.col("__t").cast("timestamp")).cast("double")
     prev_v = F.last("__v", ignorenulls=True).over(w_prev)
     prev_t = F.last(F.when(F.col("__v").isNotNull(), us), True).over(w_prev)
     next_v = F.first("__v", ignorenulls=True).over(w_next)
