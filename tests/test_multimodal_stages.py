@@ -114,3 +114,66 @@ def test_decode_images_real_when_pillow_present(spark):
     row = decode_images(media).collect()[0]
     assert (row.width, row.height, row.mode) == (3, 2, "RGB")
     assert bytes(row.pixels) == img.tobytes()
+
+
+class TestRealBmpDecode:
+    """Round 4: the BMP codec is dependency-free, so image decode is
+    REAL in this codec-less container — no PIL gate for this format."""
+
+    def test_roundtrip_exact(self, spark):
+        from snowflake_cdc_spark.operators.multimodal import decode_bmp, encode_bmp
+
+        w, h = 5, 3  # odd row width -> exercises 4-byte row padding
+        rgb = bytes(range(w * h * 3))
+        out = decode_bmp(encode_bmp(w, h, rgb))
+        assert (out["width"], out["height"], out["mode"]) == (w, h, "RGB")
+        assert out["pixels"] == rgb
+
+    def test_decode_stage_runs_real_codec_end_to_end(self, spark):
+        from snowflake_cdc_spark.operators.multimodal import (
+            decode_images,
+            documents_as_bmp_media,
+        )
+        from snowflake_cdc_spark.sources.io import read_table
+        from tests.conftest import SF_SMOKE
+
+        docs = read_table(spark, SF_SMOKE, "documents").limit(20)
+        media = documents_as_bmp_media(docs, width=16)
+        decoded = {r.media_id: r for r in decode_images(media).collect()}
+        raw = {r.doc_id: r.text.encode() for r in docs.collect()}
+        assert set(decoded) == set(raw)
+        for mid, r in decoded.items():
+            assert r.width == 16 and r.mode == "RGB"
+            # decoded pixels start with the document's exact bytes
+            assert bytes(r.pixels)[: len(raw[mid])] == raw[mid]
+            assert len(r.pixels) == 16 * r.height * 3
+
+    def test_unsupported_variant_fails_loudly(self, spark):
+        import pytest
+
+        from snowflake_cdc_spark.operators.multimodal import decode_bmp, encode_bmp
+
+        with pytest.raises(ValueError, match="not a BMP"):
+            decode_bmp(b"PNG...")
+        bad = bytearray(encode_bmp(2, 2, bytes(12)))
+        bad[28] = 8  # claim 8bpp
+        with pytest.raises(ValueError, match="unsupported BMP"):
+            decode_bmp(bytes(bad))
+
+    def test_matches_pil_when_available(self, spark):
+        import importlib.util
+
+        import pytest
+
+        if importlib.util.find_spec("PIL") is None:
+            pytest.skip("pillow not installed — cross-check self-activates with it")
+        import io
+
+        from PIL import Image
+
+        from snowflake_cdc_spark.operators.multimodal import encode_bmp
+
+        w, h = 4, 2
+        rgb = bytes(range(w * h * 3))
+        img = Image.open(io.BytesIO(encode_bmp(w, h, rgb)))
+        assert img.size == (w, h) and img.convert("RGB").tobytes() == rgb
