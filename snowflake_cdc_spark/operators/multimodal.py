@@ -123,6 +123,88 @@ def decode_bmp(payload: bytes) -> dict:
     }
 
 
+def encode_wav(sample_rate: int, channels: int, pcm16: bytes) -> bytes:
+    """Encode 16-bit PCM as a WAV container — the ``wave`` module is
+    Python STDLIB, so audio decode needs no environment gate at all."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(pcm16)
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Decode a WAV payload (stdlib ``wave``): sample rate, channels,
+    frame count, integer-exact duration_ms, and the raw PCM bytes."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        rate, channels, n = w.getframerate(), w.getnchannels(), w.getnframes()
+        pcm = w.readframes(n)
+    return {
+        "sample_rate": rate,
+        "channels": channels,
+        "n_frames": n,
+        "duration_ms": n * 1000 // rate,
+        "pcm": pcm,
+    }
+
+
+AUDIO_DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("pcm", T.BinaryType()),
+    ]
+)
+
+
+def decode_audio(media: DataFrame) -> DataFrame:
+    """Arrow-batched WAV decode stage — REAL in every environment (the
+    codec is stdlib), same ``mapInPandas`` shape as ``decode_images``."""
+    from snowflake_cdc_spark.operators.util import fan_out
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [decode_wav(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "sample_rate": [d["sample_rate"] for d in decoded],
+                    "channels": [d["channels"] for d in decoded],
+                    "n_frames": [d["n_frames"] for d in decoded],
+                    "duration_ms": [d["duration_ms"] for d in decoded],
+                    "pcm": [d["pcm"] for d in decoded],
+                }
+            )
+
+    return fan_out(media).mapInPandas(run, schema=AUDIO_DECODED_SCHEMA)
+
+
+def resize_bmp(payload: bytes, width: int, height: int) -> bytes:
+    """REAL nearest-neighbor resize for BMP payloads: decode with the
+    built-in codec, integer index sampling (``(i * src) // dst`` — the
+    deterministic nearest-neighbor grid), re-encode."""
+    import numpy as np
+
+    d = decode_bmp(payload)
+    a = np.frombuffer(d["pixels"], np.uint8).reshape(
+        d["height"], d["width"], 3
+    )
+    ys = (np.arange(height) * d["height"]) // height
+    xs = (np.arange(width) * d["width"]) // width
+    return encode_bmp(width, height, a[ys][:, xs].tobytes())
+
+
 def decode_media(payload: bytes, fmt: str) -> dict:
     """Image decode: BMP is decoded by the built-in dependency-free
     codec (REAL in every environment, including this codec-less one);
@@ -280,22 +362,27 @@ FRAME_SCHEMA = T.StructType(
 
 def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
     """Resize stage: Arrow-batched ``mapInPandas`` keeping the (payload,
-    meta) shape so stages compose. The pixel work is STUBBED (no PIL in
-    this container): the stand-in truncates/pads the payload to
-    width*height bytes and rewrites the metadata — deterministic, so the
-    plumbing (schema evolution of meta, batch shapes, composability with
-    ``extract_features``) is fully testable; swap the body for
-    ``PIL.Image.resize`` in production."""
+    meta) shape so stages compose. BMP payloads are resized for REAL
+    (round 4 — built-in codec + deterministic nearest-neighbor index
+    sampling); other formats keep the documented stand-in
+    (truncate/pad to width*height bytes) until their codec libs exist —
+    the plumbing (meta rewrite, batch shapes, composability with
+    ``extract_features``) is identical either way."""
     from snowflake_cdc_spark.operators.util import fan_out
 
     target = width * height
 
+    def one(payload, meta):
+        if meta["format"] == "bmp":
+            return resize_bmp(bytes(payload), width, height)
+        return bytes(payload)[:target].ljust(target, b"\0")
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = pdf.copy()
-            out["payload"] = out["payload"].map(
-                lambda b: bytes(b)[:target].ljust(target, b"\0")
-            )
+            out["payload"] = [
+                one(p, m) for p, m in zip(pdf["payload"], pdf["meta"])
+            ]
             out["meta"] = out["meta"].map(
                 lambda m: {**m, "width": width, "height": height}
             )

@@ -177,3 +177,69 @@ class TestRealBmpDecode:
         rgb = bytes(range(w * h * 3))
         img = Image.open(io.BytesIO(encode_bmp(w, h, rgb)))
         assert img.size == (w, h) and img.convert("RGB").tobytes() == rgb
+
+
+class TestRealWavAndResize:
+    def test_wav_roundtrip_and_duration(self, spark):
+        from snowflake_cdc_spark.operators.multimodal import decode_wav, encode_wav
+
+        pcm = bytes(range(256)) * 4  # 512 16-bit mono frames
+        wav = encode_wav(8000, 1, pcm)
+        d = decode_wav(wav)
+        assert (d["sample_rate"], d["channels"], d["n_frames"]) == (8000, 1, 512)
+        assert d["duration_ms"] == 512 * 1000 // 8000 == 64
+        assert d["pcm"] == pcm
+
+    def test_audio_stage_end_to_end(self, spark):
+        from snowflake_cdc_spark.operators.multimodal import (
+            MEDIA_SCHEMA,
+            decode_audio,
+            encode_wav,
+        )
+
+        rows = [
+            (i, encode_wav(8000, 1, bytes(200 * (i + 1))),
+             {"media_type": "audio", "format": "wav", "width": None,
+              "height": None, "duration_ms": None})
+            for i in range(6)
+        ]
+        media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+        out = {r.media_id: r for r in decode_audio(media).collect()}
+        assert all(out[i].n_frames == 100 * (i + 1) for i in range(6))
+        assert all(out[i].sample_rate == 8000 for i in range(6))
+
+    def test_bmp_resize_is_real_nearest_neighbor(self, spark):
+        import numpy as np
+
+        from snowflake_cdc_spark.operators.multimodal import (
+            decode_bmp,
+            encode_bmp,
+            resize_bmp,
+        )
+
+        # 2x2 image with distinct corner colors -> 4x4 nearest-neighbor
+        # must tile each corner into a 2x2 block
+        px = np.zeros((2, 2, 3), np.uint8)
+        px[0, 0], px[0, 1], px[1, 0], px[1, 1] = (255, 0, 0), (0, 255, 0), (0, 0, 255), (9, 9, 9)
+        big = decode_bmp(resize_bmp(encode_bmp(2, 2, px.tobytes()), 4, 4))
+        arr = np.frombuffer(big["pixels"], np.uint8).reshape(4, 4, 3)
+        assert (arr[0:2, 0:2] == (255, 0, 0)).all()
+        assert (arr[0:2, 2:4] == (0, 255, 0)).all()
+        assert (arr[2:4, 0:2] == (0, 0, 255)).all()
+        assert (arr[2:4, 2:4] == (9, 9, 9)).all()
+
+    def test_resize_stage_routes_bmp_through_real_codec(self, spark):
+        from snowflake_cdc_spark.operators.multimodal import (
+            decode_images,
+            documents_as_bmp_media,
+            resize_media,
+        )
+        from snowflake_cdc_spark.sources.io import read_table
+        from tests.conftest import SF_SMOKE
+
+        docs = read_table(spark, SF_SMOKE, "documents").limit(5)
+        media = documents_as_bmp_media(docs, width=16)
+        small = resize_media(media, 8, 8)
+        dec = decode_images(small).collect()
+        assert all(r.width == 8 and r.height == 8 and len(r.pixels) == 8 * 8 * 3
+                   for r in dec)
