@@ -1828,3 +1828,52 @@ def q162(spark, sf_dir):
         .alias("y"),
     )
     return grouped_ols_rational(e, "event_type", F.col("x"), F.col("y"))
+
+
+# --------------------------------------------------------------------------
+# Q163 — multimodal codec round-trip audit (real BMP encode -> decode)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q163_media_roundtrip",
+    """SELECT doc_id AS media_id,
+              16 AS width,
+              CAST(ceil(CAST(n_chars AS DOUBLE) / 48.0) AS INT) AS height,
+              CAST(48 * CAST(ceil(CAST(n_chars AS DOUBLE) / 48.0) AS BIGINT)
+                   AS BIGINT) AS n_pixel_bytes,
+              md5(text) AS content_md5
+       FROM documents WHERE doc_id % 5 = 0 ORDER BY media_id""",
+    "Multimodal lane, driver-hash-checked end to end (round 4): "
+    "documents become GENUINE 24bpp BMPs (built-in dependency-free "
+    "codec), the Arrow-batched decode stage decodes them back, and the "
+    "audit emits each image's dimensions, pixel-buffer size, and the "
+    "md5 of the first n_chars decoded pixel bytes — which must equal "
+    "md5(text): the oracle derives every value from the documents table "
+    "alone, so a hash match PROVES the encode->mapInPandas->decode "
+    "round-trip is lossless (stronger than q34's opaque byte features; "
+    "the codec itself is inside the checked path)",
+)
+def q163(spark, sf_dir):
+    from snowflake_cdc_spark.operators.multimodal import (
+        decode_images,
+        documents_as_bmp_media,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    media = documents_as_bmp_media(docs, width=16)
+    dec = decode_images(media)
+    n = docs.select(
+        F.col("doc_id").alias("media_id"), F.col("n_chars")
+    )
+    return (
+        dec.join(n, "media_id")
+        .select(
+            "media_id",
+            F.col("width"),
+            F.col("height"),
+            F.length("pixels").cast("bigint").alias("n_pixel_bytes"),
+            F.md5(F.expr("substring(pixels, 1, n_chars)")).alias("content_md5"),
+        )
+        .orderBy("media_id")
+    )
