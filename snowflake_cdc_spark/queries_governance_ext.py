@@ -1877,3 +1877,62 @@ def q163(spark, sf_dir):
         )
         .orderBy("media_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Q164 — CUSUM change-point detection with exact scaled statistics
+# --------------------------------------------------------------------------
+
+from snowflake_cdc_spark.operators.changepoint import cusum_changepoint  # noqa: E402
+
+_CUSUM_ORACLE = """
+WITH e AS (
+  SELECT event_type, event_id,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS y
+  FROM events),
+tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT) AS yy
+        FROM e GROUP BY 1),
+sc AS (
+  SELECT e.event_type, t.n,
+         sum(t.n * e.y - t.yy) OVER (
+           PARTITION BY e.event_type ORDER BY e.event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s,
+         row_number() OVER (
+           PARTITION BY e.event_type ORDER BY e.event_id) AS k
+  FROM e JOIN tot t USING (event_type)),
+b AS (
+  SELECT event_type, n, abs(s) AS a, k,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY abs(s) DESC, k) AS rn
+  FROM sc)
+SELECT event_type, n, CAST(k AS BIGINT) AS cp_index,
+       CAST(a AS BIGINT) AS cp_max_abs
+FROM b WHERE rn = 1 ORDER BY event_type
+"""
+
+
+@register(
+    "q164_cusum_changepoint",
+    _CUSUM_ORACLE,
+    "CUSUM change-point per event type (operators/changepoint.py): the "
+    "metric-drift detector, exact — the classic statistic's fractional "
+    "mean is cleared by scaling with the group count "
+    "(S_k = sum(n*y - Y), same argmax, every value BIGINT; y at native "
+    "cent resolution, |S| bounded ~4e13 on this fixture, far under "
+    "2^63), change point = earliest position of max |S_k| via a "
+    "struct-ordered max. Two window passes over one bounded per-group "
+    "sort + a broadcast totals join — no global order anywhere; the "
+    "oracle runs the same decomposition with an independent "
+    "argmax-by-row_number formulation",
+)
+def q164(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("y"),
+    )
+    return cusum_changepoint(e, "event_type", "event_id", F.col("y"))

@@ -244,3 +244,43 @@ class TestGroupedOls:
             df.repartition(11), "g", F.col("x"), F.col("y")
         ).collect()
         assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+class TestCusumChangepoint:
+    def test_planted_level_shift_found_exactly(self, spark):
+        from snowflake_cdc_spark.operators.changepoint import cusum_changepoint
+
+        # 40 points at level 10, then 60 at level 30: |S_k| peaks at the
+        # boundary k=40 (scaled magnitude = k*(n*10 - Y) at its extremum)
+        rows = [("g", i, 10) for i in range(40)] + [
+            ("g", 40 + i, 30) for i in range(60)
+        ]
+        df = spark.createDataFrame(rows, "g string, i long, y long")
+        r = cusum_changepoint(df, "g", "i", F.col("y")).first()
+        n, Y = 100, 40 * 10 + 60 * 30
+        expected_peak = abs(40 * (n * 10) - 40 * Y)
+        assert (r.n, r.cp_index, r.cp_max_abs) == (100, 40, expected_peak)
+
+    def test_tie_breaks_to_earliest_position(self, spark):
+        from snowflake_cdc_spark.operators.changepoint import cusum_changepoint
+
+        # symmetric square wave: |S| ties at multiple k -> earliest wins
+        rows = [("g", 0, 0), ("g", 1, 2), ("g", 2, 0), ("g", 3, 2)]
+        df = spark.createDataFrame(rows, "g string, i long, y long")
+        r = cusum_changepoint(df, "g", "i", F.col("y")).first()
+        # devs (n=4, Y=4): -4, +4, -4, +4 -> S = -4, 0, -4, 0; |S| max 4
+        # at k=1 and k=3 -> earliest k=1
+        assert (r.cp_index, r.cp_max_abs) == (1, 4)
+
+    def test_layout_invariant(self, spark):
+        from snowflake_cdc_spark.operators.changepoint import cusum_changepoint
+
+        rows = [("a", i, (i * 31) % 97) for i in range(300)] + [
+            ("b", i, 5 if i < 100 else 50) for i in range(200)
+        ]
+        df = spark.createDataFrame(rows, "g string, i long, y long")
+        x = [tuple(r) for r in cusum_changepoint(df, "g", "i", F.col("y")).collect()]
+        y = [tuple(r) for r in cusum_changepoint(
+            df.repartition(13), "g", "i", F.col("y")).collect()]
+        assert x == y
+        assert dict((t[0], t[2]) for t in x)["b"] == 100  # planted shift
