@@ -129,3 +129,116 @@ class TestFunnelProperty:
         ]
         want = _brute_funnel(rows, steps, 30 if windowed else None)
         assert got == want, (rows, windowed)
+
+
+def _ref_bpe(word_counts, rounds):
+    """Independent pure-Python Sennrich reference: symbol tuples +
+    explicit greedy left-to-right merge — no string replace anywhere,
+    so agreement validates the marker-wrapped replace construction."""
+    from collections import Counter
+
+    vocab = {w: tuple(w) for w in word_counts}
+    merges = []
+    for r in range(rounds):
+        pairs = Counter()
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += word_counts[w]
+        if not pairs:
+            break
+        (l, rgt), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((r + 1, l, rgt, l + rgt, cnt))
+        nv = {}
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == rgt:
+                    out.append(l + rgt)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nv[w] = tuple(out)
+        vocab = nv
+    return merges, vocab
+
+
+class TestBpeProperty:
+    @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(
+        words=st.dictionaries(
+            st.text(alphabet="ab", min_size=1, max_size=6),
+            st.integers(1, 5),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    def test_train_and_apply_match_reference(self, spark, words):
+        from snowflake_cdc_spark.operators.bpe import apply_bpe, train_bpe
+
+        df = spark.createDataFrame(
+            list(words.items()), "word string, cnt bigint"
+        )
+        got = [tuple(r) for r in train_bpe(df, rounds=4).collect()]
+        ref_merges, ref_vocab = _ref_bpe(words, 4)
+        assert got == ref_merges, (words, got, ref_merges)
+        toks = {r.word: r.n_bpe_tokens for r in apply_bpe(df, got).collect()}
+        assert toks == {w: len(s) for w, s in ref_vocab.items()}, words
+
+
+class TestBfsProperty:
+    @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(
+        edges=st.lists(
+            st.tuples(st.integers(0, 9), st.integers(0, 9)), max_size=25
+        ),
+        seeds=st.sets(st.integers(0, 9), min_size=1, max_size=3),
+        hops=st.integers(1, 4),
+    )
+    def test_matches_python_bfs(self, spark, edges, seeds, hops):
+        from collections import deque
+
+        from snowflake_cdc_spark.operators.bfs import khop_distances
+
+        adj = {}
+        for s, d in edges:
+            adj.setdefault(s, set()).add(d)
+        dist = {s: 0 for s in seeds}
+        frontier = deque(seeds)
+        while frontier:
+            u = frontier.popleft()
+            if dist[u] >= hops:
+                continue
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    frontier.append(v)
+        edf = spark.createDataFrame(
+            edges or [(99, 99)], "src long, dst long"
+        )
+        sdf = spark.createDataFrame([(s,) for s in seeds], "node long")
+        got = {r.node: r.dist for r in khop_distances(edf, sdf, hops).collect()}
+        assert got == dist, (edges, seeds, hops)
+
+
+class TestBloomProperty:
+    @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(
+        dim=st.sets(st.integers(0, 400), min_size=1, max_size=40),
+        probe=st.lists(st.integers(0, 400), min_size=1, max_size=60),
+        m=st.sampled_from([16, 64, 512]),
+    )
+    def test_never_a_false_negative(self, spark, dim, probe, m):
+        from snowflake_cdc_spark.operators.bloom import (
+            bloom_prefilter,
+            build_bloom,
+        )
+
+        ddf = spark.createDataFrame([(k,) for k in dim], "k long")
+        pdf = spark.createDataFrame(
+            [(i, k) for i, k in enumerate(probe)], "i long, k long"
+        )
+        bloom = build_bloom(ddf, "k", k=3, m=m)
+        passed = {r.i for r in bloom_prefilter(pdf, "k", bloom, k=3, m=m).collect()}
+        must_pass = {i for i, k in enumerate(probe) if k in dim}
+        assert must_pass <= passed, (dim, probe, m)
