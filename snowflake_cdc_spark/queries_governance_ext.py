@@ -1936,3 +1936,67 @@ def q164(spark, sf_dir):
         .alias("y"),
     )
     return cusum_changepoint(e, "event_type", "event_id", F.col("y"))
+
+
+# --------------------------------------------------------------------------
+# Q165 — gaps and islands: consecutive-activity streaks per user
+# --------------------------------------------------------------------------
+
+_ISLANDS_ORACLE = """
+WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+g AS (SELECT user_id, day,
+             day - CAST(row_number() OVER (
+               PARTITION BY user_id ORDER BY day) AS INT) AS grp
+      FROM d),
+isl AS (SELECT user_id, min(day) AS streak_start,
+               CAST(count(*) AS BIGINT) AS streak_days
+        FROM g GROUP BY user_id, grp),
+top AS (SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_streaks,
+               CAST(max(streak_days) AS BIGINT) AS longest_streak,
+               min(streak_start) AS first_active_day
+        FROM isl GROUP BY 1)
+SELECT user_id, n_streaks, longest_streak, first_active_day
+FROM (SELECT *, row_number() OVER (
+        ORDER BY longest_streak DESC, n_streaks, user_id) AS rn FROM top)
+WHERE rn <= 25 ORDER BY user_id
+"""
+
+
+@register(
+    "q165_gaps_islands",
+    _ISLANDS_ORACLE,
+    "Gaps-and-islands (the canonical SQL streak idiom): per user, "
+    "consecutive-day activity runs via the day-minus-dense-sequence "
+    "grouping key (day - row_number is constant exactly within a "
+    "consecutive run), then streak counts / longest streak / first "
+    "active day, top-25 by longest streak. Pure date/integer algebra — "
+    "one distinct, two bounded per-user windows, one aggregation; "
+    "DATE-INT arithmetic written as date_sub on the Spark side and "
+    "day - INT on DuckDB (identical calendar semantics)",
+)
+def q165(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    g = d.withColumn(
+        "grp", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    isl = g.groupBy("user_id", "grp").agg(
+        F.min("day").alias("streak_start"),
+        F.count(F.lit(1)).cast("bigint").alias("streak_days"),
+    )
+    top = isl.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+        F.max("streak_days").cast("bigint").alias("longest_streak"),
+        F.min("streak_start").alias("first_active_day"),
+    )
+    w2 = Window.orderBy(F.desc("longest_streak"), "n_streaks", "user_id")
+    return (
+        top.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= 25)
+        .drop("rn")
+        .orderBy("user_id")
+    )
