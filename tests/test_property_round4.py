@@ -242,3 +242,98 @@ class TestBloomProperty:
         passed = {r.i for r in bloom_prefilter(pdf, "k", bloom, k=3, m=m).collect()}
         must_pass = {i for i, k in enumerate(probe) if k in dim}
         assert must_pass <= passed, (dim, probe, m)
+
+
+def _ref_kmeans(vectors, k, rounds):
+    """Independent pure-Python integer Lloyd, straight from the
+    definitions (md5-smallest seeds, argmin with lowest-cell ties,
+    per-dim sum // count updates, empty cells drop)."""
+    import hashlib
+    import math
+
+    q = {
+        i: [math.floor((x + 1.0) * 10000.0 + 0.5) for x in v]
+        for i, v in vectors.items()
+    }
+    seeds = sorted(
+        q, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+    )[:k]
+    cents = {c: q[s] for c, s in enumerate(seeds)}
+    assign = {}
+    for r in range(rounds):
+        assign = {
+            i: min(
+                (sum((a - b) ** 2 for a, b in zip(v, cv)), c)
+                for c, cv in sorted(cents.items())
+            )
+            for i, v in q.items()
+        }
+        if r == rounds - 1:
+            break
+        newc = {}
+        for c in cents:
+            members = [q[i] for i, (_, cc) in assign.items() if cc == c]
+            if members:
+                newc[c] = [sum(col) // len(members) for col in zip(*members)]
+        cents = newc
+    out = {}
+    for _, (d, c) in sorted(assign.items()):
+        n, s = out.get(c, (0, 0))
+        out[c] = (n + 1, s + d)
+    return out
+
+
+class TestKmeansProperty:
+    @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(
+        vecs=st.dictionaries(
+            st.integers(0, 50),
+            st.lists(
+                st.integers(-50, 50).map(lambda i: i / 100.0),
+                min_size=4,
+                max_size=4,
+            ),
+            min_size=3,
+            max_size=12,
+        ),
+        k=st.integers(2, 3),
+        rounds=st.integers(2, 3),
+    )
+    def test_matches_python_lloyd(self, spark, vecs, k, rounds):
+        from snowflake_cdc_spark.operators.kmeans_exact import kmeans_exact
+
+        df = spark.createDataFrame(
+            [(i, v) for i, v in vecs.items()],
+            "vec_id long, embedding array<double>",
+        )
+        got = {
+            r.cell: (r.n_members, r.inertia)
+            for r in kmeans_exact(df, k=min(k, len(vecs)), rounds=rounds).collect()
+        }
+        want = _ref_kmeans(vecs, min(k, len(vecs)), rounds)
+        assert got == want, (vecs, k, rounds)
+
+
+class TestSetsimProperty:
+    @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(
+        docs=st.dictionaries(
+            st.integers(0, 15),
+            st.sets(st.sampled_from("abcdefgh"), min_size=1, max_size=6),
+            min_size=2,
+            max_size=10,
+        )
+    )
+    def test_prefix_filter_equals_direct_for_any_corpus(self, spark, docs):
+        from snowflake_cdc_spark.operators.setsim import (
+            allpairs_jaccard_join,
+            prefix_filter_join,
+        )
+
+        toks = spark.createDataFrame(
+            [(d, t) for d, ts in docs.items() for t in ts],
+            "doc_id long, tok string",
+        )
+        a = sorted(map(tuple, prefix_filter_join(toks, 6, 10).collect()))
+        b = sorted(map(tuple, allpairs_jaccard_join(toks, 6, 10).collect()))
+        assert a == b, docs
