@@ -100,3 +100,46 @@ def test_out_of_order_batch_cannot_regress(spark, tmp_path, batches):
     got, _ = _warehouse_rows(con, "ORDERS_SNAP")
     want, _ = _spark_rows(snapshot_logical_delete(log, ["primary_key"], "seq"))
     assert got == want
+
+
+def test_streaming_foreachbatch_to_warehouse(spark, tmp_path, batches):
+    """Round 4: the same generated COPY/MERGE SQL driven by a REAL
+    Structured Streaming query — foreachBatch stages each micro-batch
+    and executes the statements on the (driver-side) warehouse
+    connection; the final warehouse equals the relational merge of the
+    full log, independent of how the source files split into
+    micro-batches."""
+    log, _ = batches
+    src = str(tmp_path / "flat")
+    log.withColumn("__s", F.pmod(F.hash("primary_key"), F.lit(5))).repartition(
+        5, "__s"
+    ).drop("__s").write.parquet(src)
+
+    con = duckdb.connect()
+    sink = SnowflakeMergeSink(str(tmp_path / "stage"))
+
+    def to_warehouse(batch_df, batch_id):
+        latest = latest_by_key(batch_df, ["primary_key"], "seq").select(*DATA_COLS)
+        stmts = sink.write_batch(
+            latest, "orders_snap", ["primary_key"],
+            batch_id=batch_id, hard_delete=True,
+        )
+        execute_snowflake_sql(con, stmts)
+
+    q = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(to_warehouse)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got, got_cols = _warehouse_rows(con, "ORDERS_SNAP")
+    want, want_cols = _spark_rows(
+        snapshot_hard_delete(log.select(*DATA_COLS), ["primary_key"], "seq")
+    )
+    assert got_cols == want_cols
+    assert got == want
