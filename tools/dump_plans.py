@@ -264,6 +264,82 @@ def main() -> None:
         "over the 64-row offsets table.\n"
     )
 
+    # ---- round-4 sections ------------------------------------------------
+    # (these counts parse executedPlan().toString() — explain("formatted")
+    # separates node args from the tree, so argument regexes miss there)
+
+    def plan_str(df) -> str:
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    p = plan_str(qs["q148_bloom_join_pruning"](spark, SF))
+    n_x_orders = len(re.findall(r"Exchange hashpartitioning\(o_", p))
+    sections.append(
+        f"## q148 — Bloom prefilter is scan-side\n\n"
+        f"hash Exchanges partitioning on orders columns: **{n_x_orders}** — "
+        "the probe side evaluates k element_at probes against the broadcast "
+        "dense bitmap at the scan; non-matching fact rows never reach an "
+        "exchange. The only aggregations in the plan build the (<= m row) "
+        "position set and the final one-row counters.\n"
+    )
+
+    p = plan_str(qs["q150_funnel"](spark, SF))
+    n_agg_ex = len(re.findall(r"Exchange hashpartitioning\(user_id", p))
+    sections.append(
+        f"## q150 — funnel is ONE user-keyed shuffle\n\n```\n"
+        + grep(p, r"Exchange hashpartitioning\(user_id", "aggregate", max_lines=4)
+        + f"\n```\nuser_id hash Exchanges: **{n_agg_ex}** (partial_collect_list "
+        "combines map-side; the k-step fold runs as one expression over each "
+        "user's sorted events — the naive join-chain plans k of these).\n"
+    )
+
+    p = plan_str(qs["q152_peak_concurrency"](spark, SF))
+    n_range_t = len(re.findall(r"Exchange rangepartitioning\(t#", p))
+    sections.append(
+        f"## q152 — sweep line without a global data sort\n\n"
+        f"rangepartitioning exchanges on the boundary timestamps: **{n_range_t}** "
+        "— running sums sort inside hour partitions; the only unpartitioned "
+        "window runs over the ~721-row hour table (carry-in offsets).\n"
+    )
+
+    p = plan_str(qs["q157_kmeans_exact"](spark, SF))
+    n_joins = len(re.findall(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", p))
+    sections.append(
+        f"## q157 — k-means assignment without a centroids join\n\n"
+        f"joins in the final-round plan: **{n_joins}** — centroids ride the "
+        "plan as k x d literals inside the argmin expression; the only "
+        "exchange aggregates the per-cell summary.\n"
+    )
+
+    from snowflake_cdc_spark.operators.ivm import BucketSpec, JoinViewMaintainer
+
+    m = JoinViewMaintainer(
+        "fk", "jk", "dk", bucket_spec=BucketSpec(prefix="plans_ivm", buckets=8)
+    )
+    try:
+        fcols = "fk int, jk int, val string, seq bigint, is_delete boolean"
+        dcols = "dk int, attr string, seq bigint, is_delete boolean"
+        m.apply_batch(
+            spark.createDataFrame(
+                [(i, 10 * (1 + i % 3), f"v{i}", 1, False) for i in range(500)], fcols
+            ),
+            spark.createDataFrame(
+                [(10, "x", 1, False), (20, "y", 1, False), (30, "z", 1, False)], dcols
+            ),
+        )
+        m.apply_batch(
+            spark.createDataFrame([(1, 20, "v1b", 2, False)], fcols),
+            spark.createDataFrame([(20, "y2", 2, False)], dcols),
+        )
+        sections.append(
+            f"## bucketed IVM — 0-Exchange maintenance\n\n"
+            f"shuffle Exchanges in the batch-2 recompute+splice plan: "
+            f"**{m.last_exchange_count}** — fact/dim/view read from co-located "
+            "bucketed tables, change-driven key sets broadcast; the per-batch "
+            "hash clustering happens once at the bucketed writes.\n"
+        )
+    finally:
+        m.drop_bucketed_tables()
+
     n_l, n_r = 20_000_000, 2_000_000
     lhs = spark.range(n_l).select(
         F.when(F.col("id") % 10 < 3, F.col("id") % 97)
