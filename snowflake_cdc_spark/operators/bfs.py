@@ -65,3 +65,51 @@ def khop_distances(
     except Exception:
         visited.unpersist()
         raise
+
+
+def bounded_shortest_paths(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 3,
+    node_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+) -> DataFrame:
+    """Bounded Bellman-Ford: minimal WEIGHTED distance from any seed
+    using at most ``rounds`` edges (integer weights -> every distance
+    exact, the whole relaxation oracle-checkable via a depth-bounded
+    recursive CTE + min — the khop_distances story generalized to
+    weights). Per round: one join of the current distance table against
+    the edge list + a map-side-combined min — the textbook distributed
+    relaxation; localCheckpoint truncates lineage per round."""
+    dist = (
+        seeds.select(node_col)
+        .distinct()
+        .withColumn("d", F.lit(0).cast("bigint"))
+        .persist()
+    )
+    dist.count()
+    try:
+        for _ in range(rounds):
+            relaxed = (
+                dist.join(edges, dist[node_col] == edges[src_col])
+                .select(
+                    F.col(dst_col).alias(node_col),
+                    (F.col("d") + F.col(weight_col)).alias("d"),
+                )
+            )
+            nxt = (
+                dist.unionByName(relaxed)
+                .groupBy(node_col)
+                .agg(F.min("d").alias("d"))
+                .localCheckpoint(eager=False)
+                .persist()
+            )
+            nxt.count()
+            dist.unpersist()
+            dist = nxt
+        return dist
+    except Exception:
+        dist.unpersist()
+        raise

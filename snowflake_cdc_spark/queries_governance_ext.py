@@ -2000,3 +2000,144 @@ def q165(spark, sf_dir):
         .drop("rn")
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Q166 — 2-D skyline (Pareto frontier) via one sort-based window
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q166_skyline",
+    """WITH pts AS (
+         SELECT p_partkey, CAST(p_retailprice * 100 AS BIGINT) AS price_c,
+                CAST(p_size AS BIGINT) AS size
+         FROM part),
+       dpts AS (SELECT DISTINCT price_c, size FROM pts),
+       front AS (
+         SELECT price_c, size FROM (
+           SELECT price_c, size,
+                  max(size) OVER (ORDER BY price_c, size DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_prev
+           FROM dpts)
+         WHERE best_prev IS NULL OR size > best_prev)
+       SELECT p.p_partkey, p.price_c, p.size
+       FROM pts p JOIN front f USING (price_c, size)
+       ORDER BY p.p_partkey""",
+    "2-D skyline / Pareto frontier (Borzsony 2001): parts not dominated "
+    "on (price low, size high) — the classic multi-criteria shortlist. "
+    "The naive form is the O(n^2) dominance self-join; the sort-based "
+    "form is ONE window over the DISTINCT value pairs — after ordering "
+    "by (price asc, size desc), a pair survives iff its size exceeds "
+    "the running max over strict predecessors (within-price domination "
+    "resolves via the size-desc order; running on distinct pairs is "
+    "what keeps duplicate points of a frontier pair alive — the strict "
+    "> would otherwise drop them, caught by the planted test) — then a "
+    "semi-join recovers every point on a surviving pair: the standard "
+    "non-strict skyline. Exact integers (price cents, decimal*100 "
+    "exact); the global window sorts only the distinct-pair relation; "
+    "at fact scale the q140 range-bucket decomposition applies to the "
+    "same running max",
+)
+def q166(spark, sf_dir):
+    from pyspark.sql import Window
+
+    part = _t(spark, sf_dir, "part")
+    pts = part.select(
+        "p_partkey",
+        (F.col("p_retailprice") * 100).cast("bigint").alias("price_c"),
+        F.col("p_size").cast("bigint").alias("size"),
+    )
+    dpts = pts.select("price_c", "size").distinct()
+    w = (
+        Window.orderBy("price_c", F.desc("size"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    front = (
+        dpts.withColumn("best_prev", F.max("size").over(w))
+        .filter(F.col("best_prev").isNull() | (F.col("size") > F.col("best_prev")))
+        .select("price_c", "size")
+    )
+    return pts.join(front, ["price_c", "size"], "left_semi").select(
+        "p_partkey", "price_c", "size"
+    ).orderBy("p_partkey")
+
+
+# --------------------------------------------------------------------------
+# Q167 — bounded Bellman-Ford weighted shortest paths
+# --------------------------------------------------------------------------
+
+from snowflake_cdc_spark.operators.bfs import bounded_shortest_paths  # noqa: E402
+
+_BELLMAN_ORACLE = """
+WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT src, dst,
+         1 + (('0x' || substr(md5(CAST(src AS VARCHAR) || ':' || CAST(dst AS VARCHAR)), 1, 13))::BIGINT % 9) AS w
+  FROM (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey)),
+paths AS (
+  SELECT l_partkey AS node, CAST(0 AS BIGINT) AS d, 0 AS hops
+  FROM (SELECT DISTINCT l_partkey FROM li WHERE l_partkey <= 5)
+  UNION
+  SELECT e.dst, p.d + e.w, p.hops + 1
+  FROM paths p JOIN edges e ON e.src = p.node WHERE p.hops < 3)
+SELECT d AS dist, CAST(count(*) AS BIGINT) AS n_parts
+FROM (SELECT node, min(d) AS d FROM paths GROUP BY 1)
+GROUP BY 1 ORDER BY dist
+"""
+
+
+@register(
+    "q167_bellman_ford",
+    _BELLMAN_ORACLE,
+    "Bounded Bellman-Ford (operators/bfs.py::bounded_shortest_paths): "
+    "minimal WEIGHTED distance from the seed parts over the "
+    "co-purchase graph using at most 3 edges — BFS (q151) generalized "
+    "to integer edge weights (deterministic md5-derived 1..9 per edge, "
+    "determinism-contract 52-bit slice). Per round one distance⋈edges "
+    "join + map-side-combined min, lineage truncated per round; every "
+    "distance exact, so the full relaxation hash-checks against a "
+    "depth-bounded recursive-CTE + min oracle (an independent "
+    "path-enumeration algorithm). Output: nodes-per-distance histogram",
+)
+def q167(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "k").filter(F.col("src") != F.col("dst"))
+        .select("src", "dst").distinct()
+        .withColumn(
+            "w",
+            1
+            + F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("src").cast("string"),
+                                F.lit(":"),
+                                F.col("dst").cast("string"),
+                            )
+                        ),
+                        1,
+                        13,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint"),
+                F.lit(9),
+            ),
+        )
+    )
+    seeds = li.filter(F.col("l_partkey") <= 5).select(
+        F.col("l_partkey").alias("node")
+    )
+    dist = bounded_shortest_paths(edges, seeds, rounds=3)
+    return (
+        dist.groupBy(F.col("d").alias("dist"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_parts"))
+        .orderBy("dist")
+    )

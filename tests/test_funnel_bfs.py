@@ -109,3 +109,29 @@ class TestBfsEarlyExit:
         seeds = spark.createDataFrame([(1,)], "node long")
         got = {r.node: r.dist for r in khop_distances(edges, seeds, 50).collect()}
         assert got == {1: 0, 2: 1}
+
+
+class TestBoundedShortestPaths:
+    def test_planted_weighted_graph(self, spark):
+        from snowflake_cdc_spark.operators.bfs import bounded_shortest_paths
+
+        # 1 -2-> 2 -2-> 3; direct 1 -9-> 3: within 3 rounds the 2-hop
+        # path (4) beats the 1-hop (9); node 4 only via 3 edges (6)
+        edges = spark.createDataFrame(
+            [(1, 2, 2), (2, 3, 2), (1, 3, 9), (3, 4, 2)],
+            "src long, dst long, w long",
+        )
+        seeds = spark.createDataFrame([(1,)], "node long")
+        got = {r.node: r.d for r in bounded_shortest_paths(edges, seeds, 3).collect()}
+        assert got == {1: 0, 2: 2, 3: 4, 4: 6}
+        # with only 1 round the direct expensive edge is the best known
+        got1 = {r.node: r.d for r in bounded_shortest_paths(edges, seeds, 1).collect()}
+        assert got1 == {1: 0, 2: 2, 3: 9}
+
+    def test_seed_distance_never_relaxes_above_zero(self, spark):
+        from snowflake_cdc_spark.operators.bfs import bounded_shortest_paths
+
+        edges = spark.createDataFrame([(1, 2, 5), (2, 1, 5)], "src long, dst long, w long")
+        seeds = spark.createDataFrame([(1,), (2,)], "node long")
+        got = {r.node: r.d for r in bounded_shortest_paths(edges, seeds, 3).collect()}
+        assert got == {1: 0, 2: 0}

@@ -284,3 +284,48 @@ class TestCusumChangepoint:
             df.repartition(13), "g", "i", F.col("y")).collect()]
         assert x == y
         assert dict((t[0], t[2]) for t in x)["b"] == 100  # planted shift
+
+
+class TestSkyline:
+    @staticmethod
+    def _skyline(pts):
+        from pyspark.sql import Window
+
+        dpts = pts.select("price_c", "size").distinct()
+        w = (
+            Window.orderBy("price_c", F.desc("size"))
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        front = (
+            dpts.withColumn("bp", F.max("size").over(w))
+            .filter(F.col("bp").isNull() | (F.col("size") > F.col("bp")))
+            .select("price_c", "size")
+        )
+        return pts.join(front, ["price_c", "size"], "left_semi")
+
+    def test_planted_frontier_keeps_duplicate_frontier_points(self, spark):
+        # frontier pairs: (1,5) and (2,9); (2,4),(3,9),(3,1) dominated.
+        # BOTH copies of (1,5) must survive — the strict > on raw rows
+        # would drop the second (the bug the distinct-pair form fixes);
+        # (3,9) is dominated by (2,9) (equal size, worse price)
+        pts = spark.createDataFrame(
+            [(1, 1, 5), (2, 2, 4), (3, 2, 9), (4, 3, 9), (5, 3, 1), (6, 1, 5)],
+            "id long, price_c long, size long",
+        )
+        got = sorted(r.id for r in self._skyline(pts).collect())
+        assert got == [1, 3, 6]
+
+    def test_matches_bruteforce_dominance(self, spark):
+        # independent O(n^2) dominance reference on a deterministic blob
+        rows = [(i, (i * 37) % 23, (i * 61) % 19) for i in range(120)]
+        pts = spark.createDataFrame(rows, "id long, price_c long, size long")
+        got = sorted(r.id for r in self._skyline(pts).collect())
+        want = sorted(
+            i
+            for i, p, sz in rows
+            if not any(
+                (p2 <= p and s2 >= sz) and (p2 < p or s2 > sz)
+                for _, p2, s2 in rows
+            )
+        )
+        assert got == want
