@@ -2141,3 +2141,63 @@ def q167(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_parts"))
         .orderBy("dist")
     )
+
+
+# --------------------------------------------------------------------------
+# Q168 — exact weighted median per group (integer cumulative weights)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q168_weighted_median",
+    """WITH v AS (
+         SELECT l_returnflag AS flag,
+                CAST(l_extendedprice * 100 AS BIGINT) AS price_c,
+                CAST(l_quantity AS BIGINT) AS w
+         FROM lineitem),
+       g AS (SELECT flag, price_c, CAST(sum(w) AS BIGINT) AS w
+             FROM v GROUP BY 1, 2),
+       c AS (SELECT flag, price_c, w,
+                    CAST(sum(w) OVER (PARTITION BY flag ORDER BY price_c
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cw,
+                    CAST(sum(w) OVER (PARTITION BY flag) AS BIGINT) AS tw
+             FROM g)
+       SELECT flag, CAST(min(price_c) AS BIGINT) AS weighted_median_cents,
+              CAST(max(tw) AS BIGINT) AS total_weight
+       FROM c WHERE 2 * cw >= tw GROUP BY flag ORDER BY flag""",
+    "Exact weighted median (lower convention: smallest value whose "
+    "cumulative weight reaches half the total) of extended price "
+    "weighted by quantity, per return flag — the weighted complement "
+    "of q60's exact percentiles. All integer: price in cents "
+    "(decimal*100 exact), BIGINT weights, the half-total test as the "
+    "cross-multiplied 2*cw >= tw (no float division anywhere). "
+    "Pre-aggregating per (group, value) bounds the windowed relation "
+    "at distinct-values size before the per-group cumulative sum",
+)
+def q168(spark, sf_dir):
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.col("l_returnflag").alias("flag"),
+        (F.col("l_extendedprice") * 100).cast("bigint").alias("price_c"),
+        F.col("l_quantity").cast("bigint").alias("w"),
+    )
+    g = v.groupBy("flag", "price_c").agg(F.sum("w").cast("bigint").alias("w"))
+    w_cum = (
+        Window.partitionBy("flag")
+        .orderBy("price_c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = g.withColumn("cw", F.sum("w").over(w_cum).cast("bigint")).withColumn(
+        "tw", F.sum("w").over(Window.partitionBy("flag")).cast("bigint")
+    )
+    return (
+        c.filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("flag")
+        .agg(
+            F.min("price_c").cast("bigint").alias("weighted_median_cents"),
+            F.max("tw").cast("bigint").alias("total_weight"),
+        )
+        .orderBy("flag")
+    )
