@@ -95,7 +95,12 @@ def specs_from_config(cfg: dict | list | str) -> list[PipelineSpec]:
     """Accepts a config dict, a list of table dicts, or a path to a JSON
     file; returns the typed specs."""
     cfg = _load(cfg)
-    tables = cfg if isinstance(cfg, list) else cfg["tables"]
+    if isinstance(cfg, list):
+        tables = cfg
+    else:
+        if "tables" not in cfg:
+            raise ValueError("pipeline config needs a 'tables' list")
+        tables = cfg["tables"]
     return [_spec_from_dict(t) for t in tables]
 
 
@@ -133,6 +138,10 @@ def pipeline_from_config(spark, cfg: dict | str, sink=None):
             table = _spec_from_dict(t).target_table
             dq[table] = [_expectation_from_dict(e) for e in exps]
     if sink is None:
+        if "sink" not in cfg or "root" not in cfg["sink"]:
+            raise ValueError(
+                "pipeline config needs sink.root (or pass a sink object)"
+            )
         sink = ParquetSnapshotSink(cfg["sink"]["root"])
     maint = None
     if cfg.get("maintenance"):

@@ -372,6 +372,52 @@ def main() -> None:
         "scale would build ~40× the intermediate rows before its dedup.\n"
     )
 
+    # scaling probe: Bloom prefilter over 50M synthetic probe rows
+    n_p, n_d = 50_000_000, 2_000
+    from snowflake_cdc_spark.operators.bloom import bloom_prefilter, build_bloom
+
+    dim = spark.range(n_d).select((F.col("id") * 7).alias("k"))
+    probe = spark.range(n_p).select((F.col("id") % 3_000_000).alias("k"))
+    bloom = build_bloom(dim, "k", k=4, m=65536)
+    t0 = time.perf_counter()
+    kept = bloom_prefilter(probe, "k", bloom, k=4, m=65536).count()
+    dt = time.perf_counter() - t0
+    sections.append(
+        f"## scaling probe — Bloom prefilter, {n_p/1e6:.0f}M probe rows\n\n"
+        f"m=65536 bits, k=4, {n_d:,} dim keys (~12% fill). Kept "
+        f"{kept:,}/{n_p:,} rows ({kept/n_p:.2%}) in **{dt:.1f} s** on "
+        f"local[32] (~{n_p/dt/1e6:.0f}M rows/s through the scan-side "
+        "filter — 4 md5s + 4 O(1) bitmap probes per row, ZERO exchanges "
+        "on the probe side). At this dim size a broadcast semi-join "
+        "also works — the filter's regime is dim key sets too big to "
+        "broadcast while m bits still fit; this probe measures the "
+        "scan-side form's throughput and selectivity.\n"
+    )
+
+    # scaling probe: funnel fold over 30M synthetic events
+    from snowflake_cdc_spark.operators.funnel import funnel_counts
+
+    n_e = 30_000_000
+    ev = spark.range(n_e).select(
+        (F.col("id") % 2_000_000).alias("user_id"),
+        F.timestamp_micros(F.col("id") * 1000).alias("ts"),
+        F.element_at(
+            F.array(F.lit("view"), F.lit("view"), F.lit("click"),
+                    F.lit("purchase"), F.lit("other")),
+            (F.pmod(F.hash("id"), F.lit(5)) + 1).cast("int"),
+        ).alias("event_type"),
+    )
+    t0 = time.perf_counter()
+    rows = funnel_counts(ev, ["view", "click", "purchase"]).collect()
+    dt = time.perf_counter() - t0
+    sections.append(
+        f"## scaling probe — funnel fold, {n_e/1e6:.0f}M events x 2M users\n\n"
+        f"steps reached: {[int(r.n_users) for r in rows]}; wall-clock "
+        f"on local[32]: **{dt:.1f} s** (~{n_e/dt/1e6:.0f}M events/s through "
+        "the single user-keyed shuffle + per-user fold; the k-join naive "
+        "form scans and shuffles the event table three times).\n"
+    )
+
     # scaling probe: 50M synthetic changes, heavy skew
     n = 50_000_000
     changes = spark.range(n).select(
