@@ -235,3 +235,44 @@ def hll_estimate(registers: DataFrame, b: int = 8) -> DataFrame:
         F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
     ).otherwise(raw)
     return agg.select(round_half_up(est, 4).alias("hll_estimate"))
+
+
+def kmv_intersection_estimate(a: DataFrame, b: DataFrame, k: int = 32) -> DataFrame:
+    """Theta-style INTERSECTION estimate from two single-set KMV
+    sketches (the set-algebra half that makes KMV a poor-man's theta
+    sketch; union = merge + re-take-k already exists): θ = u_k of the
+    UNION sketch, estimate = |{h : h in A-sketch ∧ h in B-sketch ∧
+    h < θ}| / θ. Every ingredient is the q135 machinery — md5 hashes,
+    lexicographic order (≡ numeric at fixed width), exact 52-bit dyadic
+    θ — so the estimate itself is engine-portable. When the union holds
+    fewer than k distinct hashes the sketches are lossless and the
+    exact sketch-intersection count is returned.
+
+    Inputs are ``kmv_sketch`` outputs for single sets (any group_col
+    value): only their ``h`` columns are read."""
+    from pyspark.sql import Window
+
+    u = a.select("h").unionByName(b.select("h")).distinct()
+    w = Window.orderBy("h")
+    ranked = u.withColumn("rk", F.row_number().over(w))
+    th = ranked.agg(
+        F.count(F.lit(1)).alias("__n_u"),
+        F.max(F.when(F.col("rk") == k, F.col("h"))).alias("__th"),
+    )
+    common = a.select("h").distinct().join(b.select("h").distinct(), "h")
+    num = F.conv(F.substring(F.col("__th"), 1, 13), 16, 10).cast("bigint")
+    agg = common.crossJoin(F.broadcast(th)).agg(
+        F.sum(
+            F.when(
+                F.col("__th").isNull() | (F.col("h") < F.col("__th")), 1
+            ).otherwise(0)
+        ).cast("bigint").alias("__c"),
+        F.max(F.col("__n_u")).alias("__n_u"),
+        F.max(num).alias("__num"),
+    )
+    est = F.when(
+        F.col("__n_u") < k, F.col("__c").cast("double")
+    ).otherwise(
+        F.col("__c").cast("double") / (F.col("__num").cast("double") / F.lit(_KMV_DENOM))
+    )
+    return agg.select(F.coalesce(est, F.lit(0.0)).alias("kmv_inter_est"))

@@ -2201,3 +2201,75 @@ def q168(spark, sf_dir):
         )
         .orderBy("flag")
     )
+
+
+# --------------------------------------------------------------------------
+# Q169 — KMV theta-intersection estimate (sketch set algebra)
+# --------------------------------------------------------------------------
+
+from snowflake_cdc_spark.operators.sketches import (  # noqa: E402
+    kmv_intersection_estimate,
+    kmv_sketch,
+)
+
+_KMV_INTER_ORACLE = """
+WITH ua AS (SELECT DISTINCT md5(CAST(user_id AS VARCHAR)) AS h
+            FROM events WHERE value > 300),
+ub AS (SELECT DISTINCT md5(CAST(user_id AS VARCHAR)) AS h
+       FROM events WHERE user_id % 3 = 0),
+sa AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rk FROM ua)
+       WHERE rk <= 32),
+sb AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rk FROM ub)
+       WHERE rk <= 32),
+u AS (SELECT DISTINCT h FROM (SELECT h FROM sa UNION ALL SELECT h FROM sb)),
+th AS (SELECT count(*) AS n_u, max(CASE WHEN rk = 32 THEN h END) AS thh
+       FROM (SELECT h, row_number() OVER (ORDER BY h) AS rk FROM u)),
+common AS (SELECT sa.h FROM sa JOIN sb ON sa.h = sb.h),
+agg AS (SELECT CAST(sum(CASE WHEN th.thh IS NULL OR common.h < th.thh
+                             THEN 1 ELSE 0 END) AS BIGINT) AS c,
+               max(th.n_u) AS n_u,
+               max(('0x' || substr(th.thh, 1, 13))::BIGINT) AS num
+        FROM common, th),
+est AS (SELECT CASE WHEN n_u < 32 THEN CAST(c AS DOUBLE)
+                    ELSE CAST(c AS DOUBLE)
+                         / (CAST(num AS DOUBLE) / 4503599627370496.0)
+               END AS e
+        FROM agg)
+SELECT (SELECT CAST(count(*) AS BIGINT)
+        FROM (SELECT h FROM ua INTERSECT SELECT h FROM ub)) AS exact_inter,
+       floor(coalesce(e, 0.0) * 10000.0 + 0.5) / 10000.0 AS kmv_inter_est
+FROM est
+"""
+
+
+@register(
+    "q169_kmv_intersection",
+    _KMV_INTER_ORACLE,
+    "KMV sketch SET ALGEBRA (theta-style intersection): the distinct "
+    "users of two overlapping cohorts are sketched independently "
+    "(k=32), and the intersection cardinality is estimated as "
+    "|{h in both sketches, h < theta}| / theta with theta = u_k of the "
+    "union sketch — the composable half that makes mergeable sketches "
+    "a set algebra (union = merge+re-take-k exists since q142). All "
+    "q135 machinery — md5, lexicographic ≡ numeric order, exact 52-bit "
+    "dyadic theta — so the ESTIMATE hash-matches beside the exact "
+    "intersection it approximates. Degenerate small-union case returns "
+    "the exact sketch intersection (sketches are lossless below k)",
+)
+def q169(spark, sf_dir):
+    from snowflake_cdc_spark.functions.vectors import round_half_up
+
+    ev = _t(spark, sf_dir, "events")
+    a_rows = ev.filter(F.col("value") > 300).select("user_id")
+    b_rows = ev.filter(F.col("user_id") % 3 == 0).select("user_id")
+    sa = kmv_sketch(a_rows.withColumn("g", F.lit(1)), "user_id", "g", k=32)
+    sb = kmv_sketch(b_rows.withColumn("g", F.lit(1)), "user_id", "g", k=32)
+    est = kmv_intersection_estimate(sa, sb, k=32).select(
+        round_half_up(F.col("kmv_inter_est"), 4).alias("kmv_inter_est")
+    )
+    exact = (
+        a_rows.distinct()
+        .join(b_rows.distinct(), "user_id", "left_semi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_inter"))
+    )
+    return exact.crossJoin(est)

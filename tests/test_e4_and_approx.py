@@ -82,3 +82,39 @@ class TestDeterministicHll:
         df = spark.range(0, 12).select(F.col("id").alias("k"))
         est = hll_estimate(hll_sketch(df, "k")).first()["hll_estimate"]
         assert abs(est - 12) < 2  # linear counting is near-exact here
+
+
+class TestKmvIntersection:
+    def _sk(self, spark, keys, k=16):
+        from snowflake_cdc_spark.operators.sketches import kmv_sketch
+
+        df = spark.createDataFrame([(x,) for x in keys], "k long").withColumn(
+            "g", F.lit(1)
+        )
+        return kmv_sketch(df, "k", "g", k=k)
+
+    def test_exact_below_k_and_estimate_above(self, spark):
+        from snowflake_cdc_spark.operators.sketches import kmv_intersection_estimate
+
+        # small sets: sketches lossless -> exact intersection
+        a = self._sk(spark, range(0, 10))
+        b = self._sk(spark, range(5, 15))
+        est = kmv_intersection_estimate(a, b, k=16).first()["kmv_inter_est"]
+        assert est == 5.0
+        # large overlapping sets: estimate within a loose band
+        a2 = self._sk(spark, range(0, 3000), k=64)
+        b2 = self._sk(spark, range(1000, 4000), k=64)
+        from snowflake_cdc_spark.operators.sketches import (
+            kmv_intersection_estimate as kie,
+        )
+
+        e2 = kie(a2, b2, k=64).first()["kmv_inter_est"]
+        assert 800 <= e2 <= 3600, e2  # true 2000, k=64 theta variance
+
+    def test_disjoint_sets_estimate_zero_or_tiny(self, spark):
+        from snowflake_cdc_spark.operators.sketches import kmv_intersection_estimate
+
+        a = self._sk(spark, range(0, 500), k=32)
+        b = self._sk(spark, range(10_000, 10_500), k=32)
+        e = kmv_intersection_estimate(a, b, k=32).first()["kmv_inter_est"]
+        assert e == 0.0
