@@ -2273,3 +2273,46 @@ def q169(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("bigint").alias("exact_inter"))
     )
     return exact.crossJoin(est)
+
+
+# --------------------------------------------------------------------------
+# Q170 — duplication audit: exact-dup group-size histogram + byte impact
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q170_dup_audit",
+    """WITH g AS (SELECT md5(text) AS fp, CAST(count(*) AS BIGINT) AS sz,
+                       CAST(sum(n_chars) AS BIGINT) AS bytes
+              FROM documents GROUP BY 1)
+       SELECT sz AS group_size,
+              CAST(count(*) AS BIGINT) AS n_groups,
+              CAST(sum(sz) AS BIGINT) AS n_docs,
+              CAST(sum(bytes - bytes // sz) AS BIGINT) AS removable_bytes
+       FROM g GROUP BY 1 ORDER BY group_size""",
+    "Corpus duplication AUDIT — the report a dedup run is justified "
+    "with, before any row is dropped: exact-duplicate groups "
+    "(md5(text) fingerprints, the q22/q33 machinery) histogrammed by "
+    "group size, with the bytes a keep-one policy would remove "
+    "(sum - per-group keeper share; integer division exact on both "
+    "engines since every member of an exact-dup group has equal "
+    "n_chars, making bytes/sz exact). Two map-side-combined "
+    "aggregations, nothing else",
+)
+def q170(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    g = docs.groupBy(F.md5("text").alias("fp")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz"),
+        F.sum("n_chars").cast("bigint").alias("bytes"),
+    )
+    return (
+        g.groupBy(F.col("sz").alias("group_size"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum("sz").cast("bigint").alias("n_docs"),
+            F.sum(F.col("bytes") - F.expr("bytes div sz"))
+            .cast("bigint")
+            .alias("removable_bytes"),
+        )
+        .orderBy("group_size")
+    )
