@@ -61,7 +61,12 @@ def khop_distances(
                 break
             n_prev = n_now
             frontier = visited.filter(F.col("dist") == h).select(node_col)
-        return visited
+        # hand back a materialized copy and release the cache entry —
+        # the loop's working persist must not leak across repeated calls
+        # in one session (the determinism audit runs every query twice)
+        out = visited.localCheckpoint(eager=True)
+        visited.unpersist()
+        return out
     except Exception:
         visited.unpersist()
         raise
@@ -109,7 +114,9 @@ def bounded_shortest_paths(
             nxt.count()
             dist.unpersist()
             dist = nxt
-        return dist
+        out = dist.localCheckpoint(eager=True)
+        dist.unpersist()
+        return out
     except Exception:
         dist.unpersist()
         raise

@@ -82,7 +82,11 @@ def funnel_counts(
     reached = per_user.select(F.aggregate("evs", init, fold).alias("r"))
     counts = reached.agg(
         *[
-            F.sum(F.col(f"r.t{i}").isNotNull().cast("long"))
+            # coalesce: F.sum over the EMPTY per-user relation (no event
+            # matched any step) is NULL; the count of converting users is 0
+            F.coalesce(
+                F.sum(F.col(f"r.t{i}").isNotNull().cast("long")), F.lit(0)
+            )
             .cast("bigint")
             .alias(f"n{i}")
             for i in range(k)

@@ -9,19 +9,20 @@ same answer with NO global data sort:
 
 1. each interval contributes (+1 at start, -1 at end) boundary rows;
    each boundary belongs to exactly ONE time bucket (its hour);
-2. the running sum within a bucket is a window ordered by
-   ``(t, delta)`` — a bounded per-bucket sort (ends sort before starts
-   at the same instant: half-open ``[start, end)`` semantics);
+2. boundaries are pre-aggregated to a NET delta per (bucket, instant),
+   so the within-bucket running sum (a bounded per-bucket sort over
+   DISTINCT instants) only ever takes instant-complete concurrency
+   values — half-open ``[start, end)`` semantics fall out because an
+   end at t cancels a start at t inside the same net delta;
 3. the carry-in for a bucket = sum of ALL prior buckets' net deltas —
    a running total over the tiny bucket-level table (the only
    ``Window.orderBy`` without a partition, over hours, not rows; the
    q140 broadcast-offsets shape);
 4. peak(bucket) = carry_in + max(within-bucket running sum).
 
-Determinism: pure integer deltas; rows tied on ``(t, delta)`` carry the
-same delta, so every permutation of them yields the same running-sum
-value set — the max is order-invariant. Hash-checkable against the
-oracle running the same decomposition.
+Determinism: pure integer deltas over distinct instants — the running
+sum is a function of t alone, so the max is order/layout-invariant.
+Hash-checkable against the oracle running the same decomposition.
 """
 
 from __future__ import annotations
@@ -47,18 +48,27 @@ def peak_concurrency_by_bucket(
     b = starts.unionByName(ends).withColumn(
         "bkt", F.date_trunc(bucket, F.col("t"))
     )
-    w_in = (
-        Window.partitionBy("bkt")
-        .orderBy("t", "delta")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    swept = b.withColumn("run", F.sum("delta").over(w_in))
-    per_bucket = swept.groupBy("bkt").agg(
-        F.max("run").alias("max_run"),
-        F.sum("delta").alias("net"),
+    # pre-aggregate the NET delta per instant: the running sum then only
+    # ever exposes instant-complete concurrency values (a row-frame over
+    # raw boundary rows leaks intermediate values inside a tied group of
+    # -1 rows and overstates the peak when several intervals end at the
+    # same timestamp)
+    per_instant = b.groupBy("bkt", "t").agg(
+        F.sum("delta").alias("delta"),
         F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
         .cast("bigint")
         .alias("n_starts"),
+    )
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    swept = per_instant.withColumn("run", F.sum("delta").over(w_in))
+    per_bucket = swept.groupBy("bkt").agg(
+        F.max("run").alias("max_run"),
+        F.sum("delta").alias("net"),
+        F.sum("n_starts").cast("bigint").alias("n_starts"),
     )
     # carry-in: running net of PRIOR buckets — the only unpartitioned
     # window, over the bucket-count-sized table

@@ -1097,6 +1097,40 @@ def q150(spark, sf_dir):
     return funnel_counts(ev, ["view", "click", "purchase"])
 
 
+_FUNNEL_NOMATCH_ORACLE = """
+WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+           WHERE event_type = 'zz_absent_a' GROUP BY 1),
+c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'zz_absent_b' AND e.ts > v.t1 GROUP BY 1),
+p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'zz_absent_c' AND e.ts > c.t2 GROUP BY 1)
+SELECT 1 AS step, 'zz_absent_a' AS step_name,
+       CAST((SELECT count(*) FROM v) AS BIGINT) AS n_users
+UNION ALL
+SELECT 2, 'zz_absent_b', CAST((SELECT count(*) FROM c) AS BIGINT)
+UNION ALL
+SELECT 3, 'zz_absent_c', CAST((SELECT count(*) FROM p) AS BIGINT)
+ORDER BY step
+"""
+
+
+@register(
+    "q150b_funnel_nomatch",
+    _FUNNEL_NOMATCH_ORACLE,
+    "Funnel zero-match semantics, hash-pinned on both engines (VERDICT "
+    "r04 #1): every step type is absent from the corpus, so the "
+    "per-user relation the expression-level fold aggregates over is "
+    "EMPTY — the counts must be 0, not NULL (F.sum over zero rows is "
+    "NULL; funnel_counts coalesces each step count). A user hits this "
+    "branch the first time they typo a step name; the oracle's "
+    "independent min-ts join chain yields count(*)=0 naturally, so the "
+    "cross-engine hash pins the empty-relation contract forever",
+)
+def q150b(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return funnel_counts(ev, ["zz_absent_a", "zz_absent_b", "zz_absent_c"])
+
+
 # --------------------------------------------------------------------------
 # Q151 — multi-source BFS k-hop distances (frontier expansion)
 # --------------------------------------------------------------------------
@@ -1165,13 +1199,15 @@ from snowflake_cdc_spark.operators.sweepline import (  # noqa: E402
 _SWEEP_ORACLE = """
 WITH iv AS (SELECT ts AS s, ts + INTERVAL 10 MINUTE AS e FROM events),
 b AS (SELECT s AS t, 1 AS delta FROM iv UNION ALL SELECT e, -1 FROM iv),
-sw AS (SELECT date_trunc('hour', t) AS bkt, t, delta,
-              sum(delta) OVER (PARTITION BY date_trunc('hour', t)
-                               ORDER BY t, delta
-                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
-       FROM b),
-pb AS (SELECT bkt, max(run) AS max_run, sum(delta) AS net,
+pi AS (SELECT date_trunc('hour', t) AS bkt, t, sum(delta) AS delta,
               CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_starts
+       FROM b GROUP BY 1, 2),
+sw AS (SELECT bkt, t, delta, n_starts,
+              sum(delta) OVER (PARTITION BY bkt ORDER BY t
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+       FROM pi),
+pb AS (SELECT bkt, max(run) AS max_run, sum(delta) AS net,
+              CAST(sum(n_starts) AS BIGINT) AS n_starts
        FROM sw GROUP BY 1)
 SELECT bkt AS bucket_ts, n_starts,
        CAST(coalesce(sum(net) OVER (ORDER BY bkt
@@ -1187,12 +1223,14 @@ FROM pb ORDER BY bucket_ts
     "Peak concurrent sessions per hour (operators/sweepline.py): each "
     "event opens a 10-minute session; the BUCKETED sweep line computes "
     "the exact per-hour maximum concurrency with NO global data sort — "
-    "per-bucket running sums (bounded window sorts) + carry-in from a "
-    "running net over the tiny hour-level table (the q120/q140 "
+    "boundaries pre-aggregated to a NET delta per (hour, instant) so the "
+    "per-bucket running sums (bounded window sorts over distinct "
+    "instants) only take instant-complete concurrency values, + carry-in "
+    "from a running net over the tiny hour-level table (the q120/q140 "
     "broadcast-offsets shape; the only unpartitioned window is over "
-    "hours, not rows). Half-open [start, end): ends sort before starts "
-    "at the same instant. Pure integer deltas; tied boundary rows carry "
-    "equal deltas so the within-bucket max is order-invariant",
+    "hours, not rows). Half-open [start, end): an end at t cancels a "
+    "start at t inside the same net delta. Pure integer deltas over "
+    "distinct instants — the max is layout-invariant",
 )
 def q152(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
@@ -1839,9 +1877,10 @@ def q162(spark, sf_dir):
     "q163_media_roundtrip",
     """SELECT doc_id AS media_id,
               16 AS width,
-              CAST(ceil(CAST(n_chars AS DOUBLE) / 48.0) AS INT) AS height,
-              CAST(48 * CAST(ceil(CAST(n_chars AS DOUBLE) / 48.0) AS BIGINT)
-                   AS BIGINT) AS n_pixel_bytes,
+              CAST(greatest(ceil(CAST(n_chars AS DOUBLE) / 48.0), 1) AS INT)
+                AS height,
+              CAST(48 * CAST(greatest(ceil(CAST(n_chars AS DOUBLE) / 48.0), 1)
+                             AS BIGINT) AS BIGINT) AS n_pixel_bytes,
               md5(text) AS content_md5
        FROM documents WHERE doc_id % 5 = 0 ORDER BY media_id""",
     "Multimodal lane, driver-hash-checked end to end (round 4): "

@@ -195,6 +195,15 @@ class ParquetSnapshotSink:
         try:
             os.rename(stage, final)
         except OSError as e:
+            # only a lost claim race (target already exists) is a
+            # concurrency conflict worth retrying; EACCES/ENOSPC/EXDEV
+            # etc. are genuine I/O failures — re-raise them unchanged so
+            # callers don't retry an operation that can never succeed
+            import errno
+
+            if e.errno not in (errno.ENOTEMPTY, errno.EEXIST, errno.EISDIR):
+                shutil.rmtree(stage, ignore_errors=True)
+                raise
             shutil.rmtree(stage, ignore_errors=True)
             raise ConcurrentWriteError(
                 f"{table}: version v={v} already claimed by another "

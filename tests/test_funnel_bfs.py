@@ -49,6 +49,22 @@ class TestFunnel:
                 for r in funnel_counts(_ev(spark, rows2), ["view", "click"]).collect()}
         assert got2 == {"view": 1, "click": 0}
 
+    def test_zero_matching_events_counts_are_zero_not_null(self, spark):
+        # VERDICT r04 #1: no event matches ANY step -> the per-user
+        # relation is empty and F.sum over it is NULL; every step count
+        # must coalesce to 0 (a user hits this the first time they typo
+        # a step name). Registry twin: q150b_funnel_nomatch.
+        rows = [(1, 0, "x")]
+        got = funnel_counts(_ev(spark, rows), ["view", "click", "purchase"]).collect()
+        assert [(r.step, r.step_name, r.n_users) for r in got] == [
+            (1, "view", 0), (2, "click", 0), (3, "purchase", 0),
+        ]
+        # partial miss: only the absent middle/terminal steps are 0
+        rows2 = [(1, 1, "view"), (2, 2, "view")]
+        got2 = {r.step_name: r.n_users for r in funnel_counts(
+            _ev(spark, rows2), ["view", "zz_absent", "purchase"]).collect()}
+        assert got2 == {"view": 2, "zz_absent": 0, "purchase": 0}
+
 
 class TestBfs:
     def _edges(self, spark, pairs):

@@ -72,14 +72,12 @@ def test_pack_invariants_fuzzed(spark):
     where the previous ended, window indices derive from the prefix sum,
     and stats reconcile. Driven by hypothesis over (token counts,
     capacity, bucket count)."""
-    from hypothesis import HealthCheck, given, settings
+    from hypothesis import given
     from hypothesis import strategies as st
 
-    @settings(
-        max_examples=12,
-        deadline=None,
-        suppress_health_check=[HealthCheck.function_scoped_fixture],
-    )
+    from conftest import prop_settings
+
+    @prop_settings(12)
     @given(
         # min_value=0: zero-token documents are legal input (round-3 fix —
         # an empty doc at an exact capacity boundary used to report a

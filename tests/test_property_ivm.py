@@ -11,7 +11,8 @@ re-inserted across batch boundaries)."""
 from __future__ import annotations
 
 import pytest
-from hypothesis import HealthCheck, given, settings
+from conftest import prop_settings
+from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from snowflake_cdc_spark.operators.ivm import JoinViewMaintainer
@@ -69,7 +70,7 @@ def python_oracle(fact_log, dim_log):
     return view
 
 
-@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@prop_settings(15)
 @given(sc=scenario())
 def test_maintained_view_matches_python_oracle(spark, sc):
     fact, dim, f_cuts, d_cuts = sc

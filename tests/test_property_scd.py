@@ -6,7 +6,8 @@ correctness input (same doctrine as test_property_upsert.py)."""
 
 from __future__ import annotations
 
-from hypothesis import HealthCheck, given, settings
+from conftest import prop_settings
+from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from snowflake_cdc_spark.operators.scd import scd2_from_changes
@@ -63,7 +64,7 @@ def _canon(df):
     )
 
 
-@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@prop_settings(20)
 @given(log=change_logs())
 def test_scd2_matches_python_replay(spark, log):
     got = _canon(
@@ -74,7 +75,7 @@ def test_scd2_matches_python_replay(spark, log):
     assert got == python_oracle(log)
 
 
-@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@prop_settings(6)
 @given(log=change_logs(), batch_size=st.integers(5, 12), data=st.data())
 def test_incremental_equals_batch_for_any_split(
     spark, tmp_path_factory, log, batch_size, data

@@ -9,7 +9,8 @@ input; that's what tombstone retention + the seq race buy us)."""
 from __future__ import annotations
 
 import pytest
-from hypothesis import HealthCheck, given, settings
+from conftest import prop_settings
+from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from snowflake_cdc_spark.operators.upsert import (
@@ -51,7 +52,7 @@ def to_df(spark, log):
 
 
 @pytest.mark.parametrize("hard", [True, False])
-@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@prop_settings(25)
 @given(log=change_logs())
 def test_snapshot_matches_python_oracle(spark, hard, log):
     df = to_df(spark, log)
@@ -68,7 +69,7 @@ def test_snapshot_matches_python_oracle(spark, hard, log):
     assert got == python_oracle(log, hard)
 
 
-@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@prop_settings(15)
 @given(
     log=change_logs(),
     batching=st.lists(st.integers(0, 2), min_size=30, max_size=30),
