@@ -93,3 +93,146 @@ ORDER BY doc_id
 def q171(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return duplicate_spans(docs, "doc_id", "text", k=8).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Q172 — bigram LM perplexity filter with stupid backoff (held-out)
+# --------------------------------------------------------------------------
+
+_BIGRAM_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+  FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(2, len(ws)),
+                i -> struct_pack(prev := ws[i-1], cur := ws[i]))) AS b
+  FROM toks WHERE len(ws) >= 2),
+bge AS (SELECT doc_id, b.prev AS prev, b.cur AS cur FROM bg),
+c2 AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS c2
+       FROM bge WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+c1 AS (SELECT prev, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cu
+        FROM (SELECT doc_id, unnest(ws) AS w FROM toks WHERE doc_id % 2 = 0)
+        GROUP BY 1),
+nv AS (SELECT CAST(sum(cu) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS v
+       FROM uni),
+pos AS (
+  SELECT s.doc_id,
+         CASE WHEN c2.c2 IS NOT NULL
+              THEN CAST(c2.c2 AS DOUBLE) / CAST(c1.c1 AS DOUBLE)
+              ELSE 0.4 * (CAST(coalesce(uni.cu, 0) AS DOUBLE) + 1.0)
+                       / (CAST(nv.n AS DOUBLE) + CAST(nv.v AS DOUBLE))
+         END AS score,
+         CASE WHEN c2.c2 IS NULL THEN 1 ELSE 0 END AS is_backoff
+  FROM bge s
+  LEFT JOIN c2 ON c2.prev = s.prev AND c2.cur = s.cur
+  LEFT JOIN c1 ON c1.prev = s.prev
+  LEFT JOIN uni ON uni.w = s.cur
+  CROSS JOIN nv
+  WHERE s.doc_id % 2 = 1),
+scored AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(is_backoff) AS BIGINT) AS n_backoff,
+         CAST(sum(CAST(floor(-ln(score) * 1000000.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS total_unat
+  FROM pos GROUP BY 1)
+SELECT doc_id, n_bigrams, n_backoff, total_unat,
+       total_unat // n_bigrams AS mean_unat
+FROM (SELECT *, row_number() OVER (
+        ORDER BY total_unat // n_bigrams DESC, doc_id) AS rn
+      FROM scored)
+WHERE rn <= 10 ORDER BY doc_id
+"""
+
+
+@register(
+    "q172_bigram_lm_score",
+    _BIGRAM_ORACLE,
+    "Held-out bigram language-model scoring with stupid backoff (Brants "
+    "et al., EMNLP'07 — the standard perplexity quality filter): the "
+    "model trains on even doc_ids (bigram counts c2, context counts c1 "
+    "= sum of c2 over continuations, +1-smoothed unigrams) and scores "
+    "odd doc_ids, so unseen bigrams genuinely hit the backoff branch "
+    "(0.4 * smoothed-unigram) instead of trivially matching their own "
+    "counts. Extends q160's exact-integer discipline to a CONDITIONAL "
+    "float: each position's score is one double division of exact "
+    "BIGINT counts (or one backoff product), quantized ONCE to integer "
+    "micro-nats, then summed order-free; ranking and the mean are "
+    "integer ops. Bigrams are built array-side (zip_with of shifted "
+    "slices) — no per-doc window shuffle; model tables join broadcast "
+    "here (vocab-sized), bucketed/shuffle join at 100 TB vocabularies. "
+    "n_backoff lands in the output, so the backoff path's firing count "
+    "itself is hash-checked",
+)
+def q172(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+    toks = docs.select("doc_id", ws.alias("ws"))
+    n = F.size("ws")
+    bge = (
+        toks.filter(n >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("ws"), 1, n - 1),
+                    F.slice(F.col("ws"), 2, n - 1),
+                    lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.prev", "b.cur")
+    )
+    train = bge.filter(F.col("doc_id") % 2 == 0)
+    c2 = train.groupBy("prev", "cur").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c2")
+    )
+    c1 = c2.groupBy("prev").agg(F.sum("c2").cast("bigint").alias("c1"))
+    uni = (
+        toks.filter(F.col("doc_id") % 2 == 0)
+        .select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cu"))
+    )
+    nv = uni.agg(
+        F.sum("cu").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+    )
+    score = F.when(
+        F.col("c2").isNotNull(),
+        F.col("c2").cast("double") / F.col("c1").cast("double"),
+    ).otherwise(
+        F.lit(0.4)
+        * (F.coalesce(F.col("cu"), F.lit(0)).cast("double") + F.lit(1.0))
+        / (F.col("n").cast("double") + F.col("v").cast("double"))
+    )
+    pos = (
+        bge.filter(F.col("doc_id") % 2 == 1)
+        .join(F.broadcast(c2), ["prev", "cur"], "left")
+        .join(F.broadcast(c1), "prev", "left")
+        .join(F.broadcast(uni), F.col("cur") == F.col("w"), "left")
+        .crossJoin(F.broadcast(nv))
+        .select(
+            "doc_id",
+            F.floor(-F.log(score) * F.lit(1000000.0) + F.lit(0.5))
+            .cast("bigint")
+            .alias("unat"),
+            F.col("c2").isNull().cast("bigint").alias("is_backoff"),
+        )
+    )
+    scored = pos.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.sum("is_backoff").cast("bigint").alias("n_backoff"),
+        F.sum("unat").cast("bigint").alias("total_unat"),
+    ).withColumn("mean_unat", F.expr("total_unat div n_bigrams"))
+    w = Window.orderBy(F.desc("mean_unat"), "doc_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .drop("rn")
+        .orderBy("doc_id")
+    )
