@@ -236,3 +236,202 @@ def q172(spark, sf_dir):
         .drop("rn")
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Q173 — PMI collocations (corpus diagnostics)
+# --------------------------------------------------------------------------
+
+_PMI_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+  FROM documents),
+uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cu
+        FROM (SELECT unnest(ws) AS w FROM toks) GROUP BY 1),
+n1 AS (SELECT CAST(sum(cu) AS BIGINT) AS n FROM uni),
+bg AS (
+  SELECT unnest(list_transform(generate_series(2, len(ws)),
+                i -> struct_pack(prev := ws[i-1], cur := ws[i]))) AS b
+  FROM toks WHERE len(ws) >= 2),
+c2 AS (SELECT b.prev AS prev, b.cur AS cur, CAST(count(*) AS BIGINT) AS c2
+       FROM bg GROUP BY 1, 2),
+n2 AS (SELECT CAST(sum(c2) AS BIGINT) AS n FROM c2),
+pmi AS (
+  SELECT prev, cur, c2,
+         CAST(floor(ln((CAST(c2 AS DOUBLE) * CAST(n1.n AS DOUBLE)
+                        * CAST(n1.n AS DOUBLE))
+                       / (CAST(n2.n AS DOUBLE) * CAST(a.cu AS DOUBLE)
+                          * CAST(b.cu AS DOUBLE)))
+                    * 1000000.0 + 0.5) AS BIGINT) AS pmi_unat
+  FROM c2
+  JOIN uni a ON a.w = c2.prev
+  JOIN uni b ON b.w = c2.cur
+  CROSS JOIN n1 CROSS JOIN n2
+  WHERE c2 >= 5)
+SELECT prev, cur, c2 AS n_pair, pmi_unat
+FROM (SELECT *, row_number() OVER (
+        ORDER BY pmi_unat DESC, prev, cur) AS rn
+      FROM pmi)
+WHERE rn <= 25 ORDER BY prev, cur
+"""
+
+
+@register(
+    "q173_pmi_collocations",
+    _PMI_ORACLE,
+    "Pointwise-mutual-information collocations (Church & Hanks 1990): "
+    "the standard corpus-diagnostics ranking of word pairs that co-occur "
+    "far above chance (named entities, fixed phrases — what a tokenizer "
+    "or phrase-mining pass should learn). PMI = ln(p(a,b)/(p(a)p(b))) "
+    "computed as ONE ln over a product/quotient of exact BIGINT counts "
+    "written token-identically in both engines (left-assoc double "
+    "multiplies, one division — the q155 bit-match discipline), then "
+    "quantized once to integer micro-nats; min-support c2 >= 5 kills "
+    "the low-count PMI explosion. Vocab-sized relations everywhere "
+    "after the one corpus scan; top-25 by (pmi, prev, cur) total order",
+)
+def q173(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+    toks = docs.select(ws.alias("ws"))
+    uni = (
+        toks.select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cu"))
+    )
+    n1 = uni.agg(F.sum("cu").cast("bigint").alias("n1"))
+    n = F.size("ws")
+    c2 = (
+        toks.filter(n >= 2)
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("ws"), 1, n - 1),
+                    F.slice(F.col("ws"), 2, n - 1),
+                    lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
+                )
+            ).alias("b")
+        )
+        .select("b.prev", "b.cur")
+        .groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c2"))
+    )
+    n2 = c2.agg(F.sum("c2").cast("bigint").alias("n2"))
+    pmi = (
+        c2.filter(F.col("c2") >= 5)
+        .join(F.broadcast(uni.select(F.col("w").alias("prev"), F.col("cu").alias("ca"))), "prev")
+        .join(F.broadcast(uni.select(F.col("w").alias("cur"), F.col("cu").alias("cb"))), "cur")
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .select(
+            "prev",
+            "cur",
+            F.col("c2").alias("n_pair"),
+            F.floor(
+                F.log(
+                    (
+                        F.col("c2").cast("double")
+                        * F.col("n1").cast("double")
+                        * F.col("n1").cast("double")
+                    )
+                    / (
+                        F.col("n2").cast("double")
+                        * F.col("ca").cast("double")
+                        * F.col("cb").cast("double")
+                    )
+                )
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("pmi_unat"),
+        )
+    )
+    w = Window.orderBy(F.desc("pmi_unat"), "prev", "cur")
+    return (
+        pmi.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 25)
+        .drop("rn")
+        .orderBy("prev", "cur")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q174 — Zipf rank-frequency slope (corpus health diagnostic)
+# --------------------------------------------------------------------------
+
+_ZIPF_ORACLE = """
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+  FROM documents),
+uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cu FROM toks GROUP BY 1),
+ranked AS (
+  SELECT CAST(floor(ln(CAST(row_number() OVER (ORDER BY cu DESC, w) AS DOUBLE))
+                    * 1000.0 + 0.5) AS BIGINT) AS x,
+         CAST(floor(ln(CAST(cu AS DOUBLE)) * 1000.0 + 0.5) AS BIGINT) AS y
+  FROM uni),
+s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM ranked)
+SELECT n AS n_vocab,
+       n * sxy - sx * sy AS slope_num,
+       n * sxx - sx * sx AS slope_den
+FROM s
+"""
+
+
+@register(
+    "q174_zipf_slope",
+    _ZIPF_ORACLE,
+    "Zipf rank-frequency slope (corpus health diagnostic: natural text "
+    "runs slope ~ -1 in log-log; template/synthetic floods bend it): "
+    "vocabulary ranked by the (count DESC, word) total order, ln(rank) "
+    "and ln(count) quantized once to integer MILLI-nats (coarse enough "
+    "that the OLS cross-products stay far from BIGINT overflow at "
+    "100 TB vocabularies: x,y < 4e4 even at count 2^63, so n*Sxy fits "
+    "to ~1e10 words), then the q162 exact-rational OLS: slope emitted "
+    "as its (numerator, denominator) BIGINT pair — no float summation "
+    "anywhere. One corpus scan, one vocab-sized rank window, "
+    "map-side-combined sufficient statistics",
+)
+def q174(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+    uni = (
+        docs.select(F.explode(ws).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cu"))
+    )
+    ranked = uni.select(
+        F.floor(
+            F.log(
+                F.row_number()
+                .over(Window.orderBy(F.desc("cu"), "w"))
+                .cast("double")
+            )
+            * F.lit(1000.0)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("x"),
+        F.floor(F.log(F.col("cu").cast("double")) * F.lit(1000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("y"),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    ).select(
+        F.col("n").alias("n_vocab"),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("slope_num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("slope_den"),
+    )
