@@ -26,7 +26,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from snowflake_cdc_spark.functions.text import word_shingles, words
-from snowflake_cdc_spark.operators.util import fan_out
+from snowflake_cdc_spark.operators.util import ensure_persisted, fan_out
 
 HEX = "0123456789abcdef"
 
@@ -45,7 +45,7 @@ def _drop_oversized_buckets(
     O(cap²) per bucket by construction. The oversized list is ≤ n/cap rows
     by pigeonhole, so the anti-join side is always broadcastable."""
     sizes = banded.groupBy(*keys).agg(F.count(F.lit(1)).alias("__bn"))
-    oversized = sizes.filter(F.col("__bn") > cap).persist()
+    oversized = ensure_persisted(sizes.filter(F.col("__bn") > cap))
     stats = oversized.agg(
         F.count(F.lit(1)).alias("nb"), F.sum("__bn").alias("nm")
     ).head()
@@ -170,11 +170,10 @@ def minhash_features(
     # "shingles" 9 times (8 minhash transforms + the hashed set); without
     # the barrier Catalyst's projection collapse would inline — and
     # re-evaluate — the whole split/slice pipeline at every reference.
-    sh_raw = (
+    sh_raw = ensure_persisted(
         fan_out(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t")))
         .select("id", word_shingles("__t", shingle_n).alias("shingles"))
         .filter(F.size("shingles") > 0)
-        .persist()
     )
     return sh_raw.select(
         "id",
@@ -224,7 +223,9 @@ def minhash_lsh_pairs(
     # (the returned DataFrame still reads them lazily); long-lived drivers
     # looping over corpora should call spark.catalog.clearCache() between
     # calls, as bench.py does — LRU eviction otherwise reclaims them.
-    sh = minhash_features(df, id_col, text_col, k=k, shingle_n=shingle_n).persist()
+    sh = ensure_persisted(
+        minhash_features(df, id_col, text_col, k=k, shingle_n=shingle_n)
+    )
     return lsh_pairs_from_features(
         sh,
         k=k,
@@ -254,12 +255,11 @@ def lsh_pairs_from_features(
         F.concat_ws(",", F.transform(F.array_sort("hset"), lambda x: x.cast("string")))
     )
     keyed = sh.withColumn("__key", set_key)
-    grp = keyed.groupBy("__key").agg(F.min("id").alias("__rep")).persist()
-    members = (
+    grp = ensure_persisted(keyed.groupBy("__key").agg(F.min("id").alias("__rep")))
+    members = ensure_persisted(
         keyed.select("__key", "id")
         .join(grp, "__key")
         .select(F.col("__rep").alias("rep"), "id")
-        .persist()
     )
     rep_sh = keyed.join(
         grp.select(F.col("__rep").alias("id")), "id", "left_semi"
@@ -379,12 +379,11 @@ def simhash_near_dup_pairs(
     pairs are hamming 0, cross pairs inherit the representative distance) —
     and surviving buckets over ``bucket_cap`` are dropped with a log line,
     bounding the band self-join at O(cap²) per bucket."""
-    sh = simhash32(df, id_col, text_col).persist()
-    grp = sh.groupBy("simhash").agg(F.min("id").alias("__rep")).persist()
-    members = (
+    sh = ensure_persisted(simhash32(df, id_col, text_col))
+    grp = ensure_persisted(sh.groupBy("simhash").agg(F.min("id").alias("__rep")))
+    members = ensure_persisted(
         sh.join(grp, "simhash")
         .select(F.col("__rep").alias("rep"), "id", "simhash")
-        .persist()
     )
     reps = members.filter(F.col("id") == F.col("rep")).select("id", "simhash")
 
@@ -479,8 +478,8 @@ def blocked_jaccard_pairs(
         .select("id", *block_cols, word_shingles("__t", shingle_n).alias("shingles"))
         .filter(F.size("shingles") > 0)
         .select("id", *block_cols, hashed_shingle_set(F.col("shingles")).alias("hset"))
-        .persist()  # barrier + reused by the index and the size lookup
     )
+    sh = ensure_persisted(sh)  # barrier + reused by the index and the size lookup
     sizes = sh.select("id", F.size("hset").alias("n"))
     index = sh.select("id", *block_cols, F.explode("hset").alias("h"))
     x, y = index.alias("x"), index.alias("y")

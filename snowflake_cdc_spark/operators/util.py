@@ -5,6 +5,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def ensure_persisted(df: DataFrame) -> DataFrame:
+    """``persist()`` unless this plan is ALREADY in the cache.
+
+    Operators with the leaked-persist lifecycle (dedup family: the
+    returned DataFrame lazily reads the cached intermediates, callers
+    clearCache between corpora) re-derive identical plans when two
+    registry queries share a sub-pipeline over the same input — a second
+    ``persist()`` on an already-cached plan is a no-op that logs
+    ``CacheManager: Asked to cache already cached data``. The
+    storage-level probe answers for the PLAN (Spark's CacheManager keys
+    on the analyzed plan, not the DataFrame object), so the guard is
+    exact."""
+    lvl = df.storageLevel
+    if lvl.useMemory or lvl.useDisk:
+        return df
+    return df.persist()
+
+
 def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Ensure CPU-bound per-row work gets cluster-wide parallelism.
 

@@ -435,3 +435,137 @@ def q174(spark, sf_dir):
         (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("slope_num"),
         (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("slope_den"),
     )
+
+
+# --------------------------------------------------------------------------
+# Q175 — robust outlier report: exact median + MAD per group
+# --------------------------------------------------------------------------
+
+_MAD_ORACLE = """
+WITH x AS (SELECT lang, n_chars AS v FROM documents),
+r1 AS (SELECT lang, v,
+              row_number() OVER (PARTITION BY lang ORDER BY v) AS rn,
+              count(*) OVER (PARTITION BY lang) AS n
+       FROM x),
+med AS (SELECT lang, v AS m FROM r1 WHERE rn = (n + 1) // 2),
+dev AS (SELECT x.lang, x.v, abs(x.v - med.m) AS d, med.m
+        FROM x JOIN med USING (lang)),
+r2 AS (SELECT lang, d, m,
+              row_number() OVER (PARTITION BY lang ORDER BY d) AS rn,
+              count(*) OVER (PARTITION BY lang) AS n
+       FROM dev),
+mad AS (SELECT lang, d AS mad FROM r2 WHERE rn = (n + 1) // 2)
+SELECT dev.lang,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(max(dev.m) AS BIGINT) AS median,
+       CAST(max(mad.mad) AS BIGINT) AS mad,
+       CAST(sum(CASE WHEN dev.d > 3 * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM dev JOIN mad USING (lang)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@register(
+    "q175_mad_outliers",
+    _MAD_ORACLE,
+    "Robust per-group outlier report via exact median + MAD (median "
+    "absolute deviation — the dispersion measure that, unlike stddev, a "
+    "single corrupt row cannot drag): per-language document-length "
+    "median and MAD are both EXACT lower medians (value at integer rank "
+    "(n+1) div 2 of a bounded per-group window sort — layout-invariant "
+    "because the value at a fixed rank of a sorted multiset does not "
+    "depend on how ties were numbered), outliers are |x - med| > 3*MAD "
+    "in pure BIGINT comparison. Two bounded per-group sorts, broadcast "
+    "median join-back, no float anywhere — where a stddev-based z-score "
+    "would be an order-dependent float sum, this lane hash-matches",
+)
+def q175(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "lang", F.col("n_chars").alias("v")
+    )
+
+    def lower_median(df, col, out):
+        wr = Window.partitionBy("lang").orderBy(col)
+        wn = Window.partitionBy("lang")
+        return (
+            df.withColumn("__rn", F.row_number().over(wr))
+            .withColumn("__n", F.count(F.lit(1)).over(wn))
+            .filter(F.col("__rn") == F.expr("(__n + 1) div 2"))
+            .select("lang", F.col(col).alias(out))
+        )
+
+    med = lower_median(docs, "v", "m")
+    dev = docs.join(F.broadcast(med), "lang").withColumn(
+        "d", F.abs(F.col("v") - F.col("m"))
+    )
+    mad = lower_median(dev.select("lang", F.col("d").alias("v")), "v", "mad")
+    return (
+        dev.join(F.broadcast(mad), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.max("m").cast("bigint").alias("median"),
+            F.max("mad").cast("bigint").alias("mad"),
+            F.sum((F.col("d") > 3 * F.col("mad")).cast("bigint"))
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q176 — blocked fuzzy-match pairs via edit distance
+# --------------------------------------------------------------------------
+
+_LEV_ORACLE = """
+WITH p AS (SELECT p_partkey, p_name, p_brand, p_type FROM part)
+SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+       a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+FROM p a JOIN p b
+  ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+ AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 3
+ORDER BY part_a, part_b
+"""
+
+
+@register(
+    "q176_fuzzy_name_pairs",
+    _LEV_ORACLE,
+    "Blocked fuzzy-match pair detection via edit distance — the "
+    "catalog-hygiene complement of the token-set linkage lane (q128: "
+    "Jaccard catches word reorders; Levenshtein catches typos and "
+    "character-level drift Jaccard is blind to). Candidate pairs come "
+    "only from (brand, type) blocks — never an all-pairs name compare — "
+    "and the unit-cost edit distance is an exact integer both engines "
+    "define identically. At 100 TB catalogs the block join IS the "
+    "standard posture; oversized blocks would take the q131 hash-cap "
+    "treatment",
+)
+def q176(spark, sf_dir):
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand", "p_type")
+    a = p.select(
+        F.col("p_partkey").alias("part_a"),
+        F.col("p_name").alias("name_a"),
+        "p_brand",
+        "p_type",
+    )
+    b = p.select(
+        F.col("p_partkey").alias("part_b"),
+        F.col("p_name").alias("name_b"),
+        "p_brand",
+        "p_type",
+    )
+    return (
+        a.join(b, ["p_brand", "p_type"])
+        .filter(F.col("part_a") < F.col("part_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b").cast("int"))
+        .filter(F.col("dist") <= 3)
+        .select("part_a", "part_b", "name_a", "name_b", "dist")
+        .orderBy("part_a", "part_b")
+    )
