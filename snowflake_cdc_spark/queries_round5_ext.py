@@ -1,19 +1,30 @@
-"""Round-5 extension q171+: the remaining training-data curation lanes
-from the round-4 verdict — exact-substring duplicate-span detection at
-arbitrary boundaries (the Lee et al. ExactSubstr mode chunk_dedup's
-fixed grid cannot express) and a smoothed bigram language-model
-perplexity filter extending q160's unigram surprisal.
+"""Round-5 extension q171-q178: the remaining curation lanes from the
+round-4 verdict plus corpus/governance diagnostics —
+
+- q171 exact-substring duplicate spans at arbitrary boundaries (the
+  Lee et al. ExactSubstr mode chunk_dedup's fixed grid cannot express;
+  ``operators/substring_dedup.py``, winnowing scale path included);
+- q172 held-out bigram LM perplexity scoring with stupid backoff
+  (extends q160's unigram surprisal);
+- q173 PMI collocations, q174 Zipf rank-frequency slope (corpus
+  diagnostics);
+- q175 exact median+MAD robust outliers, q176 blocked edit-distance
+  fuzzy pairs (data quality);
+- q177 k-anonymity audit, q178 Benford first-digit audit (governance).
 
 Reference parity: the reference (``add_output.py:421-448``) lands raw
-CDC text into the warehouse; these are the corpus-hygiene passes a
-training-data pipeline runs over that landing zone daily.
+CDC text into the warehouse; these are the corpus-hygiene, quality and
+governance passes a training-data pipeline runs over that landing zone
+daily.
 
 Determinism contract (memory: determinism-contract): pure integer word
-positions and counts; span structure hashed as md5 of the ordered
-``start:end`` list; LM scores quantized to exact integer micro-nats
-before any cross-engine compare (the q160 discipline) — the only libm
-call is ``ln``, computed on integer ratios both engines derive from
-identical counts.
+positions, counts and ranks everywhere; span structure hashed as md5
+of the ordered ``start:end`` list; every float-valued score (LM
+probabilities, PMI, Benford expectation, log-log coordinates) is one
+token-identical IEEE expression quantized ONCE to integer micro/milli
+units before any sum or compare (the q160 discipline) — the only libm
+call is ``ln`` on identically-derived doubles; digit extraction stays
+in the integer domain (never double-to-string).
 """
 
 from __future__ import annotations
@@ -568,4 +579,161 @@ def q176(spark, sf_dir):
         .filter(F.col("dist") <= 3)
         .select("part_a", "part_b", "name_a", "name_b", "dist")
         .orderBy("part_a", "part_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q177 — k-anonymity audit (privacy governance)
+# --------------------------------------------------------------------------
+
+_KANON_ORACLE = """
+WITH cls AS (SELECT c_nationkey, c_mktsegment,
+                    CAST(count(*) AS BIGINT) AS sz
+             FROM customer GROUP BY 1, 2),
+tot AS (SELECT CAST(sum(sz) AS BIGINT) AS n,
+               CAST(min(sz) AS BIGINT) AS k_actual
+        FROM cls)
+SELECT k,
+       CAST((SELECT count(*) FROM cls) AS BIGINT) AS n_classes,
+       CAST((SELECT count(*) FROM cls WHERE sz < k) AS BIGINT)
+         AS n_classes_violating,
+       CAST(coalesce((SELECT sum(sz) FROM cls WHERE sz < k), 0) AS BIGINT)
+         AS n_rows_at_risk,
+       CAST(1000000 * coalesce((SELECT sum(sz) FROM cls WHERE sz < k), 0)
+            // (SELECT n FROM tot) AS BIGINT) AS risk_ppm,
+       (SELECT k_actual FROM tot) AS k_actual
+FROM (SELECT unnest([5, 10, 20]) AS k)
+ORDER BY k
+"""
+
+
+@register(
+    "q177_k_anonymity",
+    _KANON_ORACLE,
+    "k-anonymity audit (Sweeney 2002 — the privacy-governance "
+    "complement of the q119 PII lane: PII detection finds direct "
+    "identifiers; this measures re-identification risk through "
+    "QUASI-identifiers): equivalence classes over (nation, segment), "
+    "then for each policy k in {5,10,20} the violating-class count, "
+    "rows at risk, and exact integer risk_ppm, plus k_actual = the "
+    "table's real anonymity level (min class size). ONE scan + one "
+    "class-level aggregation; everything after is over the tiny class "
+    "table (broadcast), all BIGINT — at 100 TB the class table is the "
+    "only shuffle and the multi-k summary never rescans",
+)
+def q177(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    cls = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz")
+    )
+    tot = cls.agg(
+        F.sum("sz").cast("bigint").alias("n"),
+        F.min("sz").cast("bigint").alias("k_actual"),
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+    )
+    ks = cust.sparkSession.createDataFrame([(5,), (10,), (20,)], "k int")
+    return (
+        ks.crossJoin(F.broadcast(cls))
+        .groupBy("k")
+        .agg(
+            F.sum((F.col("sz") < F.col("k")).cast("bigint"))
+            .cast("bigint")
+            .alias("n_classes_violating"),
+            F.sum(F.when(F.col("sz") < F.col("k"), F.col("sz")).otherwise(0))
+            .cast("bigint")
+            .alias("n_rows_at_risk"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "k",
+            "n_classes",
+            "n_classes_violating",
+            "n_rows_at_risk",
+            F.expr("1000000 * n_rows_at_risk div n").cast("bigint").alias("risk_ppm"),
+            "k_actual",
+        )
+        .orderBy("k")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q178 — Benford first-digit audit (fraud / synthetic-data screen)
+# --------------------------------------------------------------------------
+
+_BENFORD_ORACLE = """
+WITH cents AS (
+  SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS c
+  FROM orders WHERE o_totalprice > 0),
+dig AS (SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INT) AS d FROM cents),
+obs AS (SELECT d, CAST(count(*) AS BIGINT) AS n FROM dig GROUP BY 1),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM obs)
+SELECT ds.d AS digit,
+       CAST(coalesce(obs.n, 0) AS BIGINT) AS n,
+       CAST(1000000 * coalesce(obs.n, 0) // tot.t AS BIGINT) AS observed_ppm,
+       CAST(floor(ln(1.0 + 1.0 / CAST(ds.d AS DOUBLE)) / ln(10.0)
+                  * 1000000.0 + 0.5) AS BIGINT) AS expected_ppm,
+       CAST(1000000 * coalesce(obs.n, 0) // tot.t
+            - floor(ln(1.0 + 1.0 / CAST(ds.d AS DOUBLE)) / ln(10.0)
+                    * 1000000.0 + 0.5) AS BIGINT) AS dev_ppm
+FROM (SELECT unnest(generate_series(1, 9)) AS d) ds
+LEFT JOIN obs ON obs.d = ds.d
+CROSS JOIN tot
+ORDER BY digit
+"""
+
+
+@register(
+    "q178_benford_audit",
+    _BENFORD_ORACLE,
+    "Benford first-significant-digit audit (Hill 1995 — the standard "
+    "fabricated/synthetic-amounts screen a data-quality pass runs over "
+    "monetary columns): digits are extracted in the INTEGER domain "
+    "(exact cents via floor(x*100+0.5), then integer-to-string — never "
+    "double-to-string or log10-of-double, whose libm/rendering edges "
+    "engines disagree on; scaling by 100 preserves the leading "
+    "significant digit), observed shares as exact integer ppm, Benford "
+    "expectation ln(1+1/d)/ln(10) quantized once per digit. One scan + "
+    "one 9-row aggregation; all-digit rows emitted via a 9-row literal "
+    "left join so missing digits report 0, not absence",
+)
+def q178(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    dig = orders.filter(F.col("o_totalprice") > 0).select(
+        F.substring(
+            F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5))
+            .cast("bigint")
+            .cast("string"),
+            1,
+            1,
+        )
+        .cast("int")
+        .alias("d")
+    )
+    obs = dig.groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = obs.agg(F.sum("n").cast("bigint").alias("t"))
+    ds = orders.sparkSession.createDataFrame([(i,) for i in range(1, 10)], "d int")
+    expected = F.floor(
+        F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
+        / F.log(F.lit(10.0))
+        * F.lit(1000000.0)
+        + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        ds.select(F.col("d").alias("digit"))
+        .join(F.broadcast(obs.withColumnRenamed("d", "digit")), "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+            F.expr("1000000 * coalesce(n, 0) div t")
+            .cast("bigint")
+            .alias("observed_ppm"),
+            expected.alias("expected_ppm"),
+            (
+                F.expr("1000000 * coalesce(n, 0) div t") - expected
+            )
+            .cast("bigint")
+            .alias("dev_ppm"),
+        )
+        .orderBy("digit")
     )
