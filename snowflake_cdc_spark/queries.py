@@ -657,3 +657,4 @@ def _load_extended() -> None:
     import snowflake_cdc_spark.queries_modern_ext  # noqa: F401
     import snowflake_cdc_spark.queries_governance_ext  # noqa: F401
     import snowflake_cdc_spark.queries_round5_ext  # noqa: F401
+    import snowflake_cdc_spark.queries_round5b_ext  # noqa: F401

@@ -1,0 +1,112 @@
+"""Round-5 extension q179+: graph robustness, retrieval and behavioral
+analytics lanes —
+
+- q179 k-core decomposition by iterative peeling (``operators/kcore.py``)
+  over the support-thresholded co-purchase graph;
+
+Reference parity: the reference (``add_output.py:421-448``) lands raw
+CDC rows into the warehouse; these are warehouse-side analytics passes
+over the landed tables.
+
+Determinism contract (memory: determinism-contract): integer set
+algebra end-to-end where possible (degrees, counts, node ids, word
+positions); any float-valued score is one token-identical IEEE
+expression quantized ONCE to integer micro units before any sum or
+compare (the q160/q172 discipline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from snowflake_cdc_spark.operators.kcore import kcore
+from snowflake_cdc_spark.queries import _t, register
+
+# --------------------------------------------------------------------------
+# Q179 — k-core decomposition (iterative peeling, operators/kcore.py)
+# --------------------------------------------------------------------------
+
+
+def _kcore_oracle_sql(ks: tuple[int, ...], rounds: int) -> str:
+    """Unrolled peeling oracle (the q136/q145 fixed-rounds pattern):
+    per k, ``rounds`` CTE stages of degree-over-survivors + filter.
+    Peeling is idempotent at its fixpoint, so an engine that drains
+    early equals the full unroll exactly."""
+    # MATERIALIZED stops DuckDB inlining `edges` into each of the
+    # 2*rounds degree stages (inlining reopens the parquet scan per
+    # reference and exhausts the file-handle limit)
+    head = """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       pairs AS (SELECT a.l_partkey AS src, b.l_partkey AS dst,
+                        CAST(count(*) AS BIGINT) AS sup
+                 FROM li a JOIN li b
+                   ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+                 GROUP BY 1, 2),
+       edges AS MATERIALIZED (SELECT src, dst FROM pairs WHERE sup >= 2),
+       n0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges)"""
+    parts = [head]
+    finals = []
+    for k in ks:
+        prev = "n0"
+        for r in range(1, rounds + 1):
+            parts.append(
+                f""",
+       d{k}_{r} AS MATERIALIZED (
+                 SELECT e.src AS node, CAST(count(*) AS BIGINT) AS deg
+                 FROM edges e
+                 JOIN {prev} a ON a.node = e.src
+                 JOIN {prev} b ON b.node = e.dst
+                 GROUP BY e.src),
+       n{k}_{r} AS MATERIALIZED (SELECT node FROM d{k}_{r} WHERE deg >= {k})"""
+            )
+            prev = f"n{k}_{r}"
+        finals.append(
+            f"SELECT CAST({k} AS BIGINT) AS k, node, deg"
+            f" FROM d{k}_{rounds} WHERE deg >= {k}"
+        )
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(finals) + "\nORDER BY k, node"
+
+
+@register(
+    "q179_kcore",
+    _kcore_oracle_sql((2, 3), 12),
+    "k-core decomposition by iterative peeling (operators/kcore.py; "
+    "Seidman 1983, Batagelj-Zaversnik 2003) at k=2 and k=3 over the "
+    "support>=2 co-purchase graph — the graph-robustness lane beside "
+    "components/PageRank/triangles/BFS: the 2-core strips every pendant "
+    "tree (the classic sparsification trim), the 3-core keeps only the "
+    "cyclically-dense nucleus. The support threshold (q153's frequent-"
+    "pairs cut) is what gives this near-random catalog graph real core "
+    "structure to find — the raw co-purchase graph is so dense it "
+    "all-or-nothing collapses, which the probe documented and rejected. "
+    "Per peel round: ONE map-side-combined degree count + two anti-joins "
+    "of the edge set against the (small, shrinking) peeled delta — never "
+    "a join against the big survivor set; fixed max_rounds=12 with "
+    "drained-early exit (the q136/q151 precedent), and because the "
+    "fixpoint is idempotent an early-drained run hash-matches the "
+    "oracle's full 12-round CTE unroll exactly. Pure integer set "
+    "algebra: nothing to quantize, nothing to drift. Multi-round "
+    "cascade proven on this data: k=3 takes 10 peel rounds at sf0.01",
+)
+def q179(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "k")
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .filter(F.col("sup") >= 2)
+        .select("src", "dst")
+        # the pair build dominates the lane; materialize it ONCE and
+        # let both k-level peels read the checkpoint instead of each
+        # re-running the co-purchase join+groupBy
+        .localCheckpoint(eager=True)
+    )
+    out = None
+    for k in (2, 3):
+        core = kcore(edges, k=k, max_rounds=12).select(
+            F.lit(k).cast("bigint").alias("k"), "node", "deg"
+        )
+        out = core if out is None else out.unionByName(core)
+    return out.orderBy("k", "node")
