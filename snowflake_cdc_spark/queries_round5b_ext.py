@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from snowflake_cdc_spark.operators.kcore import kcore
+from snowflake_cdc_spark.operators.phrase import phrase_search
 from snowflake_cdc_spark.queries import _t, register
 
 # --------------------------------------------------------------------------
@@ -110,3 +111,60 @@ def q179(spark, sf_dir):
         )
         out = core if out is None else out.unionByName(core)
     return out.orderBy("k", "node")
+
+
+# --------------------------------------------------------------------------
+# Q180 — exact phrase search over positional postings (operators/phrase.py)
+# --------------------------------------------------------------------------
+
+_PHRASES = {
+    "w2_table_hash": "table hash",
+    "w2_table_table": "table table",
+    "w3_stream_table_hash": "stream table hash",
+}
+
+
+def _phrase_oracle_sql(phrases: dict[str, str]) -> str:
+    """Window-scan oracle: every k-window of every doc compared to the
+    phrase — the definition itself, independent of the postings
+    offset-vote formulation the operator ships."""
+    blocks = []
+    for label, phrase in phrases.items():
+        ws = phrase.split()
+        m = len(ws)
+        conds = " AND ".join(f"ws[i+{j}] = '{w}'" for j, w in enumerate(ws))
+        blocks.append(
+            f"""SELECT '{label}' AS phrase, doc_id,
+              CAST(count(*) AS BIGINT) AS n_occ,
+              CAST(min(i) AS BIGINT) AS first_pos
+       FROM d, LATERAL unnest(generate_series(1, greatest(len(ws) - {m - 1}, 0))) AS u(i)
+       WHERE {conds}
+       GROUP BY doc_id"""
+        )
+    return (
+        """WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+           FROM documents)\n"""
+        + "\nUNION ALL\n".join(blocks)
+        + "\nORDER BY phrase, doc_id"
+    )
+
+
+@register(
+    "q180_phrase_search",
+    _phrase_oracle_sql(_PHRASES),
+    "exact multi-word phrase search over positional postings "
+    "(operators/phrase.py) — the IR lane beside BM25 (q130): one "
+    "tokenize scan kept to postings of queried-phrase words only, each "
+    "posting votes for the phrase-start it would imply per slot its "
+    "word fills, ONE groupBy over (phrase, doc, start) counting filled "
+    "slots = exact occurrences for ALL phrases together (the m-way "
+    "postings-intersection join chain would be m-1 shuffles PER "
+    "phrase). Repeated-word phrases and overlapping occurrences fall "
+    "out of the slot semantics ('table table' is in the query set "
+    "precisely to hash-pin them). Pure integer positions/counts; the "
+    "oracle runs the INDEPENDENT window-scan definition, so the check "
+    "proves the postings formulation equivalent to it",
+)
+def q180(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return phrase_search(docs, _PHRASES).orderBy("phrase", "doc_id")
