@@ -168,3 +168,165 @@ def _phrase_oracle_sql(phrases: dict[str, str]) -> str:
 def q180(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return phrase_search(docs, _PHRASES).orderBy("phrase", "doc_id")
+
+
+# --------------------------------------------------------------------------
+# Q181 — Markov event-type transition matrix (behavioral analytics)
+# --------------------------------------------------------------------------
+
+_MARKOV_ORACLE = """
+WITH s AS (SELECT user_id, event_type,
+                  lag(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS prev
+           FROM events),
+     p AS (SELECT prev, event_type AS nxt, CAST(count(*) AS BIGINT) AS c
+           FROM s WHERE prev IS NOT NULL GROUP BY 1, 2),
+     t AS (SELECT prev, CAST(sum(c) AS BIGINT) AS tot FROM p GROUP BY 1)
+SELECT p.prev AS prev_type, p.nxt AS next_type, p.c AS n_transitions,
+       CAST(p.c * 1000000 // t.tot AS BIGINT) AS prob_ppm
+FROM p JOIN t USING (prev)
+ORDER BY prev_type, next_type
+"""
+
+
+@register(
+    "q181_markov_transitions",
+    _MARKOV_ORACLE,
+    "first-order Markov transition matrix over per-user event sequences "
+    "— the behavioral model behind next-action prediction, anomaly "
+    "screens (transitions that never happen for real users) and funnel "
+    "design: per user, events sorted by (ts, event_id), consecutive "
+    "type pairs counted globally, per-source probabilities as EXACT "
+    "integer ppm (cnt*1e6 div row-total — no float division to drift). "
+    "ONE data shuffle: per-user sorted arrays built the q172 way "
+    "(sort_array of structs, pairs via zip_with of shifted slices — no "
+    "per-user window sort pass), then a tiny (|types|^2) aggregation + "
+    "broadcast totals join. The oracle runs the INDEPENDENT window-lag "
+    "algorithm, so the hash check proves the array-fold equivalent",
+)
+def q181(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    arr = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("ts", "event_id", "event_type"))).alias("s")
+    )
+    # bind derived arrays to columns BEFORE slicing/zipping (lambda-CSE
+    # gotcha: enclosing exprs re-evaluate per element otherwise)
+    arr = arr.withColumn(
+        "types", F.transform("s", lambda x: x["event_type"])
+    ).withColumn("n", F.size("types"))
+    pairs = arr.select(
+        F.explode(
+            F.zip_with(
+                F.slice("types", 1, F.greatest(F.col("n") - 1, F.lit(0))),
+                F.slice("types", 2, F.greatest(F.col("n") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("prev_type"), b.alias("next_type")),
+            )
+        ).alias("pr")
+    ).select("pr.prev_type", "pr.next_type")
+    cnt = pairs.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_transitions")
+    )
+    tot = cnt.groupBy("prev_type").agg(
+        F.sum("n_transitions").cast("bigint").alias("tot")
+    )
+    return (
+        cnt.join(F.broadcast(tot), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n_transitions",
+            F.expr("CAST(n_transitions * 1000000 DIV tot AS BIGINT)").alias(
+                "prob_ppm"
+            ),
+        )
+        .orderBy("prev_type", "next_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q182 — chi-squared independence audit (contingency EDA / DQ screen)
+# --------------------------------------------------------------------------
+
+_CHI2_ORACLE = """
+WITH obs AS (SELECT c_nationkey AS nat, c_mktsegment AS seg,
+                    CAST(count(*) AS BIGINT) AS o
+             FROM customer GROUP BY 1, 2),
+     r AS (SELECT nat, CAST(sum(o) AS BIGINT) AS rt FROM obs GROUP BY 1),
+     c AS (SELECT seg, CAST(sum(o) AS BIGINT) AS ct FROM obs GROUP BY 1),
+     n AS (SELECT CAST(sum(o) AS BIGINT) AS nn FROM obs),
+     grid AS (SELECT r.nat, c.seg, r.rt, c.ct, n.nn,
+                     coalesce(obs.o, 0) AS o
+              FROM r CROSS JOIN c CROSS JOIN n
+              LEFT JOIN obs ON obs.nat = r.nat AND obs.seg = c.seg),
+     cells AS (SELECT nat, seg, o,
+                      CAST(floor(
+                        CAST(nn * o - rt * ct AS DOUBLE)
+                        * CAST(nn * o - rt * ct AS DOUBLE)
+                        / (CAST(nn AS DOUBLE) * CAST(rt AS DOUBLE)
+                           * CAST(ct AS DOUBLE))
+                        * 1000000.0) AS BIGINT) AS contrib_micro
+               FROM grid)
+SELECT nat, seg, o, contrib_micro FROM cells
+UNION ALL
+SELECT -1 AS nat, '_TOTAL' AS seg,
+       (SELECT nn FROM n) AS o,
+       CAST(sum(contrib_micro) AS BIGINT) AS contrib_micro
+FROM cells
+ORDER BY nat, seg
+"""
+
+
+@register(
+    "q182_chi2_independence",
+    _CHI2_ORACLE,
+    "chi-squared independence audit over the (nation x segment) "
+    "contingency table — the EDA/data-quality screen for 'did this "
+    "load skew a dimension' and the statistical cousin of the Benford "
+    "lane (q178): every cell's (N*obs - rowtot*coltot)^2 keeps EXACT "
+    "BIGINT arithmetic (at sf0.1 the squared term peaks ~5e13, far "
+    "under 2^63), then ONE token-identical IEEE expression divides by "
+    "N*rowtot*coltot and quantizes to integer micro units (the "
+    "q160/q172 discipline), summed order-free — zero cells INCLUDED "
+    "via the row-totals x col-totals grid (chi2 without them is "
+    "wrong). One scan + one tiny class aggregation; everything after "
+    "runs on broadcast-sized relations. Total row (-1, _TOTAL) carries "
+    "the statistic; dof = (R-1)(C-1) is derivable from the grid",
+)
+def q182(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    obs = cust.groupBy(
+        F.col("c_nationkey").alias("nat"), F.col("c_mktsegment").alias("seg")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    r = obs.groupBy("nat").agg(F.sum("o").cast("bigint").alias("rt"))
+    c = obs.groupBy("seg").agg(F.sum("o").cast("bigint").alias("ct"))
+    n = obs.agg(F.sum("o").cast("bigint").alias("nn"))
+    grid = (
+        F.broadcast(r)
+        .crossJoin(F.broadcast(c))
+        .crossJoin(F.broadcast(n))
+        .join(obs, ["nat", "seg"], "left")
+        .withColumn("o", F.coalesce(F.col("o"), F.lit(0).cast("bigint")))
+    )
+    cells = grid.select(
+        "nat",
+        "seg",
+        "o",
+        F.expr(
+            "CAST(floor("
+            " CAST(nn * o - rt * ct AS DOUBLE)"
+            " * CAST(nn * o - rt * ct AS DOUBLE)"
+            " / (CAST(nn AS DOUBLE) * CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))"
+            " * 1000000.0) AS BIGINT)"
+        ).alias("contrib_micro"),
+    )
+    total = (
+        cells.agg(F.sum("contrib_micro").cast("bigint").alias("contrib_micro"))
+        .crossJoin(F.broadcast(n.select(F.col("nn").alias("o"))))
+        .select(
+            F.lit(-1).cast("bigint").alias("nat"),
+            F.lit("_TOTAL").alias("seg"),
+            "o",
+            "contrib_micro",
+        )
+    )
+    return cells.unionByName(total).orderBy("nat", "seg")
