@@ -38,11 +38,18 @@ def ivf_exact_search(
     id_col: str = "vec_id",
     query_id: str = "query_id",
     exclude_self: bool = True,
+    exclude_match_col: str | None = None,
 ) -> DataFrame:
     """Top-k neighbors by exact integer squared L2 on the quantized
     grid. ``assigned``: (id, qv, cell) from ``kmeans_fit``; ``queries``:
     (query_id, qv) quantized with the same grid. Output
-    (query_id, <id_col>, dist) — every value exact."""
+    (query_id, <id_col>, dist) — every value exact.
+
+    ``exclude_match_col``: when set, both ``assigned`` and ``queries``
+    must carry that column and candidates whose value EQUALS the
+    query's are dropped BEFORE ranking — the hard-negative-mining mode
+    (contrastive training wants the nearest vectors of a DIFFERENT
+    label, so the filter must precede the top-k, not trim it after)."""
     cells = F.slice(
         F.array_sort(
             F.array(
@@ -58,17 +65,19 @@ def ivf_exact_search(
         1,
         nprobe,
     )
+    probe_cols = [query_id, "qv"]
+    cand_cols = [F.col(id_col), F.col("qv").alias("__cqv"), F.col("cell")]
+    if exclude_match_col:
+        probe_cols.append(exclude_match_col)
+        cand_cols.append(F.col(exclude_match_col).alias("__cex"))
     probes = queries.select(
-        query_id, "qv", F.explode(F.transform(cells, lambda s: s["c"])).alias("cell")
+        *probe_cols, F.explode(F.transform(cells, lambda s: s["c"])).alias("cell")
     )
-    cand = probes.join(
-        assigned.select(
-            F.col(id_col), F.col("qv").alias("__cqv"), F.col("cell")
-        ),
-        "cell",
-    )
+    cand = probes.join(assigned.select(*cand_cols), "cell")
     if exclude_self:
         cand = cand.filter(F.col(id_col) != F.col(query_id))
+    if exclude_match_col:
+        cand = cand.filter(F.col("__cex") != F.col(exclude_match_col))
     scored = cand.select(
         query_id,
         id_col,

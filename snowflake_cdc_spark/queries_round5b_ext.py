@@ -330,3 +330,92 @@ def q182(spark, sf_dir):
         )
     )
     return cells.unionByName(total).orderBy("nat", "seg")
+
+
+# --------------------------------------------------------------------------
+# Q183 — hard-negative mining (label-aware exact-IVF ANN)
+# --------------------------------------------------------------------------
+
+
+def _hard_negative_oracle(k: int = 8, rounds: int = 2, dim: int = 64,
+                          nprobe: int = 4, topk: int = 5) -> str:
+    from snowflake_cdc_spark.queries_governance_ext import _kmeans_chain
+
+    return _kmeans_chain(k, rounds, dim) + f""",
+lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+qs AS (SELECT q.vec_id AS query_id, q.qv, l.label AS q_label
+       FROM q JOIN lab l ON l.vec_id = q.vec_id
+       WHERE q.vec_id % 10 = 7),
+pd AS (SELECT s.query_id, s.qv, s.q_label, c.cell,
+              CAST(list_sum(list_transform(list_zip(s.qv, c.qv),
+                     p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) AS cdist
+       FROM qs s, c{rounds - 1} c),
+pr AS (SELECT query_id, qv, q_label, cell FROM (
+         SELECT *, row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cdist, cell) AS rn FROM pd)
+       WHERE rn <= {nprobe}),
+cand AS (SELECT p.query_id, p.q_label, a.vec_id, l.label AS n_label,
+                CAST(list_sum(list_transform(list_zip(p.qv, a.qv),
+                       pp -> (pp[1]-pp[2])*(pp[1]-pp[2]))) AS BIGINT) AS dist
+         FROM pr p
+         JOIN a{rounds} a ON a.cell = p.cell AND a.vec_id <> p.query_id
+         JOIN lab l ON l.vec_id = a.vec_id
+         WHERE l.label <> p.q_label)
+SELECT query_id, q_label, vec_id, n_label, dist FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY dist, vec_id) AS rn FROM cand)
+WHERE rn <= {topk} ORDER BY query_id, vec_id"""
+
+
+@register(
+    "q183_hard_negatives",
+    _hard_negative_oracle(),
+    "hard-negative mining for contrastive training (label-aware "
+    "exact-IVF ANN; the standard training-data step behind embedding "
+    "models — for each anchor, the NEAREST vectors of a DIFFERENT "
+    "label are the negatives that actually move the loss): q158's "
+    "complete-oracle search with the label-exclusion filter applied "
+    "BEFORE the top-k ranking (trimming after the top-k would return "
+    "fewer/weaker negatives — the ordering of filter vs rank is the "
+    "semantics, and the planted test pins it). Same scale shape as "
+    "q158: probes from the driver-held centroid grid (plan literal), "
+    "candidates from ONE cell equi-join, never corpus x queries; all "
+    "arithmetic exact integers on the quantized grid, so DuckDB "
+    "re-derives every centroid, probe and mined negative",
+)
+def q183(spark, sf_dir):
+    from snowflake_cdc_spark.operators.ivf_exact import ivf_exact_search
+    from snowflake_cdc_spark.operators.kmeans_exact import (
+        kmeans_fit,
+        quantize_vectors,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    lab = emb.select("vec_id", F.col("label").cast("bigint").alias("label"))
+    centroids, assigned = kmeans_fit(emb, k=8, rounds=2)
+    assigned_l = assigned.join(lab, "vec_id")
+    queries = (
+        quantize_vectors(
+            emb.filter(F.col("vec_id") % 10 == 7).select("vec_id", "embedding")
+        )
+        .join(lab, "vec_id")
+        .select(F.col("vec_id").alias("query_id"), "qv", "label")
+    )
+    hits = ivf_exact_search(
+        centroids,
+        assigned_l,
+        queries,
+        k=5,
+        nprobe=4,
+        exclude_match_col="label",
+    )
+    q_lab = lab.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("q_label")
+    )
+    n_lab = lab.select("vec_id", F.col("label").alias("n_label"))
+    return (
+        hits.join(F.broadcast(q_lab), "query_id")
+        .join(F.broadcast(n_lab), "vec_id")
+        .select("query_id", "q_label", "vec_id", "n_label", "dist")
+        .orderBy("query_id", "vec_id")
+    )
