@@ -419,3 +419,137 @@ def q183(spark, sf_dir):
         .select("query_id", "q_label", "vec_id", "n_label", "dist")
         .orderBy("query_id", "vec_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Q184 — seasonal-profile residual anomalies (ops analytics)
+# --------------------------------------------------------------------------
+
+_SEASONAL_ORACLE = """
+WITH e AS (SELECT event_id, event_type,
+                  CAST(hour(ts) AS BIGINT) AS hod,
+                  CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v
+           FROM events),
+     g AS (SELECT event_type, hod, CAST(sum(v) AS BIGINT) AS s,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM e GROUP BY 1, 2),
+     r AS (SELECT e.event_id, e.event_type, e.hod, e.v,
+                  g.n, g.s, g.n * e.v - g.s AS dev
+           FROM e JOIN g USING (event_type, hod)),
+     m AS (SELECT event_type, hod, CAST(sum(abs(dev)) AS BIGINT) AS sad
+           FROM r GROUP BY 1, 2)
+SELECT r.event_id, r.event_type, r.hod, r.v, r.dev
+FROM r JOIN m USING (event_type, hod)
+WHERE r.n * abs(r.dev) > 3 * m.sad
+ORDER BY r.event_id
+"""
+
+
+@register(
+    "q184_seasonal_anomalies",
+    _SEASONAL_ORACLE,
+    "seasonal-profile residual anomalies — the ops-analytics screen "
+    "beside CUSUM (q164: level shifts over time) and MAD (q175: static "
+    "per-group outliers): each event's value is compared to its "
+    "(event_type, hour-of-day) seasonal baseline, flagging rows whose "
+    "residual exceeds 3x the profile's mean absolute residual. The "
+    "fractional mean never materializes (q164's count-scaling: dev = "
+    "n*v - S, threshold n*|dev| > 3*sum|dev| — all BIGINT, nothing "
+    "rounds; value quantized ONCE to micro units at input). Two "
+    "map-side-combined profile aggregations over one scan + broadcast "
+    "join-backs (the profile table is |types| x 24 rows); at 100 TB "
+    "the n^2*v headroom is managed by coarser input quantization "
+    "(documented), never by float fallback",
+)
+def q184(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.hour(F.col("ts").cast("timestamp")).cast("bigint").alias("hod"),
+        F.floor(F.col("value") * 1000000.0 + F.lit(0.5))
+        .cast("bigint")
+        .alias("v"),
+    )
+    g = e.groupBy("event_type", "hod").agg(
+        F.sum("v").cast("bigint").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    r = e.join(F.broadcast(g), ["event_type", "hod"]).withColumn(
+        "dev", F.col("n") * F.col("v") - F.col("s")
+    )
+    m = r.groupBy("event_type", "hod").agg(
+        F.sum(F.abs(F.col("dev"))).cast("bigint").alias("sad")
+    )
+    return (
+        r.join(F.broadcast(m), ["event_type", "hod"])
+        .filter(F.col("n") * F.abs(F.col("dev")) > 3 * F.col("sad"))
+        .select("event_id", "event_type", "hod", "v", "dev")
+        .orderBy("event_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q185 — exponentially-decayed trending scores (dyadic-exact)
+# --------------------------------------------------------------------------
+
+_DECAY_ORACLE = """
+WITH mx AS (SELECT max(CAST(ts AS DATE)) AS d0 FROM events),
+     e AS (SELECT event_type,
+                  date_diff('day', CAST(ts AS DATE), mx.d0) AS age
+           FROM events, mx),
+     w AS (SELECT event_type,
+                  CAST(count(*) AS BIGINT) AS n_events,
+                  CAST(sum(CAST(1 AS BIGINT) << (29 - age)) AS BIGINT)
+                    AS decayed_num
+           FROM e WHERE age <= 29 GROUP BY 1)
+SELECT event_type, n_events, decayed_num,
+       CAST(floor(CAST(decayed_num AS DOUBLE) / 536870912.0 * 1000000.0)
+            AS BIGINT) AS decayed_micro
+FROM w ORDER BY event_type
+"""
+
+
+@register(
+    "q185_decayed_trending",
+    _DECAY_ORACLE,
+    "exponentially-decayed trending scores over the trailing 30 days "
+    "(half-life = 1 day) — the freshness-weighted counting every "
+    "trending/leaderboard surface runs, made hash-checkable by "
+    "DYADIC weights: each event contributes 2^(29 - age_days), an "
+    "exact BIGINT (sum <= ~2^29 * |events|, far under 2^63 at this "
+    "window; the window bound is also what keeps the shift exponent "
+    "nonnegative and bounded), so the decayed numerator is an exact "
+    "order-free integer sum where a float 0.5^age sum would be "
+    "order-dependent. The human-readable score is ONE quantized "
+    "division by 2^29 at the end (q160 discipline). One scan + one "
+    "map-side-combined aggregation; the anchor date is a broadcast "
+    "1-row aggregate, not a driver collect",
+)
+def q185(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.to_date(F.col("ts").cast("timestamp")).alias("d")
+    )
+    mx = ev.agg(F.max("d").alias("d0"))
+    e = ev.crossJoin(F.broadcast(mx)).select(
+        "event_type", F.datediff(F.col("d0"), F.col("d")).cast("int").alias("age")
+    )
+    w = (
+        e.filter(F.col("age") <= 29)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 29 - age)"))
+            .cast("bigint")
+            .alias("decayed_num"),
+        )
+    )
+    return w.select(
+        "event_type",
+        "n_events",
+        "decayed_num",
+        F.floor(
+            F.col("decayed_num").cast("double") / F.lit(536870912.0) * F.lit(1000000.0)
+        )
+        .cast("bigint")
+        .alias("decayed_micro"),
+    ).orderBy("event_type")
