@@ -470,3 +470,91 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
             F.lit(None).cast("long").alias("duration_ms"),
         ).alias("meta"),
     )
+
+
+def documents_as_wav_media(docs: DataFrame, sample_rate: int = 8000) -> DataFrame:
+    """Adapter producing REAL audio payloads: each document's utf-8
+    bytes become little-endian 16-bit PCM samples (padded to an even
+    byte count) inside a genuine WAV container, so the audio decode
+    stage runs an actual stdlib codec end to end — the audio analog of
+    ``documents_as_bmp_media``. ASCII corpora keep every sample in
+    [0, 31354] (hi byte <= 122), which the q186 oracle exploits to
+    re-derive the samples from the text column alone."""
+    from snowflake_cdc_spark.operators.util import fan_out
+
+    base = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("__raw"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads, metas = [], [], []
+            for mid, raw in zip(pdf["media_id"], pdf["__raw"]):
+                raw = bytes(raw)
+                if len(raw) % 2:
+                    raw += b"\0"
+                ids.append(mid)
+                payloads.append(encode_wav(sample_rate, 1, raw))
+                metas.append(
+                    {
+                        "media_type": "audio",
+                        "format": "wav",
+                        "width": None,
+                        "height": None,
+                        "duration_ms": (len(raw) // 2) * 1000 // sample_rate,
+                    }
+                )
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": payloads, "meta": metas}
+            )
+
+    return fan_out(base).mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+AUDIO_ENERGY_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_index", T.LongType(), False),
+        T.StructField("n_samples", T.LongType(), False),
+        T.StructField("energy", T.LongType(), False),
+    ]
+)
+
+
+def audio_frame_energy(decoded: DataFrame, frame_len: int = 200) -> DataFrame:
+    """Frame-level energy extraction over decoded PCM — the audio
+    feature-extract stage of the multimodal lane (VAD front-ends,
+    silence trimming and loudness normalization all start here): the
+    PCM splits into ``frame_len``-sample frames (final frame partial)
+    and each frame emits the EXACT integer sum of squared int16
+    samples — int16^2 * frame_len stays far under 2^63, so the feature
+    is a pure BIGINT and the whole mapInPandas stage is
+    oracle-checkable. Arrow-batched, one output row per frame."""
+    import numpy as np
+
+    from snowflake_cdc_spark.operators.util import fan_out
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, ns, es = [], [], [], []
+            for mid, pcm in zip(pdf["media_id"], pdf["pcm"]):
+                samples = np.frombuffer(bytes(pcm), dtype="<i2").astype(np.int64)
+                for f in range(0, max(len(samples), 1), frame_len):
+                    chunk = samples[f : f + frame_len]
+                    ids.append(mid)
+                    idxs.append(f // frame_len)
+                    ns.append(len(chunk))
+                    es.append(int((chunk * chunk).sum()))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_index": idxs,
+                    "n_samples": ns,
+                    "energy": es,
+                }
+            )
+
+    return fan_out(decoded.select("media_id", "pcm")).mapInPandas(
+        run, schema=AUDIO_ENERGY_SCHEMA
+    )

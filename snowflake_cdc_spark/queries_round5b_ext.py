@@ -553,3 +553,60 @@ def q185(spark, sf_dir):
         .cast("bigint")
         .alias("decayed_micro"),
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# Q186 — audio frame-energy extraction (multimodal feature lane)
+# --------------------------------------------------------------------------
+
+_AUDIO_ENERGY_ORACLE = """
+WITH d AS (SELECT doc_id, text, n_chars FROM documents
+           WHERE doc_id % 5 = 1 AND n_chars > 0),
+     s AS (SELECT doc_id, (n_chars + 1) // 2 AS n_samples FROM d),
+     f AS (SELECT d.doc_id, u.i AS si,
+                  ascii(substr(d.text, 2 * u.i + 1, 1))
+                  + 256 * ascii(substr(d.text, 2 * u.i + 2, 1)) AS v
+           FROM d JOIN s USING (doc_id),
+           LATERAL unnest(generate_series(0, s.n_samples - 1)) AS u(i))
+SELECT doc_id AS media_id,
+       CAST(si // 200 AS BIGINT) AS frame_index,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(sum(CAST(v AS BIGINT) * CAST(v AS BIGINT)) AS BIGINT) AS energy
+FROM f GROUP BY 1, 2
+ORDER BY media_id, frame_index
+"""
+
+
+@register(
+    "q186_audio_frame_energy",
+    _AUDIO_ENERGY_ORACLE,
+    "audio feature-extraction lane, driver-hash-checked end to end — "
+    "the q163 codec-round-trip discipline extended from image to "
+    "AUDIO: documents become genuine WAV containers (utf-8 bytes as "
+    "little-endian 16-bit PCM, stdlib codec), the Arrow-batched "
+    "decode_audio stage decodes them back, and audio_frame_energy "
+    "emits per-200-sample-frame EXACT integer energies (sum of squared "
+    "int16 samples — the front-end of VAD/silence-trim/loudness "
+    "pipelines). The oracle re-derives every sample value and frame "
+    "energy from the text column alone (ASCII bytes -> lo + 256*hi; "
+    "ascii('') = 0 supplies the odd-length pad), so a hash match "
+    "proves encode -> WAV -> mapInPandas decode -> framing -> feature "
+    "are ALL lossless. Empty documents are filtered on both sides "
+    "(the q163 ADVICE precedent); real corpora route them to the DQ "
+    "lane instead",
+)
+def q186(spark, sf_dir):
+    from snowflake_cdc_spark.operators.multimodal import (
+        audio_frame_energy,
+        decode_audio,
+        documents_as_wav_media,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 5 == 1) & (F.col("n_chars") > 0)
+    )
+    media = documents_as_wav_media(docs)
+    dec = decode_audio(media)
+    return audio_frame_energy(dec, frame_len=200).orderBy(
+        "media_id", "frame_index"
+    )
