@@ -37,15 +37,18 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def equidepth_histogram(
+def equidepth_assign(
     df: DataFrame,
     value_col: str,
     id_col: str,
     k: int = 10,
     range_buckets: int = 64,
 ) -> DataFrame:
-    """(bucket 1..k, n, lo, hi) equal-frequency buckets of ``value_col``
-    (NULLs excluded), ties broken by ``id_col``."""
+    """Per-ROW equi-depth bucket assignment (``id``, ``value_col``,
+    ``bucket`` 1..k) by the sort-free composition in the module
+    docstring — the building block shared by the histogram aggregate
+    (q140) and per-row binning consumers (WOE feature binning, q187),
+    where the row->bucket mapping itself is the deliverable."""
     src = df.filter(F.col(value_col).isNotNull()).select(
         F.col(id_col).alias("__id"), F.col(value_col).alias("__v")
     )
@@ -81,12 +84,30 @@ def equidepth_histogram(
     return (
         ranked.join(F.broadcast(offsets), "__rb")
         .withColumn("__rn", F.col("__off") + F.col("__intra"))
-        .select(F.col("__v"), bucket.cast("bigint").alias("bucket"))
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__v").alias(value_col),
+            bucket.cast("bigint").alias("bucket"),
+        )
+    )
+
+
+def equidepth_histogram(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    k: int = 10,
+    range_buckets: int = 64,
+) -> DataFrame:
+    """(bucket 1..k, n, lo, hi) equal-frequency buckets of ``value_col``
+    (NULLs excluded), ties broken by ``id_col``."""
+    return (
+        equidepth_assign(df, value_col, id_col, k, range_buckets)
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.min("__v").alias("lo"),
-            F.max("__v").alias("hi"),
+            F.min(value_col).alias("lo"),
+            F.max(value_col).alias("hi"),
         )
         .orderBy("bucket")
     )

@@ -610,3 +610,160 @@ def q186(spark, sf_dir):
     return audio_frame_energy(dec, frame_len=200).orderBy(
         "media_id", "frame_index"
     )
+
+
+# --------------------------------------------------------------------------
+# Q187 — weight-of-evidence feature binning (equi-depth + WOE)
+# --------------------------------------------------------------------------
+
+_WOE_ORACLE = """
+WITH src AS (SELECT o_orderkey AS id, o_totalprice AS v,
+                    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos
+             FROM orders WHERE o_totalprice IS NOT NULL),
+     tot AS (SELECT count(*) AS n FROM src),
+     r AS (SELECT id, pos, row_number() OVER (ORDER BY v, id) AS rn FROM src),
+     b AS (SELECT pos,
+             CASE WHEN rn <= (tot.n % 10) * (tot.n // 10 + 1)
+                  THEN (rn - 1) // (tot.n // 10 + 1) + 1
+                  ELSE (tot.n % 10)
+                       + (rn - (tot.n % 10) * (tot.n // 10 + 1) - 1) // (tot.n // 10) + 1
+             END AS bucket
+           FROM r, tot),
+     bins AS (SELECT CAST(bucket AS BIGINT) AS bucket,
+                     CAST(sum(pos) AS BIGINT) AS n_pos,
+                     CAST(count(*) - sum(pos) AS BIGINT) AS n_neg
+              FROM b GROUP BY 1),
+     t AS (SELECT CAST(sum(n_pos + 1) AS BIGINT) AS p,
+                  CAST(sum(n_neg + 1) AS BIGINT) AS q FROM bins)
+SELECT bucket, n_pos, n_neg,
+       CAST(floor(ln(CAST((n_pos + 1) * t.q AS DOUBLE)
+                     / CAST((n_neg + 1) * t.p AS DOUBLE)) * 1000000.0)
+            AS BIGINT) AS woe_micro
+FROM bins, t
+ORDER BY bucket
+"""
+
+
+@register(
+    "q187_woe_binning",
+    _WOE_ORACLE,
+    "weight-of-evidence feature binning (the credit-scoring / feature-"
+    "engineering standard: equi-depth bins of a continuous feature, "
+    "per-bin ln of the smoothed pos/neg odds ratio vs the global "
+    "ratio): bin assignment reuses the q140 sort-free equi-depth "
+    "composition (operators/histogram.py::equidepth_assign — per-row "
+    "buckets, NO global sort region; the oracle runs the independent "
+    "single-sort ntile-fill), target = o_orderstatus 'F'. WOE keeps "
+    "+1-smoothed counts in EXACT BIGINT products and spends ONE "
+    "token-identical ln+division quantized to micro units (the "
+    "q173 discipline) — at warehouse scale the BIGINT product "
+    "headroom is managed by pre-dividing both counts by a common "
+    "power of two, never by float sums",
+)
+def q187(spark, sf_dir):
+    from snowflake_cdc_spark.operators.histogram import equidepth_assign
+
+    orders = _t(spark, sf_dir, "orders")
+    src = orders.filter(F.col("o_totalprice").isNotNull()).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("pos"),
+    )
+    assigned = equidepth_assign(src, "o_totalprice", "o_orderkey", k=10)
+    joined = assigned.join(src.select("o_orderkey", "pos"), "o_orderkey")
+    bins = joined.groupBy("bucket").agg(
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum("pos")).cast("bigint").alias("n_neg"),
+    )
+    t = bins.agg(
+        F.sum(F.col("n_pos") + 1).cast("bigint").alias("p"),
+        F.sum(F.col("n_neg") + 1).cast("bigint").alias("q"),
+    )
+    return (
+        bins.crossJoin(F.broadcast(t))
+        .select(
+            "bucket",
+            "n_pos",
+            "n_neg",
+            F.floor(
+                F.log(
+                    F.expr("CAST((n_pos + 1) * q AS DOUBLE)")
+                    / F.expr("CAST((n_neg + 1) * p AS DOUBLE)")
+                )
+                * F.lit(1000000.0)
+            )
+            .cast("bigint")
+            .alias("woe_micro"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q188 — join-key skew profiler (operators/skew.py)
+# --------------------------------------------------------------------------
+
+
+def _skew_oracle_sql(keys: list[tuple[str, str]]) -> str:
+    blocks = []
+    for i, (table, col) in enumerate(keys):
+        label = f"{table}.{col}"
+        blocks.append(
+            f"""k{i} AS (SELECT {col} AS key, CAST(count(*) AS BIGINT) AS c
+            FROM {table} WHERE {col} IS NOT NULL GROUP BY 1),
+       r{i} AS (SELECT c, row_number() OVER (ORDER BY c, key) AS rn FROM k{i}),
+       g{i} AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(c) AS BIGINT) AS s1,
+                       CAST(sum(rn * c) AS BIGINT) AS s2
+                FROM r{i})"""
+        )
+    selects = []
+    for i, (table, col) in enumerate(keys):
+        label = f"{table}.{col}"
+        selects.append(
+            f"""SELECT '{label}' AS key_col, s1 AS n_rows, n AS n_distinct,
+       (SELECT max(c) FROM k{i}) AS max_count,
+       (SELECT CAST(min(key) AS BIGINT) FROM k{i}
+        WHERE c = (SELECT max(c) FROM k{i})) AS top_key,
+       CAST(2 * s2 - (n + 1) * s1 AS BIGINT) AS gini_num,
+       CAST(n * s1 AS BIGINT) AS gini_den
+FROM g{i}"""
+        )
+    return (
+        "WITH " + ",\n       ".join(blocks) + "\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY key_col"
+    )
+
+
+_SKEW_KEYS = [
+    ("lineitem", "l_partkey"),
+    ("lineitem", "l_suppkey"),
+    ("orders", "o_custkey"),
+    ("events", "user_id"),
+]
+
+
+@register(
+    "q188_skew_profile",
+    _skew_oracle_sql(_SKEW_KEYS),
+    "join-key skew profiler (operators/skew.py) — the shuffle-planning "
+    "diagnostic behind salting/broadcast decisions, profiled for the "
+    "four hottest join keys in the schema: per key, rows / distinct / "
+    "heaviest key + count / EXACT-RATIONAL Gini concentration "
+    "((2*sum(i*x_i) - (n+1)*sum(x)) over n*sum(x), x ascending — the "
+    "q162/q174 rational-pair discipline; float Gini is an "
+    "order-dependent sum). Everything after the per-key count agg runs "
+    "on the DISTINCT-KEY relation (q166 posture: the only window sort "
+    "is |distinct keys| rows, never the data); heaviest key via "
+    "min-over-struct, one pass. AQE reacts to skew at runtime — this "
+    "lane reports it ahead of time, the q131/LSH-cap planning story",
+)
+def q188(spark, sf_dir):
+    from snowflake_cdc_spark.operators.skew import skew_profile
+
+    out = None
+    for table, col in _SKEW_KEYS:
+        prof = skew_profile(_t(spark, sf_dir, table), col, f"{table}.{col}")
+        out = prof if out is None else out.unionByName(prof)
+    return out.orderBy("key_col")
