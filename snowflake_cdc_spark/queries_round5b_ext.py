@@ -767,3 +767,160 @@ def q188(spark, sf_dir):
         prof = skew_profile(_t(spark, sf_dir, table), col, f"{table}.{col}")
         out = prof if out is None else out.unionByName(prof)
     return out.orderBy("key_col")
+
+
+# --------------------------------------------------------------------------
+# Q189 — referential-integrity audit (FK orphan screen)
+# --------------------------------------------------------------------------
+
+
+def _ref_integrity_oracle(pairs) -> str:
+    blocks = []
+    for i, (child, ck, parent, pk) in enumerate(pairs):
+        blocks.append(
+            f"""SELECT '{child}.{ck} -> {parent}.{pk}' AS fk,
+       CAST(count(*) AS BIGINT) AS n_child,
+       CAST(count(*) FILTER (WHERE p.{pk} IS NULL) AS BIGINT) AS n_orphans,
+       CAST(count(*) FILTER (WHERE p.{pk} IS NULL) * 1000000
+            // count(*) AS BIGINT) AS orphan_ppm
+FROM {child} c LEFT JOIN (SELECT DISTINCT {pk} FROM {parent}) p
+  ON c.{ck} = p.{pk}"""
+        )
+    return "\nUNION ALL\n".join(blocks) + "\nORDER BY fk"
+
+
+_FK_PAIRS = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+]
+
+
+@register(
+    "q189_ref_integrity",
+    _ref_integrity_oracle(_FK_PAIRS),
+    "referential-integrity audit over the schema's five FK edges — the "
+    "data-contract governance lane beside the DQ report (q132) and "
+    "k-anonymity (q177): per FK, child rows / orphans (child keys with "
+    "no parent) / exact integer orphan ppm. Each edge is ONE left "
+    "anti-join-shaped probe against the DISTINCT parent keys (the "
+    "parent key relation broadcasts when small — nation — and "
+    "shuffle-joins when not — orders; Catalyst/AQE picks, which is the "
+    "point of declaring it as a join rather than hand-scheduling); on "
+    "this consistent fixture every ppm is 0, which IS the audit's "
+    "green path — the planted pytest drives the orphan branch",
+)
+def q189(spark, sf_dir):
+    out = None
+    for child, ck, parent, pk in _FK_PAIRS:
+        c = _t(spark, sf_dir, child).select(F.col(ck).alias("ck"))
+        p = _t(spark, sf_dir, parent).select(F.col(pk).alias("pk")).distinct()
+        j = c.join(p, c.ck == p.pk, "left")
+        row = j.agg(
+            F.lit(f"{child}.{ck} -> {parent}.{pk}").alias("fk"),
+            F.count(F.lit(1)).cast("bigint").alias("n_child"),
+            F.count(F.when(F.col("pk").isNull(), 1)).cast("bigint").alias(
+                "n_orphans"
+            ),
+            F.expr(
+                "CAST(count(CASE WHEN pk IS NULL THEN 1 END) * 1000000"
+                " DIV count(*) AS BIGINT)"
+            ).alias("orphan_ppm"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("fk")
+
+
+# --------------------------------------------------------------------------
+# Q190 — vocabulary drift between corpus halves (smoothed KL divergence)
+# --------------------------------------------------------------------------
+
+_KL_ORACLE = """
+WITH toks AS (SELECT doc_id % 2 AS half, unnest(
+                  regexp_extract_all(lower(text), '[a-z]+')) AS w
+              FROM documents),
+     c AS (SELECT w,
+                  CAST(count(*) FILTER (WHERE half = 0) AS BIGINT) AS cp,
+                  CAST(count(*) FILTER (WHERE half = 1) AS BIGINT) AS cq
+           FROM toks GROUP BY 1),
+     t AS (SELECT CAST(sum(cp) AS BIGINT) AS np, CAST(sum(cq) AS BIGINT) AS nq,
+                  CAST(count(*) AS BIGINT) AS v
+           FROM c),
+     terms AS (SELECT c.w, c.cp, c.cq,
+                      CAST(floor(
+                        (CAST(c.cp + 1 AS DOUBLE) / CAST(t.np + t.v AS DOUBLE))
+                        * ln(CAST((c.cp + 1) * (t.nq + t.v) AS DOUBLE)
+                             / CAST((c.cq + 1) * (t.np + t.v) AS DOUBLE))
+                        * 1000000000.0) AS BIGINT) AS term_nano
+               FROM c, t)
+SELECT w, cp, cq, term_nano FROM terms
+UNION ALL
+SELECT '_TOTAL' AS w, t.np AS cp, t.nq AS cq,
+       (SELECT CAST(sum(term_nano) AS BIGINT) FROM terms) AS term_nano
+FROM t
+ORDER BY w
+"""
+
+
+@register(
+    "q190_vocab_drift",
+    _KL_ORACLE,
+    "vocabulary drift between corpus halves via +1-smoothed KL "
+    "divergence over the union vocabulary — the corpus-drift monitor a "
+    "training-data pipeline runs per ingest batch (template floods and "
+    "source composition shifts bend the distribution long before "
+    "eyeballing does; the diagnostic sibling of Zipf q174 and "
+    "surprisal q160): each word's KL term spends its floats in ONE "
+    "token-identical expression — smoothed p as a single division, the "
+    "log-ratio as one ln over a quotient of exact BIGINT products — "
+    "quantized once to nano units, then summed order-free (negative "
+    "terms floor correctly). One corpus scan, one vocab-sized "
+    "aggregation with FILTER-style split counting, broadcast totals; "
+    "total row carries the divergence",
+)
+def q190(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        (F.col("doc_id") % 2).alias("half"),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+        ).alias("w"),
+    )
+    c = toks.groupBy("w").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("cp"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("cq"),
+    )
+    t = c.agg(
+        F.sum("cp").cast("bigint").alias("np"),
+        F.sum("cq").cast("bigint").alias("nq"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+    )
+    terms = c.crossJoin(F.broadcast(t)).select(
+        "w",
+        "cp",
+        "cq",
+        F.expr(
+            "CAST(floor("
+            " (CAST(cp + 1 AS DOUBLE) / CAST(np + v AS DOUBLE))"
+            " * ln(CAST((cp + 1) * (nq + v) AS DOUBLE)"
+            "      / CAST((cq + 1) * (np + v) AS DOUBLE))"
+            " * 1000000000.0) AS BIGINT)"
+        ).alias("term_nano"),
+    )
+    total = (
+        terms.agg(F.sum("term_nano").cast("bigint").alias("term_nano"))
+        .crossJoin(F.broadcast(t))
+        .select(
+            F.lit("_TOTAL").alias("w"),
+            F.col("np").alias("cp"),
+            F.col("nq").alias("cq"),
+            "term_nano",
+        )
+    )
+    return terms.unionByName(total).orderBy("w")
