@@ -924,3 +924,189 @@ def q190(spark, sf_dir):
         )
     )
     return terms.unionByName(total).orderBy("w")
+
+
+# --------------------------------------------------------------------------
+# Q191 — kNN auto-labeling evaluation (held-out label inference)
+# --------------------------------------------------------------------------
+
+
+def _knn_eval_oracle(k: int = 8, rounds: int = 2, dim: int = 64,
+                     nprobe: int = 4, topk: int = 5) -> str:
+    from snowflake_cdc_spark.queries_governance_ext import _kmeans_chain
+
+    return _kmeans_chain(k, rounds, dim) + f""",
+lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+qs AS (SELECT q.vec_id AS query_id, q.qv, l.label AS true_label
+       FROM q JOIN lab l ON l.vec_id = q.vec_id
+       WHERE q.vec_id % 10 = 7),
+pd AS (SELECT s.query_id, s.qv, s.true_label, c.cell,
+              CAST(list_sum(list_transform(list_zip(s.qv, c.qv),
+                     p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) AS cdist
+       FROM qs s, c{rounds - 1} c),
+pr AS (SELECT query_id, qv, true_label, cell FROM (
+         SELECT *, row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cdist, cell) AS rn FROM pd)
+       WHERE rn <= {nprobe}),
+cand AS (SELECT p.query_id, p.true_label, a.vec_id, l.label AS n_label,
+                CAST(list_sum(list_transform(list_zip(p.qv, a.qv),
+                       pp -> (pp[1]-pp[2])*(pp[1]-pp[2]))) AS BIGINT) AS dist
+         FROM pr p
+         JOIN a{rounds} a ON a.cell = p.cell AND a.vec_id % 10 <> 7
+         JOIN lab l ON l.vec_id = a.vec_id),
+nn AS (SELECT query_id, true_label, n_label FROM (
+         SELECT *, row_number() OVER (PARTITION BY query_id
+                                      ORDER BY dist, vec_id) AS rn FROM cand)
+       WHERE rn <= {topk}),
+votes AS (SELECT query_id, true_label, n_label,
+                 CAST(count(*) AS BIGINT) AS v
+          FROM nn GROUP BY 1, 2, 3),
+pred AS (SELECT query_id, true_label, n_label AS pred_label FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+                                        ORDER BY v DESC, n_label) AS rn
+           FROM votes)
+         WHERE rn = 1)
+SELECT true_label, pred_label, CAST(count(*) AS BIGINT) AS n
+FROM pred GROUP BY 1, 2 ORDER BY true_label, pred_label"""
+
+
+@register(
+    "q191_knn_label_eval",
+    _knn_eval_oracle(),
+    "kNN auto-labeling evaluation — the training-data workflow that "
+    "closes the loop on the ANN family: held-out vectors (vec_id%10=7) "
+    "get labels inferred by majority vote of their 5 nearest LABELED "
+    "neighbors (candidates exclude the entire held-out split, not just "
+    "self — held-out means held out), emitted as the confusion matrix. "
+    "Same complete-oracle scale shape as q158/q183 (plan-literal "
+    "centroids, ONE cell equi-join, integer L2); the vote argmax ties "
+    "to the smallest label (struct order), so the whole inference — "
+    "index, probes, neighbors, votes, predictions — hash-matches "
+    "DuckDB re-deriving it from scratch",
+)
+def q191(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from snowflake_cdc_spark.operators.ivf_exact import ivf_exact_search
+    from snowflake_cdc_spark.operators.kmeans_exact import (
+        kmeans_fit,
+        quantize_vectors,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    lab = emb.select("vec_id", F.col("label").cast("bigint").alias("label"))
+    centroids, assigned = kmeans_fit(emb, k=8, rounds=2)
+    corpus = assigned.filter(F.col("vec_id") % 10 != 7)
+    queries = (
+        quantize_vectors(
+            emb.filter(F.col("vec_id") % 10 == 7).select("vec_id", "embedding")
+        )
+        .select(F.col("vec_id").alias("query_id"), "qv")
+    )
+    nn = ivf_exact_search(centroids, corpus, queries, k=5, nprobe=4)
+    nn_lab = nn.join(
+        F.broadcast(lab.select("vec_id", F.col("label").alias("n_label"))),
+        "vec_id",
+    )
+    votes = nn_lab.groupBy("query_id", "n_label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("v")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("v"), "n_label")
+    pred = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("n_label").alias("pred_label"))
+    )
+    truth = lab.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    return (
+        pred.join(F.broadcast(truth), "query_id")
+        .groupBy("true_label", "pred_label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy("true_label", "pred_label")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q192 — mutual nearest neighbors (alignment-pair mining)
+# --------------------------------------------------------------------------
+
+_MNN_ORACLE = """
+WITH q AS (SELECT vec_id,
+                  list_transform(embedding,
+                    x -> CAST(floor((CAST(x AS DOUBLE) + 1.0) * 10000.0 + 0.5)
+                              AS BIGINT)) AS qv
+           FROM embeddings WHERE vec_id % 25 = 0),
+     d AS (SELECT a.vec_id AS ida, b.vec_id AS idb,
+                  CAST(list_sum(list_transform(list_zip(a.qv, b.qv),
+                         p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) AS dist
+           FROM q a JOIN q b ON a.vec_id <> b.vec_id),
+     nn AS (SELECT ida, idb, dist FROM (
+              SELECT *, row_number() OVER (PARTITION BY ida
+                                           ORDER BY dist, idb) AS rn FROM d)
+            WHERE rn = 1)
+SELECT x.ida AS vec_a, x.idb AS vec_b, x.dist
+FROM nn x JOIN nn y ON y.ida = x.idb AND y.idb = x.ida
+WHERE x.ida < x.idb
+ORDER BY vec_a
+"""
+
+
+@register(
+    "q192_mutual_nn",
+    _MNN_ORACLE,
+    "mutual-nearest-neighbor pair mining (the reciprocal-best-match "
+    "criterion behind bitext/entity alignment and duplicate-pair "
+    "bootstrapping — a pair only aligns when EACH side is the other's "
+    "top-1): integer L2 on the shared quantized grid over the "
+    "candidate subset (vec_id%25=0), top-1 per vector by (dist, id), "
+    "mutual pairs by the reciprocal self-join, a<b canonical order. "
+    "Alignment mining runs on candidate SUBSETS by construction (two "
+    "vocabularies / two snapshot deltas) — the subset-squared join is "
+    "the standard form at that size, and the ANN candidate generator "
+    "(q183's cell join) swaps in when the subsets outgrow it "
+    "(documented); all-integer, so the oracle re-derives every "
+    "distance and both NN directions",
+)
+def q192(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from snowflake_cdc_spark.operators.kmeans_exact import quantize_vectors
+
+    emb = _t(spark, sf_dir, "embeddings")
+    sub = quantize_vectors(
+        emb.filter(F.col("vec_id") % 25 == 0).select("vec_id", "embedding")
+    ).select("vec_id", "qv")
+    a = sub.select(F.col("vec_id").alias("ida"), F.col("qv").alias("qa"))
+    b = sub.select(F.col("vec_id").alias("idb"), F.col("qv").alias("qb"))
+    d = (
+        a.crossJoin(b)
+        .filter(F.col("ida") != F.col("idb"))
+        .select(
+            "ida",
+            "idb",
+            F.aggregate(
+                F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).alias("dist"),
+        )
+    )
+    w = Window.partitionBy("ida").orderBy("dist", "idb")
+    nn = (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("ida", "idb", "dist")
+    )
+    other = nn.select(
+        F.col("ida").alias("idb"), F.col("idb").alias("ida")
+    )
+    return (
+        nn.join(other, ["ida", "idb"])
+        .filter(F.col("ida") < F.col("idb"))
+        .select(
+            F.col("ida").alias("vec_a"), F.col("idb").alias("vec_b"), "dist"
+        )
+        .orderBy("vec_a")
+    )
