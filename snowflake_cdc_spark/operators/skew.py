@@ -1,23 +1,19 @@
-"""Join-key skew profiler — the shuffle-planning diagnostic a
-warehouse runs BEFORE committing to a join strategy (AQE's skew-join
-handling reacts at runtime; this lane reports the distribution so
-salting/broadcast decisions can be made from stats, the way the
-engine's own q131 domain-cap and LSH mega-bucket caps already are).
+"""Skew mitigation (SURVEY.md §7 hard-point 5, §2.8 scale posture).
 
-Per candidate key: row count, distinct count, the heaviest key and its
-count, and an EXACT-RATIONAL Gini concentration coefficient over the
-per-key counts — G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) with
-x ascending — emitted as its (numerator, denominator) BIGINT pair (the
-q162/q174 rational-output discipline; a float Gini would be an
-order-dependent sum). G ~ 0 means uniform keys (shuffle freely),
-G -> 1 means a handful of keys carry the table (salt or broadcast).
+The default latest-by-key path (``max_by`` aggregation) is already
+skew-resistant: partial aggregation collapses each hot key to one row per
+map partition before the shuffle. These helpers cover the cases that
+AREN'T automatically two-phase:
 
-Scale shape: everything after the per-key count aggregation runs on
-the DISTINCT-KEY relation (the q166 skyline posture — the only window
-sort is over counts, |distinct keys| rows, never the data); the
-heaviest key comes from a min-over-struct, no second pass. BIGINT
-headroom: |n * s1| < 2^63 caps at ~3e9 distinct keys x 3e9 rows —
-beyond that, profile per partition-range and merge.
+- window-function plans (``row_number`` over a hot key puts every change
+  row for that key in one task) → ``salted_latest_by_key``;
+- ``count_distinct`` (shuffles every distinct value of a hot group) →
+  ``count_distinct_two_phase``.
+
+AQE's skew-join splitting (on by default in session.py) covers the join
+side; salting covers aggregation/window skew; ``skew_profile`` (q188)
+is the ahead-of-time diagnostic that tells you which treatment a key
+needs before the job runs.
 """
 
 from __future__ import annotations
@@ -26,8 +22,69 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def salted_latest_by_key(
+    df: DataFrame,
+    key_cols: list[str],
+    seq_col: str = "seq",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase latest-by-key for window-style plans: phase 1 takes the
+    local winner per (key, salt) — a hot key's rows split across
+    ``salt_buckets`` tasks — phase 2 races the ≤salt_buckets survivors.
+    Equivalent to ``latest_by_key``; exists for plans that must stay on
+    the window operator (e.g. when ties need deterministic multi-column
+    ordering that max_by's struct comparison can't express)."""
+    salted = df.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(seq_col)), F.lit(salt_buckets))
+    )
+    w1 = Window.partitionBy(*key_cols, "__salt").orderBy(F.col(seq_col).desc())
+    local = (
+        salted.withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    w2 = Window.partitionBy(*key_cols).orderBy(F.col(seq_col).desc())
+    return (
+        local.withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__salt")
+    )
+
+
+def count_distinct_two_phase(
+    df: DataFrame, group_cols: list[str], value_col: str
+) -> DataFrame:
+    """Exact distinct count per group without shuffling every duplicate
+    value: phase 1 dedups (group, value) pairs (map-side combine eats the
+    duplicates), phase 2 counts the survivors. NULL values are excluded,
+    matching SQL ``COUNT(DISTINCT x)``. Output: group_cols + n."""
+    return (
+        df.select(*group_cols, value_col)
+        .filter(F.col(value_col).isNotNull())
+        .dropDuplicates([*group_cols, value_col])
+        .groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def skew_profile(df: DataFrame, key_col: str, label: str) -> DataFrame:
-    """One-row skew profile of ``key_col`` (NULLs excluded)."""
+    """One-row join-key skew profile of ``key_col`` (NULLs excluded) —
+    the AHEAD-OF-TIME diagnostic beside the mitigation helpers above
+    (they react to skew; this reports it so salting/broadcast decisions
+    can be made from stats, q188): row count, distinct count, heaviest
+    key + its count, and an EXACT-RATIONAL Gini concentration over the
+    per-key counts — G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)),
+    x ascending by (count, key) — emitted as its (num, den) BIGINT pair
+    (the q162/q174 rational discipline; float Gini is an
+    order-dependent sum). G ~ 0: uniform keys, shuffle freely; G -> 1:
+    a handful of keys carry the table — salt or broadcast.
+
+    Scale shape: everything after the per-key count aggregation runs on
+    the DISTINCT-KEY relation (the q166 skyline posture — the only
+    window sort is |distinct keys| rows, never the data); the heaviest
+    key comes from a min-over-struct in the same final aggregate.
+    BIGINT headroom |n * s1| < 2^63 caps at ~3e9 distinct keys x 3e9
+    rows — beyond that, profile per partition-range and merge."""
     cnt = (
         df.filter(F.col(key_col).isNotNull())
         .groupBy(F.col(key_col).alias("key"))
