@@ -1110,3 +1110,92 @@ def q192(spark, sf_dir):
         )
         .orderBy("vec_a")
     )
+
+
+# --------------------------------------------------------------------------
+# Q193 — conversion-latency quartiles (funnel timing analytics)
+# --------------------------------------------------------------------------
+
+_LATENCY_ORACLE = """
+WITH v AS (SELECT user_id, min(ts) AS vt FROM events
+           WHERE event_type = 'view' GROUP BY 1),
+     p AS (SELECT v.user_id,
+                  min((epoch_us(e.ts) - epoch_us(v.vt)) // 1000000) AS delta_s
+           FROM v JOIN events e
+             ON e.user_id = v.user_id
+            AND e.event_type = 'purchase' AND e.ts > v.vt
+           GROUP BY 1),
+     r AS (SELECT delta_s,
+                  row_number() OVER (ORDER BY delta_s, user_id) AS rn,
+                  count(*) OVER () AS n
+           FROM p)
+SELECT q, CAST(rk AS BIGINT) AS rank, CAST(delta_s AS BIGINT) AS delta_s
+FROM (SELECT 'q1' AS q, (n + 3) // 4 AS rk FROM r LIMIT 1) x
+JOIN r ON r.rn = x.rk
+UNION ALL
+SELECT 'q2', CAST(rk AS BIGINT), CAST(delta_s AS BIGINT)
+FROM (SELECT (n + 1) // 2 AS rk FROM r LIMIT 1) x JOIN r ON r.rn = x.rk
+UNION ALL
+SELECT 'q3', CAST(rk AS BIGINT), CAST(delta_s AS BIGINT)
+FROM (SELECT (3 * n + 1) // 4 AS rk FROM r LIMIT 1) x JOIN r ON r.rn = x.rk
+ORDER BY q
+"""
+
+
+@register(
+    "q193_conversion_latency",
+    _LATENCY_ORACLE,
+    "conversion-latency quartiles (first view -> first strictly-later "
+    "purchase per user, the q100/q150 anchoring semantics; deltas in "
+    "whole seconds): the timing half of funnel analytics — counts say "
+    "HOW MANY convert, this says HOW FAST. Quartiles are EXACT values "
+    "at integer ranks of the (delta, user) total order (the q175 "
+    "rank-of-sorted-multiset discipline — layout-invariant under ties "
+    "where approx_percentile would be neither exact nor verifiable); "
+    "the only window runs over the CONVERTING-USER relation (one row "
+    "per converter), after two map-side-combined min aggregations",
+)
+def q193(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("vt"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("vt"))
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.expr(
+                    "CAST((unix_micros(cast(ts as timestamp))"
+                    " - unix_micros(cast(vt as timestamp))) DIV 1000000"
+                    " AS BIGINT)"
+                )
+            ).alias("delta_s")
+        )
+    )
+    w = Window.orderBy("delta_s", "user_id")
+    r = p.withColumn("rn", F.row_number().over(w)).crossJoin(
+        F.broadcast(p.agg(F.count(F.lit(1)).alias("n")))
+    )
+    quart = None
+    for name, rk in (
+        ("q1", "(n + 3) DIV 4"),
+        ("q2", "(n + 1) DIV 2"),
+        ("q3", "(3 * n + 1) DIV 4"),
+    ):
+        part = (
+            r.filter(F.expr(f"rn = {rk}"))
+            .select(
+                F.lit(name).alias("q"),
+                F.expr(f"CAST({rk} AS BIGINT)").alias("rank"),
+                F.col("delta_s").cast("bigint").alias("delta_s"),
+            )
+        )
+        quart = part if quart is None else quart.unionByName(part)
+    return quart.orderBy("q")
