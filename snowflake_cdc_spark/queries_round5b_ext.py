@@ -1199,3 +1199,69 @@ def q193(spark, sf_dir):
         )
         quart = part if quart is None else quart.unionByName(part)
     return quart.orderBy("q")
+
+
+# --------------------------------------------------------------------------
+# Q194 — persistent top-k mining (leaderboard stability)
+# --------------------------------------------------------------------------
+
+_PERSIST_ORACLE = """
+WITH m AS (SELECT date_trunc('month', o_orderdate) AS mon, o_custkey,
+                  CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                       AS BIGINT) AS spend
+           FROM orders GROUP BY 1, 2),
+     r AS (SELECT *, row_number() OVER (PARTITION BY mon
+                                        ORDER BY spend DESC, o_custkey) AS rn
+           FROM m),
+     t AS (SELECT * FROM r WHERE rn <= 10)
+SELECT o_custkey,
+       CAST(count(*) AS BIGINT) AS n_months,
+       CAST(min(rn) AS BIGINT) AS best_rank,
+       CAST(sum(spend) AS BIGINT) AS top_spend_cents
+FROM t GROUP BY 1 HAVING count(*) >= 2
+ORDER BY o_custkey
+"""
+
+
+@register(
+    "q194_topk_persistence",
+    _PERSIST_ORACLE,
+    "persistent top-k mining — which customers make the monthly "
+    "top-10-by-spend leaderboard REPEATEDLY (the stability question "
+    "behind whale retention, fraud rings that resurface, and "
+    "hot-partition forecasting; a one-shot top-k ranks a single "
+    "window, this ranks the ranks): per-month spend in EXACT cents "
+    "(floor(x*100+0.5) once at input, BIGINT sums), per-month top-10 "
+    "by (spend DESC, custkey) — the window sorts are bounded per "
+    "month, never a global order — then persistence = months-on-board "
+    "over the tiny slots relation (months x 10 rows). All integer "
+    "arithmetic end to end",
+)
+def q194(spark, sf_dir):
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate").cast("timestamp")).alias("mon"),
+        "o_custkey",
+    ).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)).cast(
+                "bigint"
+            )
+        )
+        .cast("bigint")
+        .alias("spend")
+    )
+    w = Window.partitionBy("mon").orderBy(F.desc("spend"), "o_custkey")
+    t = m.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10)
+    return (
+        t.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_months"),
+            F.min("rn").cast("bigint").alias("best_rank"),
+            F.sum("spend").cast("bigint").alias("top_spend_cents"),
+        )
+        .filter(F.col("n_months") >= 2)
+        .orderBy("o_custkey")
+    )
