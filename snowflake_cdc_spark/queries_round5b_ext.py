@@ -1265,3 +1265,89 @@ def q194(spark, sf_dir):
         .filter(F.col("n_months") >= 2)
         .orderBy("o_custkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Q195 — quality-based survivorship for duplicate clusters
+# --------------------------------------------------------------------------
+
+_SURVIVOR_ORACLE = """
+WITH RECURSIVE
+  edges AS (SELECT a.doc_id AS src, b.doc_id AS dst
+            FROM documents a JOIN documents b
+              ON b.doc_id = a.doc_id + 1 AND a.lang = b.lang),
+  sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+  nodes AS (SELECT DISTINCT src AS node FROM sym),
+  reach(node, r) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT reach.node, sym.dst FROM reach JOIN sym ON reach.r = sym.src),
+  comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+  full_c AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component,
+                    d.n_chars
+             FROM documents d LEFT JOIN comp c ON c.node = d.doc_id),
+  keep AS (SELECT component, doc_id AS keeper FROM (
+             SELECT *, row_number() OVER (PARTITION BY component
+                                          ORDER BY n_chars DESC, doc_id) AS rn
+             FROM full_c)
+           WHERE rn = 1)
+SELECT f.doc_id, f.component, k.keeper,
+       f.doc_id = k.keeper AS is_keeper
+FROM full_c f JOIN keep k USING (component)
+ORDER BY doc_id
+"""
+
+
+@register(
+    "q195_quality_survivorship",
+    _SURVIVOR_ORACLE,
+    "quality-based survivorship for duplicate clusters — WHICH copy to "
+    "keep is a first-class dedup decision the min-id policy (q116) "
+    "dodges: per connected near-dup cluster the survivor is the "
+    "HIGHEST-QUALITY document (n_chars here; any deterministic integer "
+    "quality plugs in), ties to the smaller id. Clusters come from "
+    "connected_components (q102's deterministic same-lang chains — "
+    "multi-round convergence); singletons are their own keepers via "
+    "the left-join coalesce, so EVERY document gets a verdict. One "
+    "per-cluster window over the component relation, all integer; the "
+    "oracle recomputes the closure with a recursive CTE and the same "
+    "argmax — an independent algorithm end to end",
+)
+def q195(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from snowflake_cdc_spark.operators.components import connected_components
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    nxt = docs.select(
+        (F.col("doc_id") - 1).alias("prev_id"),
+        F.col("doc_id").alias("dst"),
+        F.col("lang").alias("lang_b"),
+    )
+    edges = docs.join(
+        nxt, (docs.doc_id == nxt.prev_id) & (docs.lang == nxt.lang_b)
+    ).select(F.col("doc_id").alias("src"), "dst")
+    comp = connected_components(edges).select(
+        F.col("node").alias("doc_id"), "component"
+    )
+    full_c = (
+        docs.select("doc_id", "n_chars")
+        .join(comp, "doc_id", "left")
+        .withColumn("component", F.coalesce("component", "doc_id"))
+    )
+    w = Window.partitionBy("component").orderBy(F.desc("n_chars"), "doc_id")
+    keep = (
+        full_c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("component", F.col("doc_id").alias("keeper"))
+    )
+    return (
+        full_c.join(keep, "component")
+        .select(
+            "doc_id",
+            "component",
+            "keeper",
+            (F.col("doc_id") == F.col("keeper")).alias("is_keeper"),
+        )
+        .orderBy("doc_id")
+    )
