@@ -1351,3 +1351,137 @@ def q195(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Q196 — frequent 3-step event paths (sequential pattern mining)
+# --------------------------------------------------------------------------
+
+_PATHS_ORACLE = """
+WITH s AS (SELECT user_id, event_type,
+                  lag(event_type, 2) OVER w AS p2,
+                  lag(event_type, 1) OVER w AS p1
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT p2 AS step1, p1 AS step2, event_type AS step3,
+       CAST(count(*) AS BIGINT) AS n
+FROM s WHERE p2 IS NOT NULL
+GROUP BY 1, 2, 3 HAVING count(*) >= 25
+ORDER BY step1, step2, step3
+"""
+
+
+@register(
+    "q196_frequent_paths",
+    _PATHS_ORACLE,
+    "frequent 3-step event paths (sequential pattern mining, the "
+    "order-2 extension of q181's transition matrix — WHICH multi-step "
+    "journeys actually happen, the input to funnel design): per-user "
+    "consecutive type triples from the same ONE-shuffle sorted-array "
+    "posture (three aligned slices zipped — no second window pass), "
+    "support threshold prunes to the head. The oracle runs the "
+    "INDEPENDENT double-lag window algorithm, proving the triple-slice "
+    "zip equivalent",
+)
+def q196(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    arr = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("ts", "event_id", "event_type"))).alias("s")
+        )
+        .withColumn("types", F.transform("s", lambda x: x["event_type"]))
+        .withColumn("n", F.size("types"))
+    )
+    trips = arr.select(
+        F.explode(
+            F.zip_with(
+                F.zip_with(
+                    F.slice("types", 1, F.greatest(F.col("n") - 2, F.lit(0))),
+                    F.slice("types", 2, F.greatest(F.col("n") - 2, F.lit(0))),
+                    lambda a, b: F.struct(a.alias("s1"), b.alias("s2")),
+                ),
+                F.slice("types", 3, F.greatest(F.col("n") - 2, F.lit(0))),
+                lambda ab, c: F.struct(
+                    ab["s1"].alias("s1"), ab["s2"].alias("s2"), c.alias("s3")
+                ),
+            )
+        ).alias("t")
+    ).select("t.s1", "t.s2", "t.s3")
+    return (
+        trips.groupBy(
+            F.col("s1").alias("step1"),
+            F.col("s2").alias("step2"),
+            F.col("s3").alias("step3"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .filter(F.col("n") >= 25)
+        .orderBy("step1", "step2", "step3")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q197 — cross-source contamination matrix (provenance audit)
+# --------------------------------------------------------------------------
+
+_XSOURCE_ORACLE = """
+WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+     ch AS (SELECT DISTINCT source,
+                   ws[i*8+1] || ' ' || ws[i*8+2] || ' ' || ws[i*8+3] || ' '
+                   || ws[i*8+4] || ' ' || ws[i*8+5] || ' ' || ws[i*8+6] || ' '
+                   || ws[i*8+7] || ' ' || ws[i*8+8] AS chunk
+            FROM d, LATERAL unnest(generate_series(0, len(ws) // 8 - 1)) AS u(i))
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(count(*) AS BIGINT) AS n_shared_chunks
+FROM ch a JOIN ch b ON a.chunk = b.chunk AND a.source < b.source
+GROUP BY 1, 2
+ORDER BY source_a, source_b
+"""
+
+
+@register(
+    "q197_cross_source_contamination",
+    _XSOURCE_ORACLE,
+    "cross-source contamination matrix — the provenance audit behind "
+    "'did source X scrape source Y' and dataset-mixing dedup budgets: "
+    "per SOURCE PAIR, how many distinct 8-word grid chunks they share "
+    "(the q123 chunk granularity lifted from doc pairs to source "
+    "pairs). The distinct (chunk, source) relation shuffles once on "
+    "the chunk hash; pair expansion is bounded by per-chunk source "
+    "counts (<= |sources|, the q27 blocked-join argument — never "
+    "sources x sources over raw text). Spark matches chunks by md5 of "
+    "the window while the oracle keys raw TEXT, so the hash family "
+    "provably drops out (the q171 discipline)",
+)
+def q197(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("source", "text")
+    ws = F.split(F.col("text"), " ")
+    d = docs.select("source", ws.alias("ws")).withColumn(
+        "n_ch", F.floor(F.size("ws") / 8).cast("int")
+    )
+    ch = (
+        d.filter(F.col("n_ch") > 0)
+        .select(
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("n_ch") - 1),
+                    lambda i: F.md5(
+                        F.concat_ws(
+                            " ", F.slice(F.col("ws"), i * 8 + 1, 8)
+                        )
+                    ),
+                )
+            ).alias("chunk"),
+        )
+        .distinct()
+    )
+    a = ch.select(F.col("source").alias("source_a"), "chunk")
+    b = ch.select(F.col("source").alias("source_b"), "chunk")
+    return (
+        a.join(b, "chunk")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_chunks"))
+        .orderBy("source_a", "source_b")
+    )
