@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["scd2_from_changes", "scd2_as_of"]
+__all__ = ["scd2_from_changes", "scd2_as_of", "bitemporal_as_of"]
 
 
 def scd2_from_changes(
@@ -83,4 +83,39 @@ def scd2_as_of(history: DataFrame, ts) -> DataFrame:
     return history.filter(
         (F.col("valid_from") <= t)
         & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+    )
+
+
+def bitemporal_as_of(
+    changes: DataFrame,
+    key_cols: list[str],
+    attr_col: str,
+    valid_col: str,
+    tx_col: str,
+    valid_at,
+    known_at,
+) -> DataFrame:
+    """BITEMPORAL point-in-time read: the value effective at VALID time
+    ``valid_at`` *as the warehouse believed it* at TRANSACTION time
+    ``known_at`` — the two-axis generalization of ``scd2_as_of`` that
+    distinguishes "the customer moved on the 1st" from "we LEARNED on
+    the 9th that the customer had moved on the 1st". A late correction
+    (tx later, valid earlier) changes answers about the PAST for later
+    ``known_at`` only; replaying an old ``known_at`` reproduces the old
+    (wrong) belief byte-for-byte — the audit property bitemporality
+    exists for.
+
+    Semantics: among changes with ``valid <= valid_at`` and
+    ``tx <= known_at``, the winner per key is the max by
+    ``(valid, tx)`` — the latest effective version under the latest
+    belief about it. One scan-filtered max_by aggregation per read
+    (both predicates reach the scan; partition-prunable on either axis
+    at warehouse scale), no window, no join."""
+    v = valid_at if isinstance(valid_at, Column) else F.lit(valid_at)
+    t = known_at if isinstance(known_at, Column) else F.lit(known_at)
+    flt = changes.filter((F.col(valid_col) <= v) & (F.col(tx_col) <= t))
+    return flt.groupBy(*key_cols).agg(
+        F.max(
+            F.struct(F.col(valid_col), F.col(tx_col), F.col(attr_col))
+        )[attr_col].alias(attr_col)
     )

@@ -1485,3 +1485,87 @@ def q197(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_chunks"))
         .orderBy("source_a", "source_b")
     )
+
+
+# --------------------------------------------------------------------------
+# Q198 — bitemporal belief grid (valid-time x transaction-time audit)
+# --------------------------------------------------------------------------
+
+_BITEMPORAL_ORACLE = """
+WITH ch AS (
+  SELECT c_custkey AS k, c_mktsegment AS seg, 1 AS valid_t, 1 AS tx_t
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, 'UPDATED', 2, 2 FROM customer WHERE c_custkey % 5 = 0
+  UNION ALL
+  SELECT c_custkey, 'RETRO', 1, 3 FROM customer WHERE c_custkey % 7 = 0),
+grid AS (SELECT v, t FROM (VALUES (1), (2)) AS gv(v),
+                           (VALUES (1), (2), (3)) AS gt(t)),
+win AS (SELECT g.v, g.t, ch.k, ch.seg,
+               row_number() OVER (PARTITION BY g.v, g.t, ch.k
+                                  ORDER BY ch.valid_t DESC, ch.tx_t DESC) AS rn
+        FROM grid g JOIN ch ON ch.valid_t <= g.v AND ch.tx_t <= g.t)
+SELECT CAST(v AS BIGINT) AS valid_at, CAST(t AS BIGINT) AS known_at,
+       seg AS segment, CAST(count(*) AS BIGINT) AS n_customers
+FROM win WHERE rn = 1
+GROUP BY 1, 2, 3
+ORDER BY valid_at, known_at, segment
+"""
+
+
+@register(
+    "q198_bitemporal_grid",
+    _BITEMPORAL_ORACLE,
+    "bitemporal belief grid (operators/scd.py::bitemporal_as_of — the "
+    "valid-time x transaction-time generalization of the SCD2 AS-OF "
+    "lanes q138/q141): per (valid_at, known_at) checkpoint, the "
+    "segment census under 'what was effective at V as we believed it "
+    "at T'. The synthetic change log plants the case bitemporality "
+    "exists for — a RETROACTIVE correction (tx=3, valid=1) that "
+    "changes answers about the PAST for known_at >= 3 while replaying "
+    "known_at <= 2 reproduces the earlier belief exactly (the cells "
+    "differ precisely on the %7 keys at valid_at 1..2 x known_at 3). "
+    "Per cell: one scan-filtered max_by aggregation over (valid, tx) "
+    "struct order — both predicates reach the scan, no window, no "
+    "join; the oracle re-derives every cell with an independent "
+    "row_number formulation over the exploded grid",
+)
+def q198(spark, sf_dir):
+    from snowflake_cdc_spark.operators.scd import bitemporal_as_of
+
+    cust = _t(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        F.lit(1).alias("valid_t"),
+        F.lit(1).alias("tx_t"),
+    )
+    upd = cust.filter(F.col("c_custkey") % 5 == 0).select(
+        F.col("c_custkey").alias("k"),
+        F.lit("UPDATED").alias("seg"),
+        F.lit(2).alias("valid_t"),
+        F.lit(2).alias("tx_t"),
+    )
+    retro = cust.filter(F.col("c_custkey") % 7 == 0).select(
+        F.col("c_custkey").alias("k"),
+        F.lit("RETRO").alias("seg"),
+        F.lit(1).alias("valid_t"),
+        F.lit(3).alias("tx_t"),
+    )
+    ch = base.unionByName(upd).unionByName(retro)
+    out = None
+    for v in (1, 2):
+        for t in (1, 2, 3):
+            cell = (
+                bitemporal_as_of(ch, ["k"], "seg", "valid_t", "tx_t", v, t)
+                .groupBy("seg")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+                .select(
+                    F.lit(v).cast("bigint").alias("valid_at"),
+                    F.lit(t).cast("bigint").alias("known_at"),
+                    F.col("seg").alias("segment"),
+                    "n_customers",
+                )
+            )
+            out = cell if out is None else out.unionByName(cell)
+    return out.orderBy("valid_at", "known_at", "segment")
