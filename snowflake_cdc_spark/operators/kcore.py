@@ -54,14 +54,21 @@ def kcore(
 
     Returns (node, deg): the survivors of ``max_rounds`` peeling rounds
     (equivalently THE k-core whenever the loop drains early, which the
-    planted tests and the registry lane assert) with deg >= k computed
-    over the surviving subgraph.
+    planted tests and the registry lane assert). ``deg`` is the degree
+    computed in the FINAL peel round — over the previous round's
+    survivor subgraph — matching the oracle's R-round CTE unroll on
+    both the drained path (where it equals the core-internal degree by
+    idempotence) and the max_rounds-exhausted path (which additionally
+    logs a warning: that result is a partial peel, not a fixpoint).
     """
     cur = edges.select(src_col, dst_col).persist()
     cur.count()
     deg = None
+    drained = False
     try:
         for _ in range(max_rounds):
+            if deg is not None:
+                deg.unpersist()
             deg = (
                 cur.groupBy(F.col(src_col).alias("node"))
                 .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
@@ -71,6 +78,7 @@ def kcore(
             # the persist materialization doubles as the early-exit scalar
             n_peeled = peeled.count()
             if n_peeled == 0:
+                drained = True
                 break
             nxt = (
                 cur.join(
@@ -84,12 +92,25 @@ def kcore(
             )
             nxt.count()
             cur.unpersist()
-            deg.unpersist()
             cur = nxt
-            deg = None
-        if deg is None:  # max_rounds hit without draining
+        if deg is None:  # max_rounds == 0 degenerate call
             deg = cur.groupBy(F.col(src_col).alias("node")).agg(
                 F.count(F.lit(1)).cast("bigint").alias("deg")
+            )
+        if not drained:
+            # max_rounds hit without draining: emit the LAST computed deg
+            # (d_R over the round-(R-1) survivor subgraph) — exactly the
+            # oracle's R-round CTE unroll — rather than recomputing a
+            # (R+1)-th degree stage the oracle never runs (ADVICE r05);
+            # and say so loudly, because the result is a partial peel
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "kcore(k=%d): max_rounds=%d exhausted without draining — "
+                "emitting the round-%d peel state, NOT a fixpoint",
+                k,
+                max_rounds,
+                max_rounds,
             )
         out = deg.filter(F.col("deg") >= k).localCheckpoint(eager=True)
         return out

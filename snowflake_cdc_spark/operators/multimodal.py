@@ -540,7 +540,10 @@ def audio_frame_energy(decoded: DataFrame, frame_len: int = 200) -> DataFrame:
             ids, idxs, ns, es = [], [], [], []
             for mid, pcm in zip(pdf["media_id"], pdf["pcm"]):
                 samples = np.frombuffer(bytes(pcm), dtype="<i2").astype(np.int64)
-                for f in range(0, max(len(samples), 1), frame_len):
+                # empty PCM yields NO frames (ADVICE r05: a zero-sample
+                # sentinel frame would contradict the "final frame
+                # partial" contract — partial of nothing is nothing)
+                for f in range(0, len(samples), frame_len):
                     chunk = samples[f : f + frame_len]
                     ids.append(mid)
                     idxs.append(f // frame_len)

@@ -77,7 +77,9 @@ def skew_profile(df: DataFrame, key_col: str, label: str) -> DataFrame:
     x ascending by (count, key) — emitted as its (num, den) BIGINT pair
     (the q162/q174 rational discipline; float Gini is an
     order-dependent sum). G ~ 0: uniform keys, shuffle freely; G -> 1:
-    a handful of keys carry the table — salt or broadcast.
+    a handful of keys carry the table — salt or broadcast. ``top_key``
+    is rendered as a STRING so non-numeric key columns profile
+    correctly (ADVICE r05: a bigint cast silently NULLed them).
 
     Scale shape: everything after the per-key count aggregation runs on
     the DISTINCT-KEY relation (the q166 skyline posture — the only
@@ -101,7 +103,7 @@ def skew_profile(df: DataFrame, key_col: str, label: str) -> DataFrame:
         .cast("bigint")
         .alias("max_count"),
         F.min(F.struct((-F.col("c")).alias("nc"), F.col("key")))["key"]
-        .cast("bigint")
+        .cast("string")
         .alias("top_key"),
         (2 * F.sum(F.col("rn") * F.col("c"))
          - (F.count(F.lit(1)) + 1) * F.sum("c"))

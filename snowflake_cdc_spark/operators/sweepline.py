@@ -18,7 +18,16 @@ same answer with NO global data sort:
    a running total over the tiny bucket-level table (the only
    ``Window.orderBy`` without a partition, over hours, not rows; the
    q140 broadcast-offsets shape);
-4. peak(bucket) = carry_in + max(within-bucket running sum).
+4. peak(bucket) = max of concurrency over {bucket start} ∪ {boundary
+   instants}: carry_in + max(running sum) covers every boundary
+   instant, and the bare carry_in covers the bucket-start instant —
+   valid ONLY when no boundary sits exactly at the bucket start (a
+   boundary there already includes its net delta in the running sum,
+   and sessions ending exactly at the bucket start were never alive
+   inside the half-open bucket). So: peak = carry + max_run when the
+   first instant == bucket start, else greatest(carry, carry +
+   max_run). This makes the peak the exact per-bucket maximum even for
+   buckets whose first boundary is an end (ADVICE r05).
 
 Determinism: pure integer deltas over distinct instants — the running
 sum is a function of t alone, so the max is order/layout-invariant.
@@ -67,6 +76,7 @@ def peak_concurrency_by_bucket(
     swept = per_instant.withColumn("run", F.sum("delta").over(w_in))
     per_bucket = swept.groupBy("bkt").agg(
         F.max("run").alias("max_run"),
+        F.min("t").alias("t0"),
         F.sum("delta").alias("net"),
         F.sum("n_starts").cast("bigint").alias("n_starts"),
     )
@@ -82,7 +92,18 @@ def peak_concurrency_by_bucket(
         .select(
             F.col("bkt").alias("bucket_ts"),
             "n_starts",
-            (F.col("carry") + F.col("max_run")).cast("bigint").alias("peak"),
+            # the bucket-start instant is a peak candidate (= bare carry)
+            # only when no boundary sits exactly there; otherwise that
+            # instant's concurrency is already carry + run(t0)
+            F.when(
+                F.col("t0") == F.col("bkt"),
+                F.col("carry") + F.col("max_run"),
+            )
+            .otherwise(
+                F.greatest(F.col("carry"), F.col("carry") + F.col("max_run"))
+            )
+            .cast("bigint")
+            .alias("peak"),
         )
         .orderBy("bucket_ts")
     )

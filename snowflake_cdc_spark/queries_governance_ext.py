@@ -1206,14 +1206,17 @@ sw AS (SELECT bkt, t, delta, n_starts,
               sum(delta) OVER (PARTITION BY bkt ORDER BY t
                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
        FROM pi),
-pb AS (SELECT bkt, max(run) AS max_run, sum(delta) AS net,
+pb AS (SELECT bkt, max(run) AS max_run, min(t) AS t0, sum(delta) AS net,
               CAST(sum(n_starts) AS BIGINT) AS n_starts
        FROM sw GROUP BY 1)
-SELECT bkt AS bucket_ts, n_starts,
-       CAST(coalesce(sum(net) OVER (ORDER BY bkt
-              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-            + max_run AS BIGINT) AS peak
-FROM pb ORDER BY bucket_ts
+SELECT bucket_ts, n_starts,
+       CAST(CASE WHEN t0 = bucket_ts THEN carry + max_run
+            ELSE greatest(carry, carry + max_run) END AS BIGINT) AS peak
+FROM (SELECT bkt AS bucket_ts, t0, n_starts, max_run,
+             coalesce(sum(net) OVER (ORDER BY bkt
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS carry
+      FROM pb)
+ORDER BY bucket_ts
 """
 
 
@@ -1229,8 +1232,12 @@ FROM pb ORDER BY bucket_ts
     "from a running net over the tiny hour-level table (the q120/q140 "
     "broadcast-offsets shape; the only unpartitioned window is over "
     "hours, not rows). Half-open [start, end): an end at t cancels a "
-    "start at t inside the same net delta. Pure integer deltas over "
-    "distinct instants — the max is layout-invariant",
+    "start at t inside the same net delta. The peak is the exact "
+    "maximum over the whole bucket: the bucket-START instant (= bare "
+    "carry) is a candidate whenever no boundary sits exactly there, so "
+    "buckets that only close sessions still report the sessions open "
+    "at their start (ADVICE r05). Pure integer deltas over distinct "
+    "instants — the max is layout-invariant",
 )
 def q152(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")

@@ -723,7 +723,7 @@ def _skew_oracle_sql(keys: list[tuple[str, str]]) -> str:
         selects.append(
             f"""SELECT '{label}' AS key_col, s1 AS n_rows, n AS n_distinct,
        (SELECT max(c) FROM k{i}) AS max_count,
-       (SELECT CAST(min(key) AS BIGINT) FROM k{i}
+       (SELECT CAST(min(key) AS VARCHAR) FROM k{i}
         WHERE c = (SELECT max(c) FROM k{i})) AS top_key,
        CAST(2 * s2 - (n + 1) * s1 AS BIGINT) AS gini_num,
        CAST(n * s1 AS BIGINT) AS gini_den

@@ -57,6 +57,28 @@ def prop_settings(max_examples: int) -> settings:
         return settings()
     return settings(max_examples=max_examples)
 
+
+def pytest_collection_modifyitems(items):
+    """Collection-time gate (ADVICE r05): the ci profile's
+    max_examples=1 is a sentinel FLOOR, so a bare ``@given`` without an
+    explicit ``@prop_settings(n)`` budget would silently run a single
+    example in CI — weaker than hypothesis's own default and invisible
+    while the suite stays green. Fail collection instead."""
+    bare = [
+        item.nodeid
+        for item in items
+        if getattr(getattr(item, "function", None), "is_hypothesis_test", False)
+        and not getattr(
+            item.function, "_hypothesis_internal_settings_applied", False
+        )
+    ]
+    if bare:
+        raise pytest.UsageError(
+            "@given tests without an explicit @prop_settings(n) budget "
+            "(the ci profile floor of max_examples=1 would silently "
+            f"apply): {bare}"
+        )
+
 SF_SMOKE = os.environ.get("SPARK_GRAFT_SMOKE_DIR", "/root/testdata/sf0.001")
 SF_ORACLE = os.environ.get("SPARK_GRAFT_ORACLE_DIR", "/root/testdata/sf0.01")
 

@@ -60,24 +60,27 @@ class TestKcore:
 
     def test_max_rounds_hit_equals_bounded_peel(self, spark):
         # chain 1..6 + triangle: full 2-core needs 3 peel rounds; with
-        # max_rounds=1 the result must be EXACTLY the 1-round peel
-        # (degree filter once), matching what a 1-round oracle unroll
-        # would compute — the bounded-rounds contract
+        # max_rounds=1 the result must be EXACTLY what a 1-round oracle
+        # unroll computes: d_1 (degrees over the ORIGINAL edge set)
+        # filtered to >= k — NOT a recomputed post-peel degree pass,
+        # which would be a hidden extra peel stage (ADVICE r05)
         pairs = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6)]
         got = {(r.node, r.deg) for r in kcore(_edges(spark, pairs), k=2, max_rounds=1).collect()}
-        # round 1 peels node 6 (deg 1); with max_rounds=1 the loop ends
-        # after that peel, so the emitted degrees come from the
-        # post-peel edge set — brute peeling LIMITED to one round
         adj = {n: set() for n in range(1, 7)}
         for a, b in pairs:
             adj[a].add(b)
             adj[b].add(a)
-        peeled = {n for n in adj if len(adj[n]) < 2}
-        surviving = {
-            n: len(vs - peeled) for n, vs in adj.items() if n not in peeled
-        }
-        expect = {(n, d) for n, d in surviving.items() if d >= 2}
+        expect = {(n, len(vs)) for n, vs in adj.items() if len(vs) >= 2}
         assert got == expect
+
+    def test_max_rounds_two_equals_two_round_unroll(self, spark):
+        # same graph, max_rounds=2: the oracle's d_2 runs over the
+        # round-1 survivors {1,2,3,4,5}; node 5's degree drops to 1
+        # (neighbor 6 peeled), so round 2 peels it and the output is
+        # d_2-filtered — degrees over n_1, never a third degree pass
+        pairs = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6)]
+        got = {(r.node, r.deg) for r in kcore(_edges(spark, pairs), k=2, max_rounds=2).collect()}
+        assert got == {(1, 2), (2, 2), (3, 3), (4, 2)}
 
     @pytest.mark.parametrize("seed", [3, 17])
     def test_fuzz_vs_brute_peeling(self, spark, seed):

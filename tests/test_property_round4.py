@@ -30,20 +30,25 @@ def intervals(draw):
 
 
 def _brute_peaks(iv):
-    """hour -> (n_starts, peak) by evaluating concurrency at every
-    boundary instant (the O(n²) definitional form, half-open)."""
+    """hour -> (n_starts, peak) by evaluating concurrency at the hour
+    START and at every boundary instant within the hour (the O(n²)
+    definitional form, half-open) — concurrency is piecewise constant,
+    changing only at boundaries, so those instants cover the true
+    per-hour maximum including sessions carried in from prior hours
+    (ADVICE r05: a bucket whose first boundary is an end still peaks at
+    its carry-in)."""
     hours = {}
     for s, e in iv:
         hours.setdefault(s // 60, [0, 0])[0] += 1
     for h in set(list(hours) + [e // 60 for _, e in iv]):
-        peak = 0
         boundaries = sorted(
             {t for s, e in iv for t in (s, e) if h * 60 <= t < (h + 1) * 60}
         )
-        for t in boundaries:
-            c = sum(1 for s, e in iv if s <= t < e)
-            peak = max(peak, c)
         if boundaries:
+            peak = max(
+                sum(1 for s, e in iv if s <= t < e)
+                for t in [h * 60] + boundaries
+            )
             hours.setdefault(h, [0, 0])[1] = peak
     return {h: (v[0], v[1]) for h, v in hours.items() if v != [0, 0]}
 
@@ -74,8 +79,7 @@ class TestSweepLineProperty:
             g = got.get(h, (0, 0))
             w = want.get(h, (0, 0))
             assert g[0] == w[0], (h, got, want, iv)
-            if w[1]:
-                assert g[1] == w[1], (h, got, want, iv)
+            assert g[1] == w[1], (h, got, want, iv)
 
 
 @st.composite

@@ -23,12 +23,21 @@ class TestSkewProfile:
         r = skew_profile(
             _df(spark, [3, 3, 3, 3, 1, 2]), "k", "t.k"
         ).collect()[0]
-        assert (r.max_count, r.top_key) == (4, 3)
+        assert (r.max_count, r.top_key) == (4, "3")
         assert (r.gini_num, r.gini_den) == (6, 18)
 
     def test_top_key_tie_goes_to_smallest(self, spark):
         r = skew_profile(_df(spark, [5, 5, 2, 2, 9]), "k", "t.k").collect()[0]
-        assert (r.max_count, r.top_key) == (2, 2)
+        assert (r.max_count, r.top_key) == (2, "2")
+
+    def test_top_key_string_keys_not_nulled(self, spark):
+        # ADVICE r05: a bigint cast silently NULLed non-numeric keys —
+        # the profiler is a general diagnostic, so strings must survive
+        df = spark.createDataFrame(
+            [("us",), ("us",), ("fr",)], "k string"
+        )
+        r = skew_profile(df, "k", "t.k").collect()[0]
+        assert (r.max_count, r.top_key) == (2, "us")
 
     def test_nulls_excluded(self, spark):
         df = spark.createDataFrame([(1,), (None,), (1,)], "k long")
