@@ -1,0 +1,135 @@
+"""Sort-free global row_number — the q120/q140 range-bucket +
+broadcast-offset composition (``operators/shuffle.py``,
+``operators/histogram.py``) packaged as a reusable rank operator, so
+"rank the whole relation" lanes (vocabulary ranks, cumulative sums,
+quantile location) never fall back to ``row_number() OVER (ORDER BY …)``
+with no partition — the single-partition global window the round-5
+verdict flagged at seven sites.
+
+Two shapes, matching the two ways real rank targets are distributed:
+
+- :func:`rangebucket_rank` — values with spread (latencies, amounts):
+  coarse EQUAL-WIDTH range bucket from a broadcast min/max (monotone in
+  the value, ties can't straddle a boundary), intra-bucket
+  ``row_number`` (the only sorted region is one range bucket), bucket
+  counts → running-sum offsets (``range_buckets`` rows, broadcast).
+  Identical output to the single-sort rank. Value-skew caveat exactly
+  as documented in ``operators/histogram.py``: equal-width buckets
+  concentrate under pathological value distributions — production
+  engines iterate by splitting hot buckets.
+
+- :func:`skewed_count_rank` — integer COUNT columns (word frequencies,
+  per-key row counts), where equal-width bucketing is useless because
+  the mass sits in a handful of tiny counts (Zipf: the cu=1 hapax block
+  alone is ~half the vocabulary). Counts ≤ ``exact_max`` get an
+  EXACT-count bucket refined by 256 md5(tie) sub-buckets — valid
+  because within one exact count the tie order is free (see the
+  tie-block contract below) — and counts above it get ``floor(log2)``
+  buckets (few rows live there: in a Zipfian relation the number of
+  keys with count ≥ c falls like 1/c). The biggest sorted region is
+  ~|tie-block| / 256 instead of the whole relation.
+
+Tie-block contract of ``skewed_count_rank``: ranks WITHIN a block of
+equal counts are assigned in ``(md5(tie), tie)`` order, not ``tie``
+order. Consumers must be tie-block-INVARIANT: any aggregate of the form
+``Σ f(rank) · g(count-block)`` is unchanged by permuting ranks inside a
+block (the block's rank SET is fixed; only the assignment varies), so
+Gini numerators (q188: ``Σ rank·c``, c constant per block) and rank-
+frequency OLS statistics (q174: ``Σ ln(rank)·ln(c)``) are exact and
+engine-independent, while "which word is rank 7" is not a stable
+deliverable. Lanes that need the per-row rank under a specific tie
+order use :func:`rangebucket_rank` with that tie column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["rangebucket_rank", "skewed_count_rank"]
+
+
+def rangebucket_rank(
+    df: DataFrame,
+    value_col: str,
+    tie_col: str,
+    range_buckets: int = 64,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Append ``rank_col`` = ``row_number() OVER (ORDER BY value, tie)``
+    (1-based, NULL values excluded) computed with no global sort."""
+    src = df.filter(F.col(value_col).isNotNull())
+    ext = src.agg(
+        F.min(value_col).alias("__lo"), F.max(value_col).alias("__hi")
+    )
+    span = F.col("__hi") - F.col("__lo")
+    rb = F.when(span == 0, F.lit(0)).otherwise(
+        F.least(
+            F.lit(range_buckets - 1),
+            F.floor(
+                (F.col(value_col) - F.col("__lo")) / span * range_buckets
+            ),
+        )
+    )
+    keyed = src.crossJoin(F.broadcast(ext)).withColumn("__rb", rb)
+    w_intra = Window.partitionBy("__rb").orderBy(value_col, tie_col)
+    ranked = keyed.withColumn("__intra", F.row_number().over(w_intra))
+    counts = keyed.groupBy("__rb").agg(F.count(F.lit(1)).alias("__cnt"))
+    # range_buckets rows — the unpartitioned window is constant-bounded
+    offsets = counts.select(
+        "__rb",
+        (F.sum("__cnt").over(Window.orderBy("__rb")) - F.col("__cnt")).alias(
+            "__off"
+        ),
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "__rb")
+        .withColumn(rank_col, F.col("__off") + F.col("__intra"))
+        .drop("__rb", "__lo", "__hi", "__intra", "__off")
+    )
+
+
+def skewed_count_rank(
+    df: DataFrame,
+    count_col: str,
+    tie_col: str,
+    ascending: bool = True,
+    exact_max: int = 64,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Append ``rank_col`` = the 1-based position of each row in the
+    ``(count [ASC|DESC], md5(tie), tie)`` total order, sort-free, for
+    integer ``count_col`` >= 1 with heavy ties (see module docstring for
+    the tie-block contract). The md5 sub-bucket spreads each exact-count
+    tie block over 256 partitions; counts > ``exact_max`` share
+    ``floor(log2(count))`` buckets (the sparse Zipf head)."""
+    th = F.md5(F.col(tie_col).cast("string"))
+    sub = F.conv(F.substring(th, 1, 2), 16, 10).cast("long")
+    c = F.col(count_col)
+    if ascending:
+        bucket = F.when(
+            c <= exact_max, (c - 1) * 256 + sub
+        ).otherwise(F.lit(exact_max * 256) + F.floor(F.log2(c)))
+        order = [c.asc(), th.asc(), F.col(tie_col).asc()]
+    else:
+        bucket = F.when(
+            c > exact_max, F.lit(exact_max) - F.floor(F.log2(c))
+        ).otherwise(F.lit(exact_max) + (F.lit(exact_max) - c) * 256 + sub)
+        order = [c.desc(), th.asc(), F.col(tie_col).asc()]
+    keyed = df.withColumn("__b", bucket)
+    w_intra = Window.partitionBy("__b").orderBy(*order)
+    ranked = keyed.withColumn("__intra", F.row_number().over(w_intra))
+    counts = keyed.groupBy("__b").agg(F.count(F.lit(1)).alias("__cnt"))
+    # ≤ exact_max*256 + ~57 bucket rows regardless of data size — the
+    # unpartitioned running-sum window is constant-bounded
+    offsets = counts.select(
+        "__b",
+        (F.sum("__cnt").over(Window.orderBy("__b")) - F.col("__cnt")).alias(
+            "__off"
+        ),
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "__b")
+        .withColumn(rank_col, F.col("__off") + F.col("__intra"))
+        .drop("__b", "__intra", "__off")
+    )

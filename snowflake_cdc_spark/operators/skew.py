@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from snowflake_cdc_spark.operators.rank import skewed_count_rank
+
 
 def salted_latest_by_key(
     df: DataFrame,
@@ -82,9 +84,11 @@ def skew_profile(df: DataFrame, key_col: str, label: str) -> DataFrame:
     correctly (ADVICE r05: a bigint cast silently NULLed them).
 
     Scale shape: everything after the per-key count aggregation runs on
-    the DISTINCT-KEY relation (the q166 skyline posture — the only
-    window sort is |distinct keys| rows, never the data); the heaviest
-    key comes from a min-over-struct in the same final aggregate.
+    the DISTINCT-KEY relation, and the Gini rank over it is SORT-FREE
+    (``operators/rank.py::skewed_count_rank`` — exact-count buckets +
+    md5 sub-buckets, so even a billion-distinct-key profile never
+    funnels through one partition); the heaviest key comes from a
+    min-over-struct in the same final aggregate.
     BIGINT headroom |n * s1| < 2^63 caps at ~3e9 distinct keys x 3e9
     rows — beyond that, profile per partition-range and merge."""
     cnt = (
@@ -92,9 +96,14 @@ def skew_profile(df: DataFrame, key_col: str, label: str) -> DataFrame:
         .groupBy(F.col(key_col).alias("key"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )
-    ranked = cnt.withColumn(
-        "rn", F.row_number().over(Window.orderBy("c", "key"))
-    )
+    # sort-free rank of the distinct-key relation (VERDICT r05 #1:
+    # row_number over an unpartitioned window single-partitions at
+    # billion-key joins): exact-count buckets + md5(key) sub-buckets.
+    # Tied counts rank in md5(key) order, which the Gini numerator
+    # Σ rn·c cannot see (c is constant inside a tie block — the
+    # operators/rank.py tie-block contract), so it still equals the
+    # oracle's (c, key)-ordered formulation exactly
+    ranked = skewed_count_rank(cnt, "c", "key", ascending=True)
     return ranked.agg(
         F.lit(label).alias("key_col"),
         F.sum("c").cast("bigint").alias("n_rows"),

@@ -1708,8 +1708,6 @@ WHERE rn <= 10 ORDER BY doc_id
     "vocab join, top-10 by integer mean surprisal",
 )
 def q160(spark, sf_dir):
-    from pyspark.sql import Window
-
     docs = _t(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id",
@@ -1745,11 +1743,11 @@ def q160(spark, sf_dir):
             F.expr("total_surprisal div n_tokens"),
         )
     )
-    w = Window.orderBy(F.desc("mean_surprisal_unat"), "doc_id")
+    # top-10 via orderBy().limit(): TakeOrderedAndProject (q18's plan),
+    # not a single-partition global window (VERDICT r05 #1)
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 10)
-        .drop("rn")
+        scored.orderBy(F.desc("mean_surprisal_unat"), "doc_id")
+        .limit(10)
         .orderBy("doc_id")
     )
 
@@ -2039,11 +2037,11 @@ def q165(spark, sf_dir):
         F.max("streak_days").cast("bigint").alias("longest_streak"),
         F.min("streak_start").alias("first_active_day"),
     )
-    w2 = Window.orderBy(F.desc("longest_streak"), "n_streaks", "user_id")
+    # top-25 via orderBy().limit(): TakeOrderedAndProject, not a
+    # single-partition global window (VERDICT r05 #1)
     return (
-        top.withColumn("rn", F.row_number().over(w2))
-        .filter(F.col("rn") <= 25)
-        .drop("rn")
+        top.orderBy(F.desc("longest_streak"), "n_streaks", "user_id")
+        .limit(25)
         .orderBy("user_id")
     )
 

@@ -178,8 +178,6 @@ WHERE rn <= 10 ORDER BY doc_id
     "itself is hash-checked",
 )
 def q172(spark, sf_dir):
-    from pyspark.sql import Window
-
     docs = _t(spark, sf_dir, "documents")
     ws = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
     toks = docs.select("doc_id", ws.alias("ws"))
@@ -240,11 +238,13 @@ def q172(spark, sf_dir):
         F.sum("is_backoff").cast("bigint").alias("n_backoff"),
         F.sum("unat").cast("bigint").alias("total_unat"),
     ).withColumn("mean_unat", F.expr("total_unat div n_bigrams"))
-    w = Window.orderBy(F.desc("mean_unat"), "doc_id")
+    # top-10 via orderBy().limit(): TakeOrderedAndProject (per-partition
+    # top-k + driver merge) — identical rows to row_number()<=10 under
+    # the same total order, with no single-partition global window
+    # (VERDICT r05 #1)
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 10)
-        .drop("rn")
+        scored.orderBy(F.desc("mean_unat"), "doc_id")
+        .limit(10)
         .orderBy("doc_id")
     )
 
@@ -302,8 +302,6 @@ WHERE rn <= 25 ORDER BY prev, cur
     "after the one corpus scan; top-25 by (pmi, prev, cur) total order",
 )
 def q173(spark, sf_dir):
-    from pyspark.sql import Window
-
     docs = _t(spark, sf_dir, "documents")
     ws = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
     toks = docs.select(ws.alias("ws"))
@@ -360,11 +358,11 @@ def q173(spark, sf_dir):
             .alias("pmi_unat"),
         )
     )
-    w = Window.orderBy(F.desc("pmi_unat"), "prev", "cur")
+    # top-25 via orderBy().limit(): TakeOrderedAndProject, not a
+    # single-partition global window (VERDICT r05 #1)
     return (
-        pmi.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 25)
-        .drop("rn")
+        pmi.orderBy(F.desc("pmi_unat"), "prev", "cur")
+        .limit(25)
         .orderBy("prev", "cur")
     )
 
@@ -406,11 +404,15 @@ FROM s
     "100 TB vocabularies: x,y < 4e4 even at count 2^63, so n*Sxy fits "
     "to ~1e10 words), then the q162 exact-rational OLS: slope emitted "
     "as its (numerator, denominator) BIGINT pair — no float summation "
-    "anywhere. One corpus scan, one vocab-sized rank window, "
+    "anywhere. One corpus scan, a SORT-FREE vocabulary rank "
+    "(operators/rank.py skewed_count_rank: exact-count + md5 "
+    "sub-buckets below cu=64, log2 buckets above — tied-count blocks "
+    "rank in md5 order, invisible to the OLS statistics, so the "
+    "oracle's (cu DESC, w) window aggregates identically), "
     "map-side-combined sufficient statistics",
 )
 def q174(spark, sf_dir):
-    from pyspark.sql import Window
+    from snowflake_cdc_spark.operators.rank import skewed_count_rank
 
     docs = _t(spark, sf_dir, "documents")
     ws = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
@@ -419,15 +421,18 @@ def q174(spark, sf_dir):
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cu"))
     )
-    ranked = uni.select(
+    # sort-free vocabulary rank (VERDICT r05 #1): exact-count buckets +
+    # md5 sub-buckets below cu=64, log2 buckets above — never an
+    # unpartitioned window over the whole vocabulary. Ranks inside a
+    # tied-count block land in md5(w) order rather than w order, which
+    # the OLS statistics cannot see (the block's rank SET is fixed and
+    # y is constant per block — operators/rank.py tie-block contract),
+    # so the oracle's (cu DESC, w) ranking aggregates identically
+    ranked = skewed_count_rank(
+        uni, "cu", "w", ascending=False, rank_col="__rn"
+    ).select(
         F.floor(
-            F.log(
-                F.row_number()
-                .over(Window.orderBy(F.desc("cu"), "w"))
-                .cast("double")
-            )
-            * F.lit(1000.0)
-            + F.lit(0.5)
+            F.log(F.col("__rn").cast("double")) * F.lit(1000.0) + F.lit(0.5)
         )
         .cast("bigint")
         .alias("x"),

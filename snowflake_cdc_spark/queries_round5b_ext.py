@@ -754,10 +754,12 @@ _SKEW_KEYS = [
     "((2*sum(i*x_i) - (n+1)*sum(x)) over n*sum(x), x ascending — the "
     "q162/q174 rational-pair discipline; float Gini is an "
     "order-dependent sum). Everything after the per-key count agg runs "
-    "on the DISTINCT-KEY relation (q166 posture: the only window sort "
-    "is |distinct keys| rows, never the data); heaviest key via "
-    "min-over-struct, one pass. AQE reacts to skew at runtime — this "
-    "lane reports it ahead of time, the q131/LSH-cap planning story",
+    "on the DISTINCT-KEY relation, and its rank is SORT-FREE "
+    "(operators/rank.py skewed_count_rank — no unpartitioned window "
+    "even at billion-key joins; tie blocks rank in md5 order, "
+    "invisible to Σ rn·c); heaviest key via min-over-struct, one "
+    "pass. AQE reacts to skew at runtime — this lane reports it ahead "
+    "of time, the q131/LSH-cap planning story",
 )
 def q188(spark, sf_dir):
     from snowflake_cdc_spark.operators.skew import skew_profile
@@ -1152,11 +1154,13 @@ ORDER BY q
     "at integer ranks of the (delta, user) total order (the q175 "
     "rank-of-sorted-multiset discipline — layout-invariant under ties "
     "where approx_percentile would be neither exact nor verifiable); "
-    "the only window runs over the CONVERTING-USER relation (one row "
-    "per converter), after two map-side-combined min aggregations",
+    "the converter rank is SORT-FREE (operators/rank.py "
+    "rangebucket_rank, the q120/q140 range-bucket + broadcast-offset "
+    "composition — no unpartitioned window over the converters), "
+    "after two map-side-combined min aggregations",
 )
 def q193(spark, sf_dir):
-    from pyspark.sql import Window
+    from snowflake_cdc_spark.operators.rank import rangebucket_rank
 
     ev = _t(spark, sf_dir, "events")
     v = (
@@ -1179,8 +1183,11 @@ def q193(spark, sf_dir):
             ).alias("delta_s")
         )
     )
-    w = Window.orderBy("delta_s", "user_id")
-    r = p.withColumn("rn", F.row_number().over(w)).crossJoin(
+    # sort-free rank of the converters relation (VERDICT r05 #1): the
+    # q120/q140 range-bucket + broadcast-offset composition via
+    # operators/rank.py — identical ranks to the oracle's
+    # (delta_s, user_id) window, no single-partition sort
+    r = rangebucket_rank(p, "delta_s", "user_id", rank_col="rn").crossJoin(
         F.broadcast(p.agg(F.count(F.lit(1)).alias("n")))
     )
     quart = None

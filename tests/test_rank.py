@@ -1,0 +1,107 @@
+"""Sort-free global rank (operators/rank.py): exact equality with the
+naive single-sort rank where tie orders coincide, tie-block invariance
+where they do not, and bucket-boundary stress (all-equal values, Zipf
+counts, singletons)."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from snowflake_cdc_spark.operators.rank import (
+    rangebucket_rank,
+    skewed_count_rank,
+)
+
+
+class TestRangebucketRank:
+    def test_equals_naive_sort_rank(self, spark):
+        rng = random.Random(7)
+        rows = [(rng.randint(0, 500), i) for i in range(400)]
+        df = spark.createDataFrame(rows, "v long, id long")
+        got = {
+            (r.v, r.id): r.rn
+            for r in rangebucket_rank(df, "v", "id").collect()
+        }
+        want = {
+            (v, i): rk + 1
+            for rk, (v, i) in enumerate(sorted(rows))
+        }
+        assert got == want
+
+    def test_all_equal_values_single_bucket(self, spark):
+        df = spark.createDataFrame([(5, i) for i in range(20)], "v long, id long")
+        got = {r.id: r.rn for r in rangebucket_rank(df, "v", "id").collect()}
+        assert got == {i: i + 1 for i in range(20)}
+
+    def test_nulls_excluded(self, spark):
+        df = spark.createDataFrame(
+            [(1, 1), (None, 2), (3, 3)], "v long, id long"
+        )
+        got = sorted(
+            (r.v, r.rn) for r in rangebucket_rank(df, "v", "id").collect()
+        )
+        assert got == [(1, 1), (3, 2)]
+
+    def test_keeps_extra_columns(self, spark):
+        df = spark.createDataFrame(
+            [(10, 1, "a"), (20, 2, "b")], "v long, id long, tag string"
+        )
+        rows = {r.tag: r.rn for r in rangebucket_rank(df, "v", "id").collect()}
+        assert rows == {"a": 1, "b": 2}
+
+
+def _naive_count_ranks(rows, ascending):
+    """(count, tie) -> rank under (count asc/desc, md5-free tie order).
+    Only the rank SET per count block is checkable (tie-block contract),
+    so return {count: sorted rank list}."""
+    key = (lambda cv: cv[0]) if ascending else (lambda cv: -cv[0])
+    ordered = sorted(rows, key=lambda cv: (key(cv), cv[1]))
+    blocks: dict[int, list[int]] = {}
+    for rk, (c, _) in enumerate(ordered, start=1):
+        blocks.setdefault(c, []).append(rk)
+    return blocks
+
+
+class TestSkewedCountRank:
+    def _check(self, spark, rows, ascending):
+        df = spark.createDataFrame(rows, "c long, w string")
+        out = skewed_count_rank(df, "c", "w", ascending=ascending).collect()
+        got_blocks: dict[int, list[int]] = {}
+        for r in out:
+            got_blocks.setdefault(r.c, []).append(r.rn)
+        want_blocks = _naive_count_ranks(rows, ascending)
+        assert {c: sorted(v) for c, v in got_blocks.items()} == want_blocks
+        # and every rank appears exactly once
+        assert sorted(r.rn for r in out) == list(range(1, len(rows) + 1))
+
+    def test_zipf_ascending_rank_sets(self, spark):
+        rng = random.Random(11)
+        # Zipfy: many 1s, a long-count head crossing the exact_max=64
+        # regime boundary in both directions
+        rows = [(1, f"w{i}") for i in range(120)]
+        rows += [(rng.randint(2, 64), f"m{i}") for i in range(60)]
+        rows += [(c, f"h{c}") for c in (65, 100, 4096, 10**9)]
+        self._check(spark, rows, ascending=True)
+
+    def test_zipf_descending_rank_sets(self, spark):
+        rows = [(1, f"w{i}") for i in range(80)]
+        rows += [(64, f"b{i}") for i in range(10)]  # boundary count
+        rows += [(65, "edge"), (2**40, "giant")]
+        self._check(spark, rows, ascending=False)
+
+    def test_tie_block_invariance_gini(self, spark):
+        # Σ rn·c must equal the naive (c, w)-ordered window's Σ rn·c
+        # even though per-row ranks inside tie blocks differ (md5 order)
+        rows = [(1, f"a{i}") for i in range(50)] + [(3, "x"), (3, "y"), (7, "z")]
+        df = spark.createDataFrame(rows, "c long, w string")
+        got = (
+            skewed_count_rank(df, "c", "w", ascending=True)
+            .agg(F.sum(F.col("rn") * F.col("c")).alias("s"))
+            .collect()[0]
+            .s
+        )
+        ordered = sorted(rows)
+        want = sum((rk + 1) * c for rk, (c, _) in enumerate(ordered))
+        assert got == want
