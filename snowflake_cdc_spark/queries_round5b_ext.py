@@ -1186,26 +1186,36 @@ def q193(spark, sf_dir):
     # sort-free rank of the converters relation (VERDICT r05 #1): the
     # q120/q140 range-bucket + broadcast-offset composition via
     # operators/rank.py — identical ranks to the oracle's
-    # (delta_s, user_id) window, no single-partition sort
-    r = rangebucket_rank(p, "delta_s", "user_id", rank_col="rn").crossJoin(
-        F.broadcast(p.agg(F.count(F.lit(1)).alias("n")))
-    )
-    quart = None
-    for name, rk in (
-        ("q1", "(n + 3) DIV 4"),
-        ("q2", "(n + 1) DIV 2"),
-        ("q3", "(3 * n + 1) DIV 4"),
-    ):
-        part = (
-            r.filter(F.expr(f"rn = {rk}"))
-            .select(
-                F.lit(name).alias("q"),
-                F.expr(f"CAST({rk} AS BIGINT)").alias("rank"),
-                F.col("delta_s").cast("bigint").alias("delta_s"),
-            )
+    # (delta_s, user_id) window, no single-partition sort. ONE ranked
+    # relation joined against a broadcast 3-row quartile spec (a
+    # per-quartile union would re-plan the whole rank subtree 3×)
+    r = rangebucket_rank(p, "delta_s", "user_id", rank_col="rn")
+    spec = (
+        p.agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.explode(
+                F.array(
+                    *(
+                        F.struct(
+                            F.lit(name).alias("q"),
+                            F.expr(f"CAST({rk} AS BIGINT)").alias("rank"),
+                        )
+                        for name, rk in (
+                            ("q1", "(n + 3) DIV 4"),
+                            ("q2", "(n + 1) DIV 2"),
+                            ("q3", "(3 * n + 1) DIV 4"),
+                        )
+                    )
+                )
+            ).alias("s")
         )
-        quart = part if quart is None else quart.unionByName(part)
-    return quart.orderBy("q")
+        .select("s.q", "s.rank")
+    )
+    return (
+        r.join(F.broadcast(spec), F.col("rn") == F.col("rank"))
+        .select("q", "rank", F.col("delta_s").cast("bigint").alias("delta_s"))
+        .orderBy("q")
+    )
 
 
 # --------------------------------------------------------------------------
