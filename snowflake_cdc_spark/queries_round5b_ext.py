@@ -1034,81 +1034,75 @@ def q191(spark, sf_dir):
 # Q192 — mutual nearest neighbors (alignment-pair mining)
 # --------------------------------------------------------------------------
 
-_MNN_ORACLE = """
-WITH q AS (SELECT vec_id,
-                  list_transform(embedding,
-                    x -> CAST(floor((CAST(x AS DOUBLE) + 1.0) * 10000.0 + 0.5)
-                              AS BIGINT)) AS qv
-           FROM embeddings WHERE vec_id % 25 = 0),
-     d AS (SELECT a.vec_id AS ida, b.vec_id AS idb,
-                  CAST(list_sum(list_transform(list_zip(a.qv, b.qv),
-                         p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) AS dist
-           FROM q a JOIN q b ON a.vec_id <> b.vec_id),
-     nn AS (SELECT ida, idb, dist FROM (
-              SELECT *, row_number() OVER (PARTITION BY ida
-                                           ORDER BY dist, idb) AS rn FROM d)
-            WHERE rn = 1)
-SELECT x.ida AS vec_a, x.idb AS vec_b, x.dist
-FROM nn x JOIN nn y ON y.ida = x.idb AND y.idb = x.ida
-WHERE x.ida < x.idb
-ORDER BY vec_a
-"""
+def _mutual_nn_oracle(k: int = 8, rounds: int = 2, dim: int = 64,
+                      nprobe: int = 4) -> str:
+    from snowflake_cdc_spark.queries_governance_ext import _kmeans_chain
+
+    return _kmeans_chain(k, rounds, dim) + f""",
+qs AS (SELECT vec_id AS query_id, qv FROM q),
+pd AS (SELECT s.query_id, s.qv, c.cell,
+              CAST(list_sum(list_transform(list_zip(s.qv, c.qv),
+                     p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) AS cdist
+       FROM qs s, c{rounds - 1} c),
+pr AS (SELECT query_id, qv, cell FROM (
+         SELECT *, row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cdist, cell) AS rn FROM pd)
+       WHERE rn <= {nprobe}),
+cand AS (SELECT p.query_id, a.vec_id,
+                CAST(list_sum(list_transform(list_zip(p.qv, a.qv),
+                       pp -> (pp[1]-pp[2])*(pp[1]-pp[2]))) AS BIGINT) AS dist
+         FROM pr p JOIN a{rounds} a
+           ON a.cell = p.cell AND a.vec_id <> p.query_id),
+nn AS (SELECT query_id, vec_id, dist FROM (
+         SELECT *, row_number() OVER (PARTITION BY query_id
+                                      ORDER BY dist, vec_id) AS rn FROM cand)
+       WHERE rn = 1)
+SELECT x.query_id AS vec_a, x.vec_id AS vec_b, x.dist
+FROM nn x JOIN nn y ON y.query_id = x.vec_id AND y.vec_id = x.query_id
+WHERE x.query_id < x.vec_id
+ORDER BY vec_a"""
 
 
 @register(
     "q192_mutual_nn",
-    _MNN_ORACLE,
+    _mutual_nn_oracle(),
     "mutual-nearest-neighbor pair mining (the reciprocal-best-match "
     "criterion behind bitext/entity alignment and duplicate-pair "
     "bootstrapping — a pair only aligns when EACH side is the other's "
-    "top-1): integer L2 on the shared quantized grid over the "
-    "candidate subset (vec_id%25=0), top-1 per vector by (dist, id), "
-    "mutual pairs by the reciprocal self-join, a<b canonical order. "
-    "Alignment mining runs on candidate SUBSETS by construction (two "
-    "vocabularies / two snapshot deltas) — the subset-squared join is "
-    "the standard form at that size, and the ANN candidate generator "
-    "(q183's cell join) swaps in when the subsets outgrow it "
-    "(documented); all-integer, so the oracle re-derives every "
-    "distance and both NN directions",
+    "top-1), CORPUS-WIDE (VERDICT r05 #3 — the former vec_id%25 "
+    "fixture subset and its subset-squared crossJoin are gone): every "
+    "vector queries the q158/q183 exact-IVF candidate generator "
+    "(plan-literal centroids, ONE cell equi-join of the assigned "
+    "corpus against itself — never corpus x corpus), top-1 per "
+    "direction by (dist, id) over the probed candidates, reciprocity "
+    "via the self-join of the two direction results, a<b canonical "
+    "order. All-integer end to end, so the oracle re-derives the "
+    "whole index, both NN directions and every surviving pair (the "
+    "complete-oracle ANN discipline; mutuality under IVF means "
+    "reciprocal-best AMONG PROBED CANDIDATES, identically in both "
+    "engines)",
 )
 def q192(spark, sf_dir):
-    from pyspark.sql import Window
-
-    from snowflake_cdc_spark.operators.kmeans_exact import quantize_vectors
+    from snowflake_cdc_spark.operators.ivf_exact import ivf_exact_search
+    from snowflake_cdc_spark.operators.kmeans_exact import kmeans_fit
 
     emb = _t(spark, sf_dir, "embeddings")
-    sub = quantize_vectors(
-        emb.filter(F.col("vec_id") % 25 == 0).select("vec_id", "embedding")
-    ).select("vec_id", "qv")
-    a = sub.select(F.col("vec_id").alias("ida"), F.col("qv").alias("qa"))
-    b = sub.select(F.col("vec_id").alias("idb"), F.col("qv").alias("qb"))
-    d = (
-        a.crossJoin(b)
-        .filter(F.col("ida") != F.col("idb"))
-        .select(
-            "ida",
-            "idb",
-            F.aggregate(
-                F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: (x - y) * (x - y)),
-                F.lit(0).cast("bigint"),
-                lambda acc, x: acc + x,
-            ).alias("dist"),
-        )
+    centroids, assigned = kmeans_fit(emb, k=8, rounds=2)
+    queries = assigned.select(F.col("vec_id").alias("query_id"), "qv")
+    nn = ivf_exact_search(
+        centroids, assigned.select("vec_id", "qv", "cell"), queries,
+        k=1, nprobe=4,
     )
-    w = Window.partitionBy("ida").orderBy("dist", "idb")
-    nn = (
-        d.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("ida", "idb", "dist")
-    )
-    other = nn.select(
-        F.col("ida").alias("idb"), F.col("idb").alias("ida")
+    back = nn.select(
+        F.col("query_id").alias("vec_id"), F.col("vec_id").alias("query_id")
     )
     return (
-        nn.join(other, ["ida", "idb"])
-        .filter(F.col("ida") < F.col("idb"))
+        nn.join(back, ["query_id", "vec_id"])
+        .filter(F.col("query_id") < F.col("vec_id"))
         .select(
-            F.col("ida").alias("vec_a"), F.col("idb").alias("vec_b"), "dist"
+            F.col("query_id").alias("vec_a"),
+            F.col("vec_id").alias("vec_b"),
+            "dist",
         )
         .orderBy("vec_a")
     )
