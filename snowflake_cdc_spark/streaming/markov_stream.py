@@ -24,8 +24,9 @@ incremental form — per micro-batch (``foreachBatch``):
 
 Ordering contract (documented, asserted by the parity fuzz): batches
 arrive event-time-ordered PER USER (append-only feed). Late data is an
-upstream concern — route it through the watermarked event-time lanes
-(``streaming/event_time.py``) before this maintainer.
+upstream concern — route it through
+``streaming/reorder.py::watermarked_feed`` (the demonstrated
+watermark-buffered composition) before this maintainer.
 
 Scale posture: per-batch work is one batch-sized shuffle + two joins
 against per-user state (state is one row per user — bucket it by
@@ -40,6 +41,8 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from snowflake_cdc_spark.streaming.state_store import latest_snapshot
 
 __all__ = ["TransitionMaintainer"]
 
@@ -66,14 +69,11 @@ class TransitionMaintainer:
     # ---------------------------------------------------------------- internals
 
     def _read_state(self, spark: SparkSession, batch_id: int) -> DataFrame | None:
-        if not os.path.isdir(self.state_dir):
-            return None
-        st = spark.read.parquet(self.state_dir).filter(F.col("batch") != batch_id)
-        top = st.agg(F.max("batch").alias("b")).collect()[0]["b"]
-        if top is None:
-            return None
-        return st.filter(F.col("batch") == top).select(
-            "user", "last_ts", "last_seq", "last_type"
+        return latest_snapshot(
+            spark,
+            self.state_dir,
+            batch_id,
+            ["user", "last_ts", "last_seq", "last_type"],
         )
 
     # ---------------------------------------------------------------- batch step

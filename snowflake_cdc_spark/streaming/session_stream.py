@@ -28,7 +28,10 @@ Per micro-batch (``foreachBatch``):
    which unions the open remainder.
 
 Ordering contract (as markov_stream): batches arrive event-time-ordered
-per user; late data routes through the watermarked lanes upstream.
+per user; late data routes through the watermarked lanes upstream —
+CONCRETELY ``streaming/reorder.py::watermarked_feed``, the demonstrated
+composition (test_reorder_feed.py: a planted late event crosses a batch
+boundary and the watermark reorders it before the seam decision).
 
 Scale posture: per-batch work is one batch-keyed shuffle plus a join
 against one-open-session-per-user state (bucket state by user at
@@ -42,6 +45,8 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+from snowflake_cdc_spark.streaming.state_store import latest_snapshot
 
 __all__ = ["SessionMaintainer"]
 
@@ -72,14 +77,8 @@ class SessionMaintainer:
     # ---------------------------------------------------------------- internals
 
     def _read_state(self, spark: SparkSession, batch_id: int) -> DataFrame | None:
-        if not os.path.isdir(self.state_dir):
-            return None
-        st = spark.read.parquet(self.state_dir).filter(F.col("batch") != batch_id)
-        top = st.agg(F.max("batch").alias("b")).collect()[0]["b"]
-        if top is None:
-            return None
-        return st.filter(F.col("batch") == top).select(
-            "user", "o_start", "o_last", "o_n"
+        return latest_snapshot(
+            spark, self.state_dir, batch_id, ["user", "o_start", "o_last", "o_n"]
         )
 
     # ---------------------------------------------------------------- batch step

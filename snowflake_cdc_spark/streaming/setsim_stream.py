@@ -57,6 +57,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from snowflake_cdc_spark.operators.components import connected_components
+from snowflake_cdc_spark.streaming.state_store import delta_batches
 from snowflake_cdc_spark.operators.setsim import (
     allpairs_jaccard_join,
     shingle_sets,
@@ -104,13 +105,13 @@ class SetSimMaintainer:
         )
 
     def _read_index(self, spark: SparkSession, batch_id: int) -> DataFrame | None:
-        if not os.path.isdir(self.index_dir):
-            return None
-        idx = spark.read.parquet(self.index_dir)  # partition col: batch
-        idx = idx.filter(F.col("batch") != batch_id)
-        if self.horizon_batches is not None:
-            idx = idx.filter(F.col("batch") > batch_id - self.horizon_batches)
-        return idx.select("id", "tok", "sz")
+        return delta_batches(
+            spark,
+            self.index_dir,
+            batch_id,
+            ["id", "tok", "sz"],
+            horizon_batches=self.horizon_batches,
+        )
 
     # ---------------------------------------------------------------- batch step
 
