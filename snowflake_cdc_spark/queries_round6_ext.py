@@ -1,0 +1,95 @@
+"""Round-6 extension q199+: the verdict-r05 follow-on lanes —
+
+- q199 deterministic mergeable quantile sketch
+  (``operators/quantile_sketch.py``): bottom-k-by-md5 rank summaries
+  with a checked DKW bound — the order-free replacement for GK/KLL
+  compactors (whose content depends on arrival order and could never
+  pass the layout-determinism audit or carry a SQL oracle);
+
+Reference parity: the reference (``add_output.py:421-448``) lands CDC
+rows; these are warehouse-side statistics/curation passes over the
+landed tables.
+
+Determinism contract (memory: determinism-contract): md5 for all
+pseudo-randomness, exact integers everywhere (cents quantized once at
+input, integer rank arithmetic ``(q_ppm·m + 999999) DIV 1e6``, integer
+rank-interval counts), booleans derived from integer comparisons only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from snowflake_cdc_spark.operators.quantile_sketch import (
+    bottomk_sample,
+    quantile_estimates,
+    rank_check,
+)
+from snowflake_cdc_spark.queries import _t, register
+
+# --------------------------------------------------------------------------
+# Q199 — deterministic mergeable quantile sketch with a checked DKW bound
+# --------------------------------------------------------------------------
+
+_QSKETCH_ORACLE = """
+WITH src AS (
+  SELECT CAST(floor(CAST(l_extendedprice AS DOUBLE) * 100.0 + 0.5) AS BIGINT) AS v,
+         md5(CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)) AS h
+  FROM lineitem),
+smp AS (SELECT v FROM src ORDER BY h, v LIMIT 256),
+arr AS (SELECT list_sort(list(v)) AS vs, CAST(count(*) AS BIGINT) AS m FROM smp),
+qs AS (SELECT CAST(q_ppm AS BIGINT) AS q_ppm
+       FROM (VALUES (250000), (500000), (750000), (900000)) t(q_ppm)),
+est AS (SELECT q_ppm,
+               vs[CAST(greatest(1, (q_ppm * m + 999999) // 1000000) AS INT)] AS est
+        FROM qs, arr),
+chk AS (SELECT e.q_ppm, e.est,
+               CAST(sum(CASE WHEN s.v < e.est THEN 1 ELSE 0 END) AS BIGINT) AS r_lo,
+               CAST(sum(CASE WHEN s.v <= e.est THEN 1 ELSE 0 END) AS BIGINT) AS r_hi,
+               CAST(count(*) AS BIGINT) AS n
+        FROM src s CROSS JOIN est e GROUP BY 1, 2)
+SELECT q_ppm, est, r_lo, r_hi, n,
+       (r_lo * 1000000 <= (q_ppm + 130000) * n
+        AND r_hi * 1000000 >= (q_ppm - 130000) * n) AS within_bound
+FROM chk ORDER BY q_ppm
+"""
+
+
+@register(
+    "q199_quantile_sketch",
+    _QSKETCH_ORACLE,
+    "deterministic mergeable quantile sketch "
+    "(operators/quantile_sketch.py): price-cents quantiles "
+    "(q1/median/q3/p90) estimated from the 256 md5(pk)-smallest rows — "
+    "the KMV idea applied to RANKS. GK/KLL compactors are "
+    "order-dependent by construction (they could never pass the "
+    "layout-determinism audit or carry a SQL oracle); the bottom-k "
+    "hash sample is a pure function of the set, merges exactly "
+    "(bottom-k of a union == bottom-k of the bottom-k's — the merge "
+    "law KMV q135 set, fuzz-tested), and compiles to "
+    "TakeOrderedAndProject: per-partition summaries + driver merge, "
+    "no global sort anywhere. The DKW bound (eps = 0.13 at k = 256) "
+    "is CHECKED, not assumed: the estimate's true rank interval comes "
+    "from two conditional counts in one scan (never a rank window) "
+    "and the in-bound boolean is part of the output; the oracle "
+    "re-derives sample, estimates, counts AND booleans — a complete "
+    "oracle for an approximate operator (q127+q134 disciplines "
+    "combined). This is the q193-class scale path: eps-tolerant "
+    "quantiles from k rows, exact ranks only where the lane demands "
+    "them",
+)
+def q199(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    src = li.select(
+        F.floor(F.col("l_extendedprice").cast("double") * F.lit(100.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("v"),
+        F.concat(
+            F.col("l_orderkey").cast("string"),
+            F.lit(":"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("pk"),
+    )
+    smp = bottomk_sample(src, "v", "pk", k=256)
+    est = quantile_estimates(smp, [250000, 500000, 750000, 900000])
+    return rank_check(src, "v", est, eps_ppm=130000).orderBy("q_ppm")
