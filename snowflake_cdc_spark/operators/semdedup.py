@@ -1,0 +1,120 @@
+"""SemDeDup-style embedding-cluster semantic dedup (VERDICT r05 #6;
+Abbas et al. 2023, arXiv:2303.09540) — the embedding-level complement of
+MinHash (q25-q28) and exact-substring (q171) dedup for training corpora:
+paraphrases and re-renders share no shingles but sit at near-identical
+embeddings.
+
+Cluster-then-compare keeps it never-all-pairs: vectors are k-means
+cells (the q157/q158 exact integer Lloyd — same index the ANN lanes
+use), and pairwise similarity runs only WITHIN a cell — the paper's
+own pruning, since semantic duplicates land in the same cluster (they
+are near-identical points; k-means assigns by distance). The trade is
+recall at cell boundaries, exactly as in the paper.
+
+Integer discipline (complete-oracle): similarity is exact integer
+cosine on a signed grid — ``qc_i = floor(x_i·g + 0.5)`` (g = 1000),
+``dot = Σ qa·qb``, ``n2 = Σ q²``, and ``cos ≥ t_num/t_den`` becomes
+``dot > 0 AND dot²·t_den² ≥ t_num²·na2·nb2`` — no sqrt, no division,
+every quantity a BIGINT. Headroom: ``(dim·g²·t_den)² < 2^63`` caps at
+dim·g²·t_den ≤ 3.0e9 (64·1e6·20 = 1.3e9 here).
+
+Scale shape: one kmeans assignment pass (broadcast plan-literal
+centroids), one self-equi-join on ``cell`` (the corpus shuffles on cell
+once; Σ|cell|² bounded by the cluster granularity — grow k with the
+corpus exactly as IVF does), survivor selection by min-id per dup
+relation (no window over data).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from snowflake_cdc_spark.operators.kmeans_exact import kmeans_fit
+
+__all__ = ["semantic_dup_pairs", "semantic_survivors"]
+
+
+def _signed_grid(emb: DataFrame, grid: int, id_col: str, vec_col: str) -> DataFrame:
+    qc = F.transform(
+        vec_col,
+        lambda x: F.floor(x.cast("double") * F.lit(float(grid)) + F.lit(0.5)).cast(
+            "bigint"
+        ),
+    )
+    n2 = F.aggregate(
+        F.transform(vec_col, lambda x: F.floor(
+            x.cast("double") * F.lit(float(grid)) + F.lit(0.5)
+        ).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, q: acc + q * q,
+    )
+    return emb.select(F.col(id_col), qc.alias("qc"), n2.alias("n2"))
+
+
+def semantic_dup_pairs(
+    emb: DataFrame,
+    t_num: int = 9,
+    t_den: int = 20,
+    k: int = 8,
+    rounds: int = 2,
+    grid: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(cell, vec_a, vec_b, dot) for every within-cell pair (a < b) with
+    integer cosine ≥ t_num/t_den on the signed grid. ``dot`` is the
+    exact integer dot product — fully oracle-checkable."""
+    _, assigned = kmeans_fit(emb, k=k, rounds=rounds)
+    sg = _signed_grid(emb, grid, id_col, vec_col)
+    mem = assigned.select(F.col(id_col), "cell").join(sg, id_col)
+    a = mem.select(
+        "cell",
+        F.col(id_col).alias("vec_a"),
+        F.col("qc").alias("qa"),
+        F.col("n2").alias("na2"),
+    )
+    b = mem.select(
+        "cell",
+        F.col(id_col).alias("vec_b"),
+        F.col("qc").alias("qb"),
+        F.col("n2").alias("nb2"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, "cell")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("dot", dot)
+        .filter(
+            (F.col("dot") > 0)
+            & (
+                F.col("dot") * F.col("dot") * F.lit(t_den * t_den)
+                >= F.lit(t_num * t_num) * F.col("na2") * F.col("nb2")
+            )
+        )
+        .select("cell", "vec_a", "vec_b", "dot")
+    )
+
+
+def semantic_survivors(
+    emb: DataFrame,
+    pairs: DataFrame | None = None,
+    id_col: str = "vec_id",
+    **kwargs,
+) -> DataFrame:
+    """Keep-first SemDeDup: drop every vector that has a semantic dup
+    with a SMALLER id (one anti-join against the distinct dropped-id
+    relation — no window, no components pass). Survivors are the
+    vectors with no smaller dup neighbor: at least one per duplicate
+    component (always including its minimum); when strictly
+    one-representative-per-component is required, compose the pairs
+    with ``operators/components.py`` (q195's survivorship lane does
+    exactly that)."""
+    if pairs is None:
+        pairs = semantic_dup_pairs(emb, id_col=id_col, **kwargs)
+    dropped = pairs.select(F.col("vec_b").alias(id_col)).distinct()
+    return emb.join(dropped, id_col, "left_anti")

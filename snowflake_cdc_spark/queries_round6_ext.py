@@ -5,6 +5,9 @@
   with a checked DKW bound — the order-free replacement for GK/KLL
   compactors (whose content depends on arrival order and could never
   pass the layout-determinism audit or carry a SQL oracle);
+- q200 SemDeDup embedding-cluster semantic near-dup pairs
+  (``operators/semdedup.py``): k-means cells + within-cell exact
+  integer cosine — the modern complement of MinHash/substring dedup;
 
 Reference parity: the reference (``add_output.py:421-448``) lands CDC
 rows; these are warehouse-side statistics/curation passes over the
@@ -93,3 +96,62 @@ def q199(spark, sf_dir):
     smp = bottomk_sample(src, "v", "pk", k=256)
     est = quantile_estimates(smp, [250000, 500000, 750000, 900000])
     return rank_check(src, "v", est, eps_ppm=130000).orderBy("q_ppm")
+
+
+# --------------------------------------------------------------------------
+# Q200 — SemDeDup: embedding-cluster semantic near-dup pairs
+# --------------------------------------------------------------------------
+
+
+def _semdedup_oracle(k: int = 8, rounds: int = 2, grid: int = 1000,
+                     t_num: int = 9, t_den: int = 20) -> str:
+    from snowflake_cdc_spark.queries_governance_ext import _kmeans_chain
+
+    return _kmeans_chain(k, rounds) + f""",
+sg AS (SELECT vec_id,
+              list_transform(embedding,
+                x -> CAST(floor(CAST(x AS DOUBLE) * {grid}.0 + 0.5) AS BIGINT)) AS qc
+       FROM embeddings),
+sgn AS (SELECT vec_id, qc,
+               CAST(list_sum(list_transform(qc, x -> x * x)) AS BIGINT) AS n2
+        FROM sg),
+mem AS (SELECT a.vec_id, a.cell, s.qc, s.n2
+        FROM a{rounds} a JOIN sgn s USING (vec_id)),
+pr AS (SELECT x.cell, x.vec_id AS vec_a, y.vec_id AS vec_b,
+              CAST(list_sum(list_transform(list_zip(x.qc, y.qc),
+                     p -> p[1] * p[2])) AS BIGINT) AS dot,
+              x.n2 AS na2, y.n2 AS nb2
+       FROM mem x JOIN mem y
+         ON x.cell = y.cell AND x.vec_id < y.vec_id)
+SELECT cell, vec_a, vec_b, dot
+FROM pr
+WHERE dot > 0 AND dot * dot * {t_den * t_den} >= {t_num * t_num} * na2 * nb2
+ORDER BY vec_a, vec_b
+"""
+
+
+@register(
+    "q200_semdedup",
+    _semdedup_oracle(),
+    "SemDeDup embedding-cluster semantic near-dup pairs "
+    "(operators/semdedup.py; Abbas et al. 2023) — the embedding-level "
+    "complement of MinHash/substring dedup for training corpora "
+    "(paraphrases share no shingles but sit at near-identical "
+    "embeddings): k-means cells from the q157 exact integer Lloyd, "
+    "pairwise integer cosine WITHIN cells only (cluster-then-compare: "
+    "never all-pairs — Σ|cell|² is bounded by cluster granularity and "
+    "k grows with the corpus exactly as IVF's does), threshold as the "
+    "pure-BIGINT predicate dot²·t_den² >= t_num²·na2·nb2 (no sqrt, no "
+    "division), so the oracle re-derives centroids, cells, every dot "
+    "product and every surviving pair. The synthetic fixture has no "
+    "planted paraphrases (max within-cell cosine ~0.49), so the lane "
+    "runs at the demonstrative t = 9/20 threshold; the planted "
+    "paraphrase-cluster test (tests/test_semdedup.py) drives the "
+    "operator at the paper's 0.95 regime and fuzzes it against a "
+    "brute per-cell reference",
+)
+def q200(spark, sf_dir):
+    from snowflake_cdc_spark.operators.semdedup import semantic_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dup_pairs(emb, t_num=9, t_den=20).orderBy("vec_a", "vec_b")

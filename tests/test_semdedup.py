@@ -1,0 +1,111 @@
+"""SemDeDup embedding-cluster dedup (operators/semdedup.py): planted
+paraphrase cluster at the paper's 0.95 regime, keep-first survivorship,
+and a seeded fuzz against a brute per-cell reference."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+
+from snowflake_cdc_spark.operators.kmeans_exact import kmeans_fit
+from snowflake_cdc_spark.operators.semdedup import (
+    semantic_dup_pairs,
+    semantic_survivors,
+)
+
+DIM = 8
+
+
+def _emb(spark, vecs):
+    """vecs: {vec_id: [float]*DIM} -> embeddings-shaped frame."""
+    rows = [(i, [float(x) for x in v]) for i, v in sorted(vecs.items())]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _unit(rng):
+    v = [rng.uniform(-1, 1) for _ in range(DIM)]
+    n = math.sqrt(sum(x * x for x in v))
+    return [x / n for x in v]
+
+
+def _brute_pairs(vecs, cells, t_num, t_den, grid=1000):
+    """Reference: per-cell quantized-integer cosine over all pairs."""
+    # float32 round-trip first: Spark stores array<float>
+    import struct
+
+    def f32(x):
+        return struct.unpack("f", struct.pack("f", x))[0]
+
+    q = {
+        i: [int(math.floor(f32(x) * grid + 0.5)) for x in v]
+        for i, v in vecs.items()
+    }
+    out = set()
+    for a in sorted(vecs):
+        for b in sorted(vecs):
+            if a < b and cells[a] == cells[b]:
+                dot = sum(x * y for x, y in zip(q[a], q[b]))
+                na2 = sum(x * x for x in q[a])
+                nb2 = sum(x * x for x in q[b])
+                if dot > 0 and dot * dot * t_den * t_den >= t_num * t_num * na2 * nb2:
+                    out.add((a, b, dot))
+    return out
+
+
+class TestSemDeDup:
+    def test_planted_paraphrase_cluster(self, spark):
+        rng = random.Random(5)
+        base = _unit(rng)
+        vecs = {}
+        # three paraphrases: base + tiny aligned noise (cos > 0.999)
+        for i in range(3):
+            vecs[i] = [x + 0.001 * i for x in base]
+        # far-away distinct docs
+        for i in range(3, 12):
+            vecs[i] = _unit(rng)
+        df = _emb(spark, vecs)
+        pairs = semantic_dup_pairs(
+            df, t_num=19, t_den=20, k=2, rounds=2
+        ).collect()
+        got = {(r.vec_a, r.vec_b) for r in pairs}
+        assert got == {(0, 1), (0, 2), (1, 2)}
+
+    def test_keep_first_survivorship(self, spark):
+        rng = random.Random(7)
+        base = _unit(rng)
+        vecs = {i: [x + 0.0005 * i for x in base] for i in range(3)}
+        vecs[10] = _unit(rng)
+        df = _emb(spark, vecs)
+        pairs = semantic_dup_pairs(df, t_num=19, t_den=20, k=2, rounds=2)
+        kept = {
+            r.vec_id
+            for r in semantic_survivors(df, pairs=pairs).collect()
+        }
+        assert kept == {0, 10}
+
+    @pytest.mark.parametrize("seed", [3, 17])
+    def test_fuzz_vs_brute_per_cell(self, spark, seed):
+        rng = random.Random(seed)
+        vecs = {}
+        i = 0
+        # a handful of paraphrase clusters + noise vectors
+        for _ in range(4):
+            base = _unit(rng)
+            for _ in range(rng.randint(1, 3)):
+                vecs[i] = [x + rng.uniform(-0.01, 0.01) for x in base]
+                i += 1
+        for _ in range(10):
+            vecs[i] = _unit(rng)
+            i += 1
+        df = _emb(spark, vecs)
+        _, assigned = kmeans_fit(df, k=3, rounds=2)
+        cells = {r.vec_id: r.cell for r in assigned.collect()}
+        got = {
+            (r.vec_a, r.vec_b, r.dot)
+            for r in semantic_dup_pairs(
+                df, t_num=9, t_den=10, k=3, rounds=2
+            ).collect()
+        }
+        assert got == _brute_pairs(vecs, cells, 9, 10)
