@@ -139,6 +139,86 @@ def prefix_candidates(
     )
 
 
+def containment_join(
+    toks: DataFrame,
+    threshold_num: int = 9,
+    threshold_den: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DIRECTED near-superset pairs: (sub_doc, sup_doc, n_inter, n_sub)
+    for every ordered pair with containment ``|A∩B| / |A| >= t`` (A =
+    sub's shingle set) — the ASYMMETRIC cousin of the Jaccard join that
+    Jaccard structurally misses: a short doc fully embedded in a long
+    one has tiny Jaccard (|A|/|B|) but containment 1.0. This is the
+    near-superset mode of training-corpus dedup (doc B extends doc A —
+    boilerplate-wrapped re-posts, quote-with-commentary, version
+    supersets); keep the superset, drop the subset.
+
+    Prefix filtering adapts one-sidedly: only the SUB side is
+    prefixed — if ``|A∩B| >= ceil(t·|A|)`` then A misses at most
+    ``|A| - ceil(t·|A|)`` of its tokens from B, so among A's first
+    ``|A| - ceil(t·|A|) + 1`` tokens (global rarest-first order) at
+    least one is in B (pigeonhole; B's order is irrelevant because B
+    is indexed in FULL). The sup side has no prefix — but candidates
+    only join on SUB-prefix tokens, which are each sub's RAREST, so
+    the postings join stays self-deskewing. One-sided size prune:
+    ``|B| >= ceil(t·|A|)`` (the intersection can't exceed |B|).
+    Verify is the exact integer test ``td·|A∩B| >= tn·|A|`` over
+    per-doc sorted arrays (the prefix_filter_join verify posture)."""
+    tn, td = threshold_num, threshold_den
+    dfc = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("dfc"))
+    from pyspark.sql import Window
+
+    w_doc = Window.partitionBy(id_col).orderBy("dfc", "tok")
+    ranked = (
+        toks.join(dfc, "tok")
+        .withColumn("rn", F.row_number().over(w_doc))
+        .withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
+    )
+    pref = ranked.filter(
+        F.col("rn")
+        <= F.col("sz") - ((tn * F.col("sz") + (td - 1)) / td).cast("bigint") + 1
+    ).select(F.col(id_col).alias("da"), "tok", F.col("sz").alias("sa"))
+    arrs = toks.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("tok")).alias("arr"),
+        F.count(F.lit(1)).cast("bigint").alias("sz"),
+    )
+    b = toks.select(F.col(id_col).alias("db"), "tok")
+    cand = (
+        pref.join(b, "tok")
+        .filter(F.col("da") != F.col("db"))
+        .select("da", "db", "sa")
+        .distinct()
+    )
+    return (
+        cand.join(
+            arrs.select(F.col(id_col).alias("da"), F.col("arr").alias("__aa")),
+            "da",
+        )
+        .join(
+            arrs.select(
+                F.col(id_col).alias("db"),
+                F.col("arr").alias("__ab"),
+                F.col("sz").alias("sb"),
+            ),
+            "db",
+        )
+        # one-sided size prune folded into the verify scan
+        .filter(td * F.col("sb") >= tn * F.col("sa"))
+        .withColumn(
+            "n_inter", F.size(F.array_intersect("__aa", "__ab")).cast("bigint")
+        )
+        .filter(td * F.col("n_inter") >= tn * F.col("sa"))
+        .select(
+            F.col("da").alias("sub_doc"),
+            F.col("db").alias("sup_doc"),
+            "n_inter",
+            F.col("sa").alias("n_sub"),
+        )
+        .orderBy("sub_doc", "sup_doc")
+    )
+
+
 def prefix_filter_join(
     toks: DataFrame,
     threshold_num: int = 6,

@@ -155,3 +155,181 @@ def q200(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     return semantic_dup_pairs(emb, t_num=9, t_den=20).orderBy("vec_a", "vec_b")
+
+
+# --------------------------------------------------------------------------
+# Q201 — directed containment (near-superset) dedup pairs
+# --------------------------------------------------------------------------
+
+_CONTAIN_ORACLE = """
+WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+           FROM documents),
+t AS (SELECT doc_id,
+             unnest(list_distinct(list_transform(generate_series(1, len(ws) - 2),
+                    i -> array_to_string(ws[i : i + 2], ' ')))) AS tok
+      FROM d WHERE len(ws) >= 3),
+sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM t GROUP BY 1),
+inter AS (SELECT a.doc_id AS da, b.doc_id AS db,
+                 CAST(count(*) AS BIGINT) AS ni
+          FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+          GROUP BY 1, 2)
+SELECT i.da AS sub_doc, i.db AS sup_doc, i.ni AS n_inter, s.sz AS n_sub
+FROM inter i JOIN sz s ON s.doc_id = i.da
+WHERE 10 * i.ni >= 9 * s.sz
+ORDER BY sub_doc, sup_doc
+"""
+
+
+@register(
+    "q201_containment_dedup",
+    _CONTAIN_ORACLE,
+    "directed near-superset dedup (operators/setsim.py::"
+    "containment_join): pairs where >= 90% of the sub-doc's 3-gram "
+    "shingles appear in the sup-doc — the ASYMMETRIC dedup mode "
+    "Jaccard structurally misses (a short doc embedded in a long one "
+    "has tiny Jaccard but containment 1.0: boilerplate-wrapped "
+    "re-posts, quote-with-commentary, version supersets; keep the "
+    "superset, drop the subset). Prefix filtering adapts one-sidedly: "
+    "only the SUB side prefixes (pigeonhole over ITS set; the sup side "
+    "indexes full but candidates join only on sub-prefix tokens — "
+    "each sub's rarest, so the postings join stays self-deskewing), "
+    "plus the one-sided size prune |B| >= t|A|; verify is the exact "
+    "integer test td*inter >= tn*|A| over per-doc sorted arrays. The "
+    "oracle is the INDEPENDENT direct form (full postings join + "
+    "group count) — prefix completeness is what the hash check "
+    "proves, and the brute fuzz in tests/test_containment.py pins it "
+    "on adversarial inputs",
+)
+def q201(spark, sf_dir):
+    from snowflake_cdc_spark.operators.setsim import (
+        containment_join,
+        shingle_sets,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = shingle_sets(docs, n=3)
+    return containment_join(toks, threshold_num=9, threshold_den=10)
+
+
+# --------------------------------------------------------------------------
+# Q202 — dataset mixing weights (epochs-per-source plan)
+# --------------------------------------------------------------------------
+
+_MIXING_ORACLE = """
+WITH s AS (SELECT source,
+                  CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+')))
+                       AS BIGINT) AS n_tokens
+           FROM documents GROUP BY 1),
+tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t,
+               CAST(count(*) AS BIGINT) AS ns FROM s)
+SELECT source, n_docs, n_tokens,
+       CAST(n_tokens * 1000000 // t AS BIGINT) AS natural_ppm,
+       CAST(1000000 // ns AS BIGINT) AS target_ppm,
+       CAST(t * 1000000 // (ns * n_tokens) AS BIGINT) AS epochs_ppm,
+       (t * 1000000 // (ns * n_tokens)) > 4000000 AS needs_cap
+FROM s CROSS JOIN tot
+ORDER BY source
+"""
+
+
+@register(
+    "q202_mixing_weights",
+    _MIXING_ORACLE,
+    "dataset mixing-weight plan — the step between curation and "
+    "sharding in a pre-training pipeline: given a target share per "
+    "source (uniform here; the GLaM/LLaMA-style mixture table is a "
+    "literal swap), how many EPOCHS of each source does the mixed "
+    "corpus take? epochs_i = target_share·T / tokens_i, emitted as "
+    "exact integer ppm (T·1e6 DIV (n_sources·tokens_i) — one integer "
+    "division at the end, the q189 orphan-ppm discipline), plus the "
+    "over-sampling flag (epochs > 4: a source so small the mixture "
+    "would repeat it past the memorization comfort zone — the "
+    "repetition-budget governance question). One corpus scan, "
+    "source-sized aggregates, a 1-row broadcast total",
+)
+def q202(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(
+            F.size(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+            )
+        )
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    tot = s.agg(
+        F.sum("n_tokens").cast("bigint").alias("t"),
+        F.count(F.lit(1)).cast("bigint").alias("ns"),
+    )
+    return (
+        s.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.expr("CAST(n_tokens * 1000000 DIV t AS BIGINT)").alias(
+                "natural_ppm"
+            ),
+            F.expr("CAST(1000000 DIV ns AS BIGINT)").alias("target_ppm"),
+            F.expr(
+                "CAST(t * 1000000 DIV (ns * n_tokens) AS BIGINT)"
+            ).alias("epochs_ppm"),
+            F.expr("(t * 1000000 DIV (ns * n_tokens)) > 4000000").alias(
+                "needs_cap"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q203 — training-shard manifest (sort-free global cumsum)
+# --------------------------------------------------------------------------
+
+_SHARD_ORACLE = """
+WITH toks AS (SELECT doc_id,
+                     CAST(len(regexp_extract_all(lower(text), '[a-z]+'))
+                          AS BIGINT) AS tok
+              FROM documents),
+r AS (SELECT doc_id, tok,
+             row_number() OVER (
+               ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rank
+      FROM toks),
+c AS (SELECT rank, tok,
+             coalesce(sum(tok) OVER (ORDER BY rank
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+      FROM r)
+SELECT CAST(before // 2000 AS BIGINT) AS shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(tok) AS BIGINT) AS n_tokens,
+       CAST(min(rank) AS BIGINT) AS first_rank,
+       CAST(max(rank) AS BIGINT) AS last_rank
+FROM c GROUP BY 1 ORDER BY shard_id
+"""
+
+
+@register(
+    "q203_shard_manifest",
+    _SHARD_ORACLE,
+    "training-shard manifest (operators/sharding.py): every document "
+    "assigned to a ~2000-token shard along the seeded md5 corpus "
+    "order — the last batch step before a 1000-node training job "
+    "reads shard files instead of a table. Composes two sort-free "
+    "pieces: the q120 deterministic shuffle rank, and the global "
+    "RUNNING TOKEN TOTAL decomposed by the same range-bucket + "
+    "broadcast-offset trick (dense ranks bucket evenly by integer "
+    "DIV; any contiguous-rank bucketing yields the identical cumsum, "
+    "so the result is independent of bucket count — which is exactly "
+    "how the oracle checks it, with the naive single-sort window). "
+    "Documents never split: a shard holds ~shard_tokens ± one doc; "
+    "the q114 packer packs sequences WITHIN a shard",
+)
+def q203(spark, sf_dir):
+    from snowflake_cdc_spark.operators.sharding import shard_manifest
+
+    docs = _t(spark, sf_dir, "documents")
+    return shard_manifest(docs, shard_tokens=2000, seed=42)

@@ -87,6 +87,12 @@ WHITELIST: dict[str, tuple[int, str]] = {
         1,
         "rank.py bucket-offsets window over range_buckets=64 rows",
     ),
+    "q203_shard_manifest": (
+        1,
+        "sharding.py bucket-offsets running sum over n_buckets=256 "
+        "rows (the shuffle-rank offsets window lives inside the "
+        "materialized checkpoint, audited via q120)",
+    ),
 }
 
 
