@@ -56,6 +56,13 @@ def quantize_vectors(
 
 
 def _dist(qcol, centroid: list[int]):
+    # NOTE (round-6 probe): unrolling this into 64 element_at terms is
+    # 2.4x faster for ONE distance, but _assign/probe evaluate it per
+    # CENTROID — k unrolled copies blow past the codegen size limit and
+    # drop the whole expression to interpreted mode (measured 3x SLOWER
+    # end-to-end). The lambda form stays compiled at any k; the
+    # single-pair hot path uses the unrolled form instead
+    # (ivf_exact._pair_dist).
     arr = F.array(*[F.lit(int(v)).cast("bigint") for v in centroid])
     return F.aggregate(
         F.zip_with(qcol, arr, lambda x, y: (x - y) * (x - y)),

@@ -1593,7 +1593,7 @@ def q158(spark, sf_dir):
         )
         .select(F.col("vec_id").alias("query_id"), "qv")
     )
-    return ivf_exact_search(centroids, assigned, queries, k=5, nprobe=4)
+    return ivf_exact_search(centroids, assigned, queries, k=5, nprobe=4, dim=64)
 
 
 # --------------------------------------------------------------------------

@@ -408,6 +408,7 @@ def q183(spark, sf_dir):
         k=5,
         nprobe=4,
         exclude_match_col="label",
+        dim=64,
     )
     q_lab = lab.select(
         F.col("vec_id").alias("query_id"), F.col("label").alias("q_label")
@@ -1005,7 +1006,7 @@ def q191(spark, sf_dir):
         )
         .select(F.col("vec_id").alias("query_id"), "qv")
     )
-    nn = ivf_exact_search(centroids, corpus, queries, k=5, nprobe=4)
+    nn = ivf_exact_search(centroids, corpus, queries, k=5, nprobe=4, dim=64)
     nn_lab = nn.join(
         F.broadcast(lab.select("vec_id", F.col("label").alias("n_label"))),
         "vec_id",
@@ -1091,7 +1092,7 @@ def q192(spark, sf_dir):
     queries = assigned.select(F.col("vec_id").alias("query_id"), "qv")
     nn = ivf_exact_search(
         centroids, assigned.select("vec_id", "qv", "cell"), queries,
-        k=1, nprobe=4,
+        k=1, nprobe=4, dim=64,
     )
     back = nn.select(
         F.col("query_id").alias("vec_id"), F.col("vec_id").alias("query_id")

@@ -154,7 +154,9 @@ def q200(spark, sf_dir):
     from snowflake_cdc_spark.operators.semdedup import semantic_dup_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
-    return semantic_dup_pairs(emb, t_num=9, t_den=20).orderBy("vec_a", "vec_b")
+    return semantic_dup_pairs(emb, t_num=9, t_den=20, dim=64).orderBy(
+        "vec_a", "vec_b"
+    )
 
 
 # --------------------------------------------------------------------------
