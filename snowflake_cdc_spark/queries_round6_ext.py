@@ -314,6 +314,170 @@ FROM c GROUP BY 1 ORDER BY shard_id
 """
 
 
+# --------------------------------------------------------------------------
+# Q204 — multi-touch revenue attribution (first / last / linear)
+# --------------------------------------------------------------------------
+
+_ATTRIB_ORACLE = """
+WITH p AS (SELECT event_id AS pid, user_id,
+                  epoch_us(ts) AS pus,
+                  CAST(floor(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT) AS cents
+           FROM events WHERE event_type = 'purchase'),
+t AS (SELECT user_id, event_id, event_type AS typ, epoch_us(ts) AS us
+      FROM events WHERE event_type IN ('view', 'click')),
+touch AS (SELECT p.pid, p.cents, t.typ, t.us, t.event_id
+          FROM p JOIN t ON t.user_id = p.user_id
+          WHERE t.us < p.pus AND t.us >= p.pus - 604800000000),
+per_p AS (SELECT pid, cents,
+                 CAST(count(*) AS BIGINT) AS n,
+                 min(struct_pack(us := us, id := event_id, t := typ)).t AS first_typ,
+                 max(struct_pack(us := us, id := event_id, t := typ)).t AS last_typ
+          FROM touch GROUP BY 1, 2),
+lin AS (SELECT x.pid, x.typ, CAST(count(*) AS BIGINT) AS cnt
+        FROM touch x GROUP BY 1, 2),
+lc AS (SELECT l.pid, l.typ,
+              l.cnt * (1000000 // pp.n) * pp.cents
+              + CASE WHEN l.typ = pp.first_typ
+                     THEN (1000000 - pp.n * (1000000 // pp.n)) * pp.cents
+                     ELSE 0 END AS micro
+       FROM lin l JOIN per_p pp ON pp.pid = l.pid),
+chan AS (
+  SELECT pp.first_typ AS channel, CAST(count(*) AS BIGINT) AS n_first,
+         CAST(sum(pp.cents) AS BIGINT) AS first_cents
+  FROM per_p pp GROUP BY 1),
+chan_l AS (
+  SELECT pp.last_typ AS channel, CAST(count(*) AS BIGINT) AS n_last,
+         CAST(sum(pp.cents) AS BIGINT) AS last_cents
+  FROM per_p pp GROUP BY 1),
+chan_lin AS (
+  SELECT typ AS channel, CAST(sum(micro) AS BIGINT) AS linear_cents_micro
+  FROM lc GROUP BY 1),
+untouched AS (
+  SELECT '(none)' AS channel,
+         CAST(count(*) AS BIGINT) AS n_first,
+         CAST(coalesce(sum(p.cents), 0) AS BIGINT) AS first_cents,
+         CAST(count(*) AS BIGINT) AS n_last,
+         CAST(coalesce(sum(p.cents), 0) AS BIGINT) AS last_cents,
+         CAST(coalesce(sum(p.cents), 0) * 1000000 AS BIGINT) AS linear_cents_micro
+  FROM p WHERE pid NOT IN (SELECT pid FROM per_p))
+SELECT c.channel, c.n_first, c.first_cents,
+       coalesce(cl.n_last, 0) AS n_last,
+       coalesce(cl.last_cents, 0) AS last_cents,
+       coalesce(cn.linear_cents_micro, 0) AS linear_cents_micro
+FROM chan c
+LEFT JOIN chan_l cl ON cl.channel = c.channel
+LEFT JOIN chan_lin cn ON cn.channel = c.channel
+UNION ALL
+SELECT channel, n_first, first_cents, n_last, last_cents, linear_cents_micro
+FROM untouched
+ORDER BY channel
+"""
+
+
+@register(
+    "q204_attribution",
+    _ATTRIB_ORACLE,
+    "multi-touch revenue attribution (first-touch / last-touch / "
+    "linear, computed together): each purchase's exact-cents value "
+    "credited to the user's view/click touchpoints in the strictly-"
+    "prior 7-day window — the marketing-analytics workhorse downstream "
+    "of the funnel lanes (q150/q193 say WHO converts and how fast; "
+    "this says which channel gets the revenue credit). Deterministic "
+    "integer split: linear credit = cents·(1e6 DIV n) micro-units per "
+    "touch with the division remainder assigned to the FIRST touch "
+    "(so every purchase's credits sum exactly to cents·1e6 — "
+    "accounting closure, asserted in tests); first/last by (ts, "
+    "event_id) struct order; untouched purchases land in the '(none)' "
+    "row so total revenue reconciles. One user-equi join with the "
+    "range predicate (per-user touches are bounded), "
+    "purchase-and-channel-sized aggregates after",
+)
+def q204(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    us = F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        "user_id",
+        us.alias("pus"),
+        F.floor(F.col("value").cast("double") * F.lit(100.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    t = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.col("event_id").alias("tid"),
+        F.col("event_type").alias("typ"),
+        us.alias("us"),
+    )
+    touch = p.join(t, "user_id").filter(
+        (F.col("us") < F.col("pus"))
+        & (F.col("us") >= F.col("pus") - F.lit(604800000000))
+    )
+    per_p = touch.groupBy("pid", "cents").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min(F.struct("us", "tid", "typ"))["typ"].alias("first_typ"),
+        F.max(F.struct("us", "tid", "typ"))["typ"].alias("last_typ"),
+    )
+    lin = touch.groupBy("pid", "typ").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    lc = lin.join(per_p, "pid").select(
+        "typ",
+        (
+            F.col("cnt") * F.expr("1000000 DIV n") * F.col("cents")
+            + F.when(
+                F.col("typ") == F.col("first_typ"),
+                F.expr("(1000000 - n * (1000000 DIV n))") * F.col("cents"),
+            ).otherwise(F.lit(0))
+        ).alias("micro"),
+    )
+    chan_f = per_p.groupBy(F.col("first_typ").alias("channel")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_first"),
+        F.sum("cents").cast("bigint").alias("first_cents"),
+    )
+    chan_l = per_p.groupBy(F.col("last_typ").alias("channel")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_last"),
+        F.sum("cents").cast("bigint").alias("last_cents"),
+    )
+    chan_lin = lc.groupBy(F.col("typ").alias("channel")).agg(
+        F.sum("micro").cast("bigint").alias("linear_cents_micro")
+    )
+    untouched = (
+        p.join(per_p.select("pid"), "pid", "left_anti")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_first"),
+            F.coalesce(F.sum("cents"), F.lit(0)).cast("bigint").alias("first_cents"),
+        )
+        .select(
+            F.lit("(none)").alias("channel"),
+            "n_first",
+            "first_cents",
+            F.col("n_first").alias("n_last"),
+            F.col("first_cents").alias("last_cents"),
+            (F.col("first_cents") * F.lit(1000000))
+            .cast("bigint")
+            .alias("linear_cents_micro"),
+        )
+    )
+    touched = (
+        chan_f.join(chan_l, "channel", "left")
+        .join(chan_lin, "channel", "left")
+        .select(
+            "channel",
+            "n_first",
+            "first_cents",
+            F.coalesce(F.col("n_last"), F.lit(0)).cast("bigint").alias("n_last"),
+            F.coalesce(F.col("last_cents"), F.lit(0))
+            .cast("bigint")
+            .alias("last_cents"),
+            F.coalesce(F.col("linear_cents_micro"), F.lit(0))
+            .cast("bigint")
+            .alias("linear_cents_micro"),
+        )
+    )
+    return touched.unionByName(untouched).orderBy("channel")
+
+
 @register(
     "q203_shard_manifest",
     _SHARD_ORACLE,
@@ -335,3 +499,104 @@ def q203(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return shard_manifest(docs, shard_tokens=2000, seed=42)
+
+
+# --------------------------------------------------------------------------
+# Q205 — snapshot diff audit (sink-convergence validation)
+# --------------------------------------------------------------------------
+
+_DIFF_ORACLE = """
+WITH a AS (SELECT c_custkey AS k, c_mktsegment AS seg, c_acctbal AS bal,
+                  c_nationkey AS nat
+           FROM customer),
+b AS (SELECT k,
+             CASE WHEN k % 11 = 3 THEN 'CHURNED' ELSE seg END AS seg,
+             CASE WHEN k % 13 = 4 THEN bal + 10.0 ELSE bal END AS bal,
+             nat
+      FROM a WHERE k % 17 <> 5
+      UNION ALL
+      SELECT k + 1000000, 'NEW', 0.0, 0 FROM a WHERE k % 19 = 6),
+j AS (SELECT a.k AS ka, b.k AS kb,
+             a.seg AS sa, b.seg AS sb,
+             a.bal AS ba, b.bal AS bb,
+             a.nat AS na, b.nat AS nb
+      FROM a FULL OUTER JOIN b ON a.k = b.k)
+SELECT metric, n FROM (
+  SELECT 'rows_added' AS metric,
+         CAST(count(*) FILTER (WHERE ka IS NULL) AS BIGINT) AS n FROM j
+  UNION ALL
+  SELECT 'rows_removed',
+         CAST(count(*) FILTER (WHERE kb IS NULL) AS BIGINT) FROM j
+  UNION ALL
+  SELECT 'rows_common',
+         CAST(count(*) FILTER (WHERE ka IS NOT NULL AND kb IS NOT NULL)
+              AS BIGINT) FROM j
+  UNION ALL
+  SELECT 'rows_changed',
+         CAST(count(*) FILTER (WHERE ka IS NOT NULL AND kb IS NOT NULL
+           AND (sa IS DISTINCT FROM sb OR ba IS DISTINCT FROM bb
+                OR na IS DISTINCT FROM nb)) AS BIGINT) FROM j
+  UNION ALL
+  SELECT 'col_changed:seg',
+         CAST(count(*) FILTER (WHERE ka IS NOT NULL AND kb IS NOT NULL
+           AND sa IS DISTINCT FROM sb) AS BIGINT) FROM j
+  UNION ALL
+  SELECT 'col_changed:bal',
+         CAST(count(*) FILTER (WHERE ka IS NOT NULL AND kb IS NOT NULL
+           AND ba IS DISTINCT FROM bb) AS BIGINT) FROM j
+  UNION ALL
+  SELECT 'col_changed:nat',
+         CAST(count(*) FILTER (WHERE ka IS NOT NULL AND kb IS NOT NULL
+           AND na IS DISTINCT FROM nb) AS BIGINT) FROM j)
+ORDER BY metric
+"""
+
+
+@register(
+    "q205_snapshot_diff",
+    _DIFF_ORACLE,
+    "snapshot diff audit (operators/diff.py::snapshot_diff) — the CDC "
+    "engine validating its own landing: after a replay or backfill, "
+    "diff the sink snapshot against the source-of-truth "
+    "materialization and report adds / removes / per-column change "
+    "counts (NULL-safe: value<->NULL transitions count). The 'next' "
+    "snapshot here is derived in-query from customer by planted "
+    "deterministic mutations (segment churn on k%11=3, balance bump "
+    "on k%13=4, deletes on k%17=5, inserts on k%19=6) so both "
+    "engines build the identical pair; the operator computes every "
+    "per-column count in ONE aggregation pass over ONE full-outer "
+    "key join — never a shuffle per column — and unpivots the 1-row "
+    "aggregate into the (metric, n) report",
+)
+def q205(spark, sf_dir):
+    from snowflake_cdc_spark.operators.diff import snapshot_diff
+
+    cust = _t(spark, sf_dir, "customer")
+    a = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_acctbal").alias("bal"),
+        F.col("c_nationkey").alias("nat"),
+    )
+    b = (
+        a.filter(F.col("k") % 17 != 5)
+        .select(
+            "k",
+            F.when(F.col("k") % 11 == 3, F.lit("CHURNED"))
+            .otherwise(F.col("seg"))
+            .alias("seg"),
+            F.when(F.col("k") % 13 == 4, F.col("bal") + F.lit(10.0))
+            .otherwise(F.col("bal"))
+            .alias("bal"),
+            "nat",
+        )
+        .unionByName(
+            a.filter(F.col("k") % 19 == 6).select(
+                (F.col("k") + F.lit(1000000)).alias("k"),
+                F.lit("NEW").alias("seg"),
+                F.lit(0.0).cast(a.schema["bal"].dataType).alias("bal"),
+                F.lit(0).cast(a.schema["nat"].dataType).alias("nat"),
+            )
+        )
+    )
+    return snapshot_diff(a, b, key_cols=["k"])
