@@ -315,6 +315,131 @@ FROM c GROUP BY 1 ORDER BY shard_id
 
 
 # --------------------------------------------------------------------------
+# Q206 — MinHash-LSH banding recall/precision vs exact ground truth
+# --------------------------------------------------------------------------
+
+
+def _lsh_recall_oracle() -> str:
+    from snowflake_cdc_spark.queries_northstar import (
+        DOCS_CORPUS_SQL,
+        _SHINGLES_SQL,
+    )
+
+    return DOCS_CORPUS_SQL + "," + _SHINGLES_SQL + """,
+mh AS (SELECT doc_id,
+              list_transform(generate_series(0, 7), j ->
+                list_aggregate(list_transform(shingles,
+                  s -> md5(CAST(j AS VARCHAR) || ':' || s)), 'min')) AS sig
+       FROM sh2),
+bands AS (SELECT doc_id, b,
+                 md5(sig[4*b+1] || '|' || sig[4*b+2] || '|' || sig[4*b+3] || '|' || sig[4*b+4])
+                   AS band_val
+          FROM (SELECT doc_id, sig, unnest(generate_series(0, 1)) AS b FROM mh)),
+cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         FROM bands x JOIN bands y
+           ON x.b = y.b AND x.band_val = y.band_val AND x.doc_id < y.doc_id),
+post AS (SELECT doc_id, unnest(hset) AS h FROM sh2),
+sz AS (SELECT doc_id, CAST(len(hset) AS BIGINT) AS sz FROM sh2),
+inter AS (SELECT p.doc_id AS a, q.doc_id AS b, CAST(count(*) AS BIGINT) AS ni
+          FROM post p JOIN post q ON p.h = q.h AND p.doc_id < q.doc_id
+          GROUP BY 1, 2),
+truth AS (SELECT i.a, i.b
+          FROM inter i
+          JOIN sz s1 ON s1.doc_id = i.a JOIN sz s2 ON s2.doc_id = i.b
+          WHERE 5 * i.ni >= 4 * (s1.sz + s2.sz - i.ni)),
+hit AS (SELECT c.a, c.b FROM cand c JOIN truth t ON t.a = c.a AND t.b = c.b)
+SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true_pairs,
+       CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
+       CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_candidates_true,
+       CAST((SELECT count(*) FROM truth) - (SELECT count(*) FROM hit)
+            AS BIGINT) AS n_missed,
+       CAST((SELECT count(*) FROM hit) * 1000000
+            // (SELECT count(*) FROM truth) AS BIGINT) AS recall_ppm,
+       CAST((SELECT count(*) FROM hit) * 1000000
+            // (SELECT count(*) FROM cand) AS BIGINT) AS precision_ppm
+"""
+
+
+@register(
+    "q206_lsh_recall_eval",
+    _lsh_recall_oracle(),
+    "MinHash-LSH banding evaluation against exact ground truth — the "
+    "measure-your-own-dedup lane (the q49/q52/q144 recall-check "
+    "discipline applied to the MinHash family): ground truth = ALL "
+    "pairs with exact hashed-shingle Jaccard >= 0.8 (integer "
+    "cross-mult 5·inter >= 4·union, postings join — never all-pairs), "
+    "candidates = the q25 banding (k=8, 2 bands x 4 rows, md5-seeded "
+    "so the candidate set is a fixed function of the data, not a coin "
+    "flip). Emits true/candidate/hit/missed counts + exact integer "
+    "recall and precision ppm; because every hash is md5, DuckDB "
+    "re-derives signatures, bands, candidates AND the ground truth — "
+    "an LSH quality metric that is itself hash-checkable. Banding "
+    "theory says recall ~ 1-(1-j^4)^2 at j=0.8 -> ~0.63 per band "
+    "pair; the planted exact dupes (j=1) are always caught",
+)
+def q206(spark, sf_dir):
+    from snowflake_cdc_spark.operators.dedup import (
+        lsh_bands,
+        minhash_features,
+    )
+    from snowflake_cdc_spark.queries_northstar import planted_docs
+
+    corpus = planted_docs(spark, sf_dir)
+    sh = minhash_features(corpus, "doc_id", "text", k=8, shingle_n=3)
+    banded = sh.select(
+        "id", F.explode(lsh_bands(F.col("sig"), 2, 4)).alias("bv")
+    ).select("id", "bv.band", "bv.band_val")
+    x, y = banded.alias("x"), banded.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.band_val") == F.col("y.band_val"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    post = sh.select("id", F.explode("hset").alias("h"))
+    sz = sh.select("id", F.size("hset").cast("bigint").alias("sz"))
+    inter = (
+        post.select(F.col("id").alias("a"), "h")
+        .join(post.select(F.col("id").alias("b"), "h"), "h")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ni"))
+    )
+    truth = (
+        inter.join(sz.select(F.col("id").alias("a"), F.col("sz").alias("sa")), "a")
+        .join(sz.select(F.col("id").alias("b"), F.col("sz").alias("sb")), "b")
+        .filter(5 * F.col("ni") >= 4 * (F.col("sa") + F.col("sb") - F.col("ni")))
+        .select("a", "b")
+    )
+    hit = cand.join(truth, ["a", "b"], "left_semi")
+    nt = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true_pairs"))
+    nc = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+    nh = hit.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates_true"))
+    return (
+        nt.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(nh))
+        .select(
+            "n_true_pairs",
+            "n_candidates",
+            "n_candidates_true",
+            (F.col("n_true_pairs") - F.col("n_candidates_true")).alias(
+                "n_missed"
+            ),
+            F.expr(
+                "CAST(n_candidates_true * 1000000 DIV n_true_pairs AS BIGINT)"
+            ).alias("recall_ppm"),
+            F.expr(
+                "CAST(n_candidates_true * 1000000 DIV n_candidates AS BIGINT)"
+            ).alias("precision_ppm"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Q204 — multi-touch revenue attribution (first / last / linear)
 # --------------------------------------------------------------------------
 
