@@ -81,6 +81,60 @@ def test_late_event_reordered_before_seam_decision(spark, tmp_path):
     }
 
 
+def test_payload_cols_feed_transition_maintainer(spark, tmp_path):
+    """The composition generalizes: TransitionMaintainer behind the
+    same pre-stage, with event_type carried through payload_cols — a
+    late event supplies the transition a direct feed would corrupt."""
+    from snowflake_cdc_spark.streaming.markov_stream import (
+        TransitionMaintainer,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def _tdf(rows):
+        return spark.createDataFrame(
+            [
+                (u, BASE + timedelta(seconds=s), q, t)
+                for u, s, q, t in rows
+            ],
+            "user_id long, ts timestamp, event_id long, event_type string",
+        )
+
+    # true user-1 sequence: a(0) -> b(1200, LATE) -> c(5400)
+    f0 = [(1, 0, 1, "a"), (1, 5400, 2, "c"), (9, 6000, 3, "x")]
+    f1 = [(1, 1200, 4, "b"), (9, 9100, 5, "x")]
+    f2 = [(9, 13000, 6, "x")]
+    f3 = [(9, 16300, 7, "x")]
+    for i, rows in enumerate((f0, f1, f2, f3)):
+        _tdf(rows).coalesce(1).write.parquet(f"{src}/f{i}")
+    stream = (
+        spark.readStream.schema(_tdf(f0).schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    m = TransitionMaintainer(str(tmp_path / "state"))
+    q = watermarked_feed(
+        stream,
+        m.process_batch,
+        checkpoint=str(tmp_path / "ckpt"),
+        payload_cols=("event_type",),
+        delay="90 minutes",
+        window_size="1 hour",
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.prev_type, r.next_type): r.n_transitions
+        for r in m.transitions(spark).collect()
+    }
+    # a->b within the reordered first window, b->c across the seam
+    # (a direct feed would have recorded a->c and c->b instead)
+    assert got.get(("a", "b")) == 1
+    assert got.get(("b", "c")) == 1
+    assert ("a", "c") not in got and ("c", "b") not in got
+
+
 def test_in_order_feed_matches_direct(spark, tmp_path):
     """With no late data, the composition is a pure reorder no-op: the
     reorder-fed maintainer and a directly-fed maintainer agree."""
