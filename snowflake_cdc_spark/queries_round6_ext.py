@@ -315,6 +315,65 @@ FROM c GROUP BY 1 ORDER BY shard_id
 
 
 # --------------------------------------------------------------------------
+# Q207 — PIVOT: long-to-wide reshape (reporting surface)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q207_pivot",
+    """SELECT n.n_name AS nation,
+       CAST(count(*) FILTER (WHERE o.o_orderstatus = 'F') AS BIGINT) AS status_f,
+       CAST(count(*) FILTER (WHERE o.o_orderstatus = 'O') AS BIGINT) AS status_o,
+       CAST(count(*) FILTER (WHERE o.o_orderstatus = 'P') AS BIGINT) AS status_p,
+       CAST(coalesce(sum(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT))
+            FILTER (WHERE o.o_orderstatus = 'F'), 0) AS BIGINT) AS cents_f
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY 1 ORDER BY nation""",
+    "PIVOT (long-to-wide reshape): per-nation order counts pivoted "
+    "into one column per order status, plus a pivoted money measure "
+    "in exact cents — the reporting-layer reshape every BI consumer "
+    "of the landed CDC tables runs. Spark's groupBy().pivot() with an "
+    "EXPLICIT value list (schema fixed at plan time — a valueless "
+    "pivot would scan once just to discover columns, and its column "
+    "set would be data-dependent); compiles to one hash aggregate of "
+    "conditional aggregates, exactly the oracle's FILTER form — no "
+    "extra shuffle vs the long groupBy",
+)
+def q207(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    j = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            "o_orderstatus",
+            F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    wide = (
+        j.groupBy("nation")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("cents"),
+        )
+    )
+    return wide.select(
+        "nation",
+        F.coalesce(F.col("F_n"), F.lit(0)).cast("bigint").alias("status_f"),
+        F.coalesce(F.col("O_n"), F.lit(0)).cast("bigint").alias("status_o"),
+        F.coalesce(F.col("P_n"), F.lit(0)).cast("bigint").alias("status_p"),
+        F.coalesce(F.col("F_cents"), F.lit(0)).cast("bigint").alias("cents_f"),
+    ).orderBy("nation")
+
+
+# --------------------------------------------------------------------------
 # Q206 — MinHash-LSH banding recall/precision vs exact ground truth
 # --------------------------------------------------------------------------
 
