@@ -1,31 +1,108 @@
-"""Snapshot diff audit — the CDC engine's own validation tool: given
-two keyed snapshots (source vs sink, yesterday vs today, pre- vs
-post-backfill), report what changed, column by column. This is the
-check a pipeline operator runs after a replay/backfill to prove the
-sink converged (reference parity: the reference lands CDC rows into
-warehouse tables, `add_output.py:421-448`; this audits that landing
-against any other materialization of the same table).
+"""Snapshot diff (CDC data-diff): what changed between two points of the
+change log.
 
-One full-outer join on the key, ONE aggregation pass computing every
-per-column change count simultaneously (conditional sums — never a
-shuffle per column), then a driver-tiny unpivot into the
-(metric, n) report:
+The reference materializes latest-by-key snapshots (add_output.py
+SetIsDelete/row_number posture, see operators/upsert.py); the natural
+inspection surface over that lifecycle — the one every CDC migration
+validates with — is "diff the table as of seq ≤ s1 against seq ≤ s2":
+which keys were added, removed, or changed, and which columns changed.
 
-- ``rows_added`` / ``rows_removed`` / ``rows_common`` — key presence;
-- ``rows_changed`` — common keys where ANY compared column differs;
-- ``col_changed:<name>`` — common keys where that column differs
-  (NULL-safe: ``NOT (a <=> b)``, so NULL→value and value→NULL count).
+Plan shape (the 100 TB part): a naive diff builds two snapshots (two
+shuffles) and full-outer-joins them (a third). Here both as-of states
+are computed in ONE hash aggregation — ``max_by(payload, seq)`` for the
+s2 state and ``max_by(payload, CASE WHEN seq <= s1 THEN seq END)`` for
+the s1 state (``max_by`` skips rows whose ordering key is NULL, so the
+conditional ordering key IS the horizon filter) — one shuffle on the
+key, map-side partial aggregation, no join at all. Column comparison is
+then a per-row expression over the two structs.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["snapshot_diff"]
+__all__ = ["snapshot_diff", "table_diff"]
 
 
 def snapshot_diff(
+    changes: DataFrame,
+    key_cols: list[str],
+    value_cols: list[str],
+    s1: Column | int,
+    s2: Column | int | None = None,
+    seq_col: str = "seq",
+    is_delete_col: str = "is_delete",
+) -> DataFrame:
+    """Row-level diff of the hard-delete snapshot at ``s1`` vs at ``s2``.
+
+    ``s1``/``s2`` are sequence horizons — ints or Columns (e.g. a scalar
+    joined in by a broadcast cross join, the house pattern for
+    data-derived horizons); ``s2=None`` means the full log. Output one
+    row per key whose state differs: ``key_cols…, change_type``
+    ('added' | 'removed' | 'changed'), ``changed_cols`` (sorted array of
+    differing value columns, NULL-safe compare; empty for added/removed),
+    ``n_changed_cols``. Keys absent (or deleted) at both horizons emit
+    nothing."""
+    s1c = F.lit(s1) if isinstance(s1, int) else s1
+    seq = F.col(seq_col)
+    payload = F.struct(
+        *[F.col(c) for c in value_cols], F.col(is_delete_col).alias("__del")
+    )
+    scoped = changes if s2 is None else changes.filter(
+        seq <= (F.lit(s2) if isinstance(s2, int) else s2)
+    )
+    agg = scoped.groupBy(*key_cols).agg(
+        F.max_by(payload, F.when(seq <= s1c, seq)).alias("__a"),
+        F.max_by(payload, seq).alias("__b"),
+    )
+    present_a = F.col("__a").isNotNull() & ~F.col("__a.__del")
+    present_b = F.col("__b").isNotNull() & ~F.col("__b.__del")
+    changed_cols = F.filter(
+        F.array(
+            *[
+                F.when(
+                    ~F.col(f"__a.{c}").eqNullSafe(F.col(f"__b.{c}")), F.lit(c)
+                )
+                for c in sorted(value_cols)
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return (
+        agg.withColumn(
+            "change_type",
+            F.when(present_a & ~present_b, F.lit("removed"))
+            .when(~present_a & present_b, F.lit("added"))
+            .when(present_a & present_b & (F.size(changed_cols) > 0), F.lit("changed")),
+        )
+        .filter(F.col("change_type").isNotNull())
+        .withColumn(
+            "changed_cols",
+            F.when(F.col("change_type") == "changed", changed_cols).otherwise(
+                F.array().cast("array<string>")
+            ),
+        )
+        .withColumn("n_changed_cols", F.size("changed_cols"))
+        .drop("__a", "__b")
+    )
+
+# ---------------------------------------------------------------------------
+# table_diff (round 6): the TWO-RELATION diff — source vs sink, yesterday's
+# snapshot vs today's. snapshot_diff above answers "what changed between two
+# horizons of ONE change log" with zero joins; table_diff answers "do these
+# two materializations agree" when the inputs are independent tables, with
+# ONE full-outer key join + ONE aggregation computing every per-column
+# NULL-safe change count simultaneously (never a shuffle per column),
+# unpivoted into a (metric, n) report:
+#
+# - rows_added / rows_removed / rows_common  — key presence;
+# - rows_changed            — common keys where ANY compared column differs;
+# - col_changed:<name>      — common keys where that column differs.
+# ---------------------------------------------------------------------------
+
+
+def table_diff(
     a: DataFrame,
     b: DataFrame,
     key_cols: list[str],

@@ -737,9 +737,11 @@ ORDER BY metric
 
 
 @register(
-    "q205_snapshot_diff",
+    "q205_table_diff",
     _DIFF_ORACLE,
-    "snapshot diff audit (operators/diff.py::snapshot_diff) — the CDC "
+    "two-relation table diff audit (operators/diff.py::table_diff; "
+    "the join-free single-log horizon diff is q129's snapshot_diff) — "
+    "the CDC "
     "engine validating its own landing: after a replay or backfill, "
     "diff the sink snapshot against the source-of-truth "
     "materialization and report adds / removes / per-column change "
@@ -753,7 +755,7 @@ ORDER BY metric
     "aggregate into the (metric, n) report",
 )
 def q205(spark, sf_dir):
-    from snowflake_cdc_spark.operators.diff import snapshot_diff
+    from snowflake_cdc_spark.operators.diff import table_diff
 
     cust = _t(spark, sf_dir, "customer")
     a = cust.select(
@@ -783,4 +785,4 @@ def q205(spark, sf_dir):
             )
         )
     )
-    return snapshot_diff(a, b, key_cols=["k"])
+    return table_diff(a, b, key_cols=["k"])

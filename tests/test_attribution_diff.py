@@ -1,4 +1,4 @@
-"""q204 attribution accounting closure + snapshot_diff unit semantics
+"""q204 attribution accounting closure + table_diff unit semantics
 (operators/diff.py): planted adds/removes/changes, NULL transitions,
 multi-column keys, identical-snapshot zero report."""
 
@@ -6,10 +6,10 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from snowflake_cdc_spark.operators.diff import snapshot_diff
+from snowflake_cdc_spark.operators.diff import table_diff
 
 
-class TestSnapshotDiff:
+class TestTableDiff:
     def test_planted_changes(self, spark):
         a = spark.createDataFrame(
             [(1, "x", 10), (2, "y", 20), (3, "z", 30)], "k long, s string, v long"
@@ -17,7 +17,7 @@ class TestSnapshotDiff:
         b = spark.createDataFrame(
             [(1, "x", 10), (2, "Y", 20), (4, "n", 0)], "k long, s string, v long"
         )
-        got = {r.metric: r.n for r in snapshot_diff(a, b, ["k"]).collect()}
+        got = {r.metric: r.n for r in table_diff(a, b, ["k"]).collect()}
         assert got == {
             "rows_added": 1,       # k=4
             "rows_removed": 1,     # k=3
@@ -30,12 +30,12 @@ class TestSnapshotDiff:
     def test_null_transitions_count(self, spark):
         a = spark.createDataFrame([(1, None), (2, "b")], "k long, s string")
         b = spark.createDataFrame([(1, "a"), (2, None)], "k long, s string")
-        got = {r.metric: r.n for r in snapshot_diff(a, b, ["k"]).collect()}
+        got = {r.metric: r.n for r in table_diff(a, b, ["k"]).collect()}
         assert got["col_changed:s"] == 2 and got["rows_changed"] == 2
 
     def test_identical_snapshots_zero(self, spark):
         a = spark.createDataFrame([(1, "x"), (2, "y")], "k long, s string")
-        got = {r.metric: r.n for r in snapshot_diff(a, a, ["k"]).collect()}
+        got = {r.metric: r.n for r in table_diff(a, a, ["k"]).collect()}
         assert got == {
             "rows_added": 0,
             "rows_removed": 0,
@@ -52,7 +52,7 @@ class TestSnapshotDiff:
             [(1, "a", 5), (1, "b", 7)], "k1 long, k2 string, v long"
         )
         got = {
-            r.metric: r.n for r in snapshot_diff(a, b, ["k1", "k2"]).collect()
+            r.metric: r.n for r in table_diff(a, b, ["k1", "k2"]).collect()
         }
         assert got["rows_common"] == 2 and got["col_changed:v"] == 1
 
