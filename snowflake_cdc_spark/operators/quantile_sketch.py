@@ -32,6 +32,10 @@ pure FUNCTION OF THE SET:
   re-derives sample, estimates, counts AND the boolean — a complete
   oracle (q127-style in-bound assertion + q134-style re-derivation).
 
+Reference parity: the reference's distribution probes (add_output.py:267,
+525) fetch engine-side value statistics; this is the engine side of that
+contract, with a verifiable bound.
+
 This is also the q193-class scale path: a quantile query that tolerates
 ε·n rank error needs only the k-row sample — never a global rank.
 """

@@ -5,6 +5,9 @@ broadcast-offset composition (``operators/shuffle.py``,
 quantile location) never fall back to ``row_number() OVER (ORDER BY …)``
 with no partition — the single-partition global window the round-5
 verdict flagged at seven sites.
+Reference parity: the reference (add_output.py:421-448) lands CDC rows;
+ranking the landed corpus (vocabulary ranks, Gini concentration,
+quantile location) is a warehouse-side pass over those tables.
 
 Two shapes, matching the two ways real rank targets are distributed:
 

@@ -18,6 +18,10 @@ cosine on a signed grid — ``qc_i = floor(x_i·g + 0.5)`` (g = 1000),
 every quantity a BIGINT. Headroom: ``(dim·g²·t_den)² < 2^63`` caps at
 dim·g²·t_den ≤ 3.0e9 (64·1e6·20 = 1.3e9 here).
 
+Reference parity: the reference (add_output.py:421-448) lands raw CDC
+text; this is the embedding-level curation pass a training-data
+pipeline runs over that landing zone.
+
 Scale shape: one kmeans assignment pass (broadcast plan-literal
 centroids), one self-equi-join on ``cell`` (the corpus shuffles on cell
 once; Σ|cell|² bounded by the cluster granularity — grow k with the

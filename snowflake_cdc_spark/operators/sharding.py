@@ -14,6 +14,10 @@ Composes two existing sort-free pieces:
   broadcast offsets table, and the only windows are the B-row running
   sum and the per-bucket intra cumsum.
 
+Reference parity: the reference materializes tables on an
+``output_interval`` cadence (add_output.py:447); shard manifests are the
+same materialize-for-consumers step for a training reader.
+
 ``shard_id = tokens_before DIV shard_tokens``: documents are never
 split, so a shard holds ~shard_tokens ± one document (the q114 packer
 then packs sequences WITHIN a shard). Deterministic for a given
