@@ -89,7 +89,10 @@ def quantile_estimates(
 ) -> DataFrame:
     """(q_ppm, est) per requested quantile: the sorted sample's value at
     integer rank ``(q_ppm·m + 999999) DIV 1e6`` (clamped to ≥ 1) —
-    array arithmetic over one ≤k-row aggregate, no window."""
+    array arithmetic over one ≤k-row aggregate, no window. An EMPTY
+    sample yields NULL estimates (element_at past the empty array) —
+    there is no quantile of nothing; callers gate on m if they need to
+    distinguish."""
     arr = sample.agg(
         F.sort_array(F.collect_list("v")).alias("vs"),
         F.count(F.lit(1)).cast("bigint").alias("m"),

@@ -60,7 +60,11 @@ def rangebucket_rank(
     rank_col: str = "rn",
 ) -> DataFrame:
     """Append ``rank_col`` = ``row_number() OVER (ORDER BY value, tie)``
-    (1-based, NULL values excluded) computed with no global sort."""
+    (1-based, NULL values excluded) computed with no global sort.
+    Contract: ``value_col`` is numeric and NaN-free — a NaN poisons its
+    bucket expression to NULL and the row would drop silently (the
+    integer/decimal lanes this serves can't produce one; filter NaNs
+    upstream for raw float inputs)."""
     src = df.filter(F.col(value_col).isNotNull())
     ext = src.agg(
         F.min(value_col).alias("__lo"), F.max(value_col).alias("__hi")

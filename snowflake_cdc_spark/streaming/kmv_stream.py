@@ -86,7 +86,11 @@ class DistinctCountMaintainer:
         )
 
     def sketch(self, spark: SparkSession) -> DataFrame:
-        """(grp, h, rk): the current maintained sketch (newest batch)."""
+        """(grp, h, rk): the current maintained sketch (newest batch);
+        empty (typed) before the first batch lands — the session_stream
+        read-time guard, so callers need no existence check."""
+        if not os.path.isdir(self.state_dir):
+            return spark.createDataFrame([], "grp string, h string, rk int")
         st = spark.read.parquet(self.state_dir)
         top = st.agg(F.max("batch").alias("b")).collect()[0]["b"]
         w = Window.partitionBy("grp").orderBy("h")

@@ -59,6 +59,11 @@ class TestDistinctCountMaintainer:
         out = {r.grp: r.kmv_est for r in m.estimates(spark).collect()}
         assert out == {"a": 3.0}
 
+    def test_fresh_maintainer_is_empty_not_crash(self, spark, tmp_path):
+        m = DistinctCountMaintainer(str(tmp_path / "never_ran"), k=8)
+        assert m.sketch(spark).count() == 0
+        assert m.estimates(spark).count() == 0
+
     def test_replay_is_idempotent(self, spark, tmp_path):
         m = DistinctCountMaintainer(str(tmp_path / "s"), k=8)
         b0 = [("a", i) for i in range(40)]
