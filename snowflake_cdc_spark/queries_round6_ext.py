@@ -315,6 +315,79 @@ FROM c GROUP BY 1 ORDER BY shard_id
 
 
 # --------------------------------------------------------------------------
+# Q208 — dedup savings report (corpus shrinkage accounting)
+# --------------------------------------------------------------------------
+
+
+def _dedup_savings_oracle() -> str:
+    from snowflake_cdc_spark.queries_northstar import DOCS_CORPUS_SQL
+
+    return DOCS_CORPUS_SQL + """,
+g AS (SELECT doc_id, source, length(text) AS chars,
+             min(doc_id) OVER (PARTITION BY md5(text)) AS rep
+      FROM corpus)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN doc_id <> rep THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dropped,
+       CAST(sum(chars) AS BIGINT) AS total_chars,
+       CAST(sum(CASE WHEN doc_id <> rep THEN chars ELSE 0 END) AS BIGINT)
+         AS chars_saved,
+       CAST(sum(CASE WHEN doc_id <> rep THEN chars ELSE 0 END) * 1000000
+            // sum(chars) AS BIGINT) AS saved_ppm
+FROM g GROUP BY source ORDER BY source
+"""
+
+
+@register(
+    "q208_dedup_savings",
+    _dedup_savings_oracle(),
+    "dedup savings report — the corpus-shrinkage accounting every "
+    "dedup pass must publish before anyone trusts it (the budgeting "
+    "number behind 'dedup cut our storage/training tokens by X%'): "
+    "per source over the planted-duplicate corpus, docs / dropped "
+    "docs under keep-first exact dedup (min doc_id per md5(text) "
+    "group — the q22/q33 contract) / total chars / chars saved / "
+    "exact integer saved ppm. One scan; the keep-first representative "
+    "comes from a min-over-md5(text)-partition — each partition is "
+    "one duplicate group, bounded by its multiplicity, never a "
+    "global order. The per-SOURCE attribution is what q22-class "
+    "dedup lanes don't answer: WHO is shipping the duplicates",
+)
+def q208(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from snowflake_cdc_spark.queries_northstar import planted_docs
+
+    corpus = planted_docs(spark, sf_dir).select(
+        "doc_id", "source", F.length("text").alias("chars"), F.md5("text").alias("k")
+    )
+    rep = F.min("doc_id").over(Window.partitionBy("k"))
+    g = corpus.withColumn("rep", rep)
+    dropped = (F.col("doc_id") != F.col("rep")).cast("bigint")
+    return (
+        g.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(dropped).cast("bigint").alias("n_dropped"),
+            F.sum("chars").cast("bigint").alias("total_chars"),
+            F.sum(dropped * F.col("chars")).cast("bigint").alias("chars_saved"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_dropped",
+            "total_chars",
+            "chars_saved",
+            F.expr("CAST(chars_saved * 1000000 DIV total_chars AS BIGINT)").alias(
+                "saved_ppm"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
 # Q207 — PIVOT: long-to-wide reshape (reporting surface)
 # --------------------------------------------------------------------------
 
