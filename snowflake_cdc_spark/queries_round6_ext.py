@@ -1,4 +1,5 @@
-"""Round-6 extension q199+: the verdict-r05 follow-on lanes —
+"""Round-6 extension q199-q208: the verdict-r05 follow-on lanes plus
+the round's new pipeline surface —
 
 - q199 deterministic mergeable quantile sketch
   (``operators/quantile_sketch.py``): bottom-k-by-md5 rank summaries
@@ -8,6 +9,18 @@
 - q200 SemDeDup embedding-cluster semantic near-dup pairs
   (``operators/semdedup.py``): k-means cells + within-cell exact
   integer cosine — the modern complement of MinHash/substring dedup;
+- q201 directed containment (near-superset) dedup
+  (``operators/setsim.py::containment_join``, one-sided prefix filter);
+- q202 dataset mixing-weight plan (epochs-per-source, exact ppm);
+- q203 training-shard manifest (``operators/sharding.py`` — sort-free
+  global token cumsum along the seeded shuffle order);
+- q204 multi-touch revenue attribution (first/last/linear in one pass,
+  remainder-to-first-touch accounting closure);
+- q205 two-relation table diff audit (``operators/diff.py::table_diff``);
+- q206 MinHash-LSH banding recall/precision vs exact ground truth
+  (the measure-your-own-dedup lane, itself hash-checkable);
+- q207 explicit-value-list PIVOT (reporting reshape surface);
+- q208 dedup savings report (per-source corpus-shrinkage accounting).
 
 Reference parity: the reference (``add_output.py:421-448``) lands CDC
 rows; these are warehouse-side statistics/curation passes over the
