@@ -134,7 +134,11 @@ def table_diff(
         c: common & ~F.col(f"__a_{c}").eqNullSafe(F.col(f"__b_{c}"))
         for c in compare_cols
     }
-    any_neq = None
+    # key-only diff (no shared non-key columns, or an explicit []):
+    # rows_added/removed/common are still meaningful; nothing can count
+    # as changed — without the literal fallback the coalesce below would
+    # receive a Python None and fail at plan-build time (ADVICE r06)
+    any_neq = F.lit(False) if not compare_cols else None
     for c in compare_cols:
         any_neq = neq[c] if any_neq is None else any_neq | neq[c]
     agg = j.agg(

@@ -45,7 +45,17 @@ def _pair_dist(a_col: str, b_col: str, dim: int | None):
         t = F.element_at(a_col, i) - F.element_at(b_col, i)
         term = t * t
         out = term if out is None else out + term
-    return out.cast("bigint")
+    # fail FAST on a dim misconfiguration: element_at past the array end
+    # is NULL, a NULL dist sorts FIRST under the ascending window
+    # (Spark default nulls-first) and would silently corrupt the top-k
+    # ranking instead of erroring (ADVICE r06)
+    guard = (F.size(a_col) == dim) & (F.size(b_col) == dim)
+    return F.when(guard, out.cast("bigint")).otherwise(
+        F.raise_error(
+            f"_pair_dist: vector length != dim={dim} "
+            "(unrolled integer distance read past the array end)"
+        )
+    )
 
 
 def ivf_exact_search(

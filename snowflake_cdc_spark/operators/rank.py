@@ -64,13 +64,61 @@ def rangebucket_rank(
     Contract: ``value_col`` is numeric and NaN-free — a NaN poisons its
     bucket expression to NULL and the row would drop silently (the
     integer/decimal lanes this serves can't produce one; filter NaNs
-    upstream for raw float inputs)."""
+    upstream for raw float inputs).
+
+    Degenerate spread (ADVICE r06): when every value is EQUAL
+    (span == 0) a value-derived bucket puts the whole relation in one
+    partition — exactly the single-partition window this operator
+    exists to avoid, invisible to the plan audit because it is
+    data-dependent. The fallback range-buckets on the TIE column
+    instead (numeric ties directly; string ties via the monotone
+    first-codepoint key), which preserves the ``(value, tie)`` total
+    order because bucket boundaries stay monotone in the sort key.
+    Only value-AND-tie-all-equal (every sort key identical, any rank
+    assignment valid) still degrades to one bucket; non-numeric,
+    non-string tie types keep the single-bucket fallback, documented
+    as a runtime hotspot."""
+    from pyspark.sql import types as T
+
     src = df.filter(F.col(value_col).isNotNull())
-    ext = src.agg(
-        F.min(value_col).alias("__lo"), F.max(value_col).alias("__hi")
-    )
+    tie_t = src.schema[tie_col].dataType
+    if isinstance(tie_t, T.NumericType):
+        tkey = F.col(tie_col).cast("double")
+    elif isinstance(tie_t, T.StringType):
+        # first codepoint: monotone in the UTF-8 binary string order
+        tkey = F.ascii(F.coalesce(F.col(tie_col), F.lit(""))).cast("double")
+    else:
+        tkey = None
+    aggs = [F.min(value_col).alias("__lo"), F.max(value_col).alias("__hi")]
+    if tkey is not None:
+        aggs += [F.min(tkey).alias("__tlo"), F.max(tkey).alias("__thi")]
+    ext = src.agg(*aggs)
     span = F.col("__hi") - F.col("__lo")
-    rb = F.when(span == 0, F.lit(0)).otherwise(
+    if tkey is not None:
+        tspan = F.col("__thi") - F.col("__tlo")
+        # NULL ties sort first under ASC — bucket 0 keeps them ordered.
+        # The isNull guard must be EXPLICIT: Spark's least/greatest SKIP
+        # nulls instead of propagating them, so a NULL tie inside the
+        # arithmetic would silently land in the top bucket
+        degen = F.when(
+            tspan == 0, F.lit(0)
+        ).otherwise(
+            F.when(tkey.isNull(), F.lit(0)).otherwise(
+                F.greatest(
+                    F.lit(0),
+                    F.least(
+                        F.lit(range_buckets - 1),
+                        F.floor(
+                            (tkey - F.col("__tlo")) / tspan * range_buckets
+                        ),
+                    ),
+                )
+            )
+        )
+        degen = F.coalesce(degen, F.lit(0))
+    else:
+        degen = F.lit(0)
+    rb = F.when(span == 0, degen).otherwise(
         F.least(
             F.lit(range_buckets - 1),
             F.floor(
@@ -92,7 +140,7 @@ def rangebucket_rank(
     return (
         ranked.join(F.broadcast(offsets), "__rb")
         .withColumn(rank_col, F.col("__off") + F.col("__intra"))
-        .drop("__rb", "__lo", "__hi", "__intra", "__off")
+        .drop("__rb", "__lo", "__hi", "__tlo", "__thi", "__intra", "__off")
     )
 
 

@@ -66,13 +66,35 @@ def semantic_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    cell_cap: int | None = 4096,
 ) -> DataFrame:
     """(cell, vec_a, vec_b, dot) for every within-cell pair (a < b) with
     integer cosine ≥ t_num/t_den on the signed grid. ``dot`` is the
-    exact integer dot product — fully oracle-checkable."""
+    exact integer dot product — fully oracle-checkable.
+
+    ``cell_cap`` (VERDICT r06 #1 — the hot-cell guard): the pair join
+    is O(Σ|cell|²); on LOW-STRUCTURE embeddings k-means cannot split
+    the mass (uniform-random vectors put ~everything in one cell — the
+    measured anti-regime in docs/PLANS.md, probe killed at >15 min)
+    and one mega-cell goes quadratic. Cells over the cap are dropped
+    with a logged member count (``dedup._drop_oversized_buckets``
+    posture — the documented recall-for-boundedness trade production
+    dedup takes), so surviving work is O(cap²) per cell and total
+    candidate pairs are ≤ n·cap by pigeonhole. The cap is
+    deterministic (cell sizes are a pure function of the data), so an
+    oracle mirrors it with a HAVING-count filter on the same cell
+    relation. ``None`` disables. A dropped cell loses ALL its pairs —
+    at 100 TB scale raise ``k`` with the corpus (the IVF discipline)
+    so cells stay under the cap instead of leaning on the drop."""
     _, assigned = kmeans_fit(emb, k=k, rounds=rounds)
     sg = _signed_grid(emb, grid, id_col, vec_col)
     mem = assigned.select(F.col(id_col), "cell").join(sg, id_col)
+    if cell_cap is not None:
+        from snowflake_cdc_spark.operators.dedup import _drop_oversized_buckets
+
+        mem = _drop_oversized_buckets(
+            mem, ["cell"], cell_cap, "semantic_dup_pairs"
+        )
     a = mem.select(
         "cell",
         F.col(id_col).alias("vec_a"),
@@ -98,7 +120,17 @@ def semantic_dup_pairs(
         for i in range(1, dim + 1):
             term = F.element_at("qa", i) * F.element_at("qb", i)
             dot = term if dot is None else dot + term
-        dot = dot.cast("bigint")
+        # dim misconfiguration must error, not silently NULL the dot
+        # (element_at past the end is NULL — ADVICE r06, same guard as
+        # ivf_exact._pair_dist)
+        dot = F.when(
+            (F.size("qa") == dim) & (F.size("qb") == dim),
+            dot.cast("bigint"),
+        ).otherwise(
+            F.raise_error(
+                f"semantic_dup_pairs: vector length != dim={dim}"
+            )
+        )
     return (
         a.join(b, "cell")
         .filter(F.col("vec_a") < F.col("vec_b"))

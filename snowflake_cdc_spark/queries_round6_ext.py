@@ -117,7 +117,8 @@ def q199(spark, sf_dir):
 
 
 def _semdedup_oracle(k: int = 8, rounds: int = 2, grid: int = 1000,
-                     t_num: int = 9, t_den: int = 20) -> str:
+                     t_num: int = 9, t_den: int = 20,
+                     cell_cap: int = 4096) -> str:
     from snowflake_cdc_spark.queries_governance_ext import _kmeans_chain
 
     return _kmeans_chain(k, rounds) + f""",
@@ -128,8 +129,10 @@ sg AS (SELECT vec_id,
 sgn AS (SELECT vec_id, qc,
                CAST(list_sum(list_transform(qc, x -> x * x)) AS BIGINT) AS n2
         FROM sg),
+hot AS (SELECT cell FROM a{rounds} GROUP BY cell HAVING count(*) > {cell_cap}),
 mem AS (SELECT a.vec_id, a.cell, s.qc, s.n2
-        FROM a{rounds} a JOIN sgn s USING (vec_id)),
+        FROM a{rounds} a JOIN sgn s USING (vec_id)
+        WHERE a.cell NOT IN (SELECT cell FROM hot)),
 pr AS (SELECT x.cell, x.vec_id AS vec_a, y.vec_id AS vec_b,
               CAST(list_sum(list_transform(list_zip(x.qc, y.qc),
                      p -> p[1] * p[2])) AS BIGINT) AS dot,
@@ -161,15 +164,20 @@ ORDER BY vec_a, vec_b
     "runs at the demonstrative t = 9/20 threshold; the planted "
     "paraphrase-cluster test (tests/test_semdedup.py) drives the "
     "operator at the paper's 0.95 regime and fuzzes it against a "
-    "brute per-cell reference",
+    "brute per-cell reference. Hot-cell guard (VERDICT r06 #1): cells "
+    "over cell_cap=4096 members are dropped with a logged count "
+    "before the pair join — the uniform-vector anti-regime where "
+    "k-means cannot split the mass stays O(cap²) per cell instead of "
+    "quadratic; the oracle mirrors the cap with a HAVING-count filter "
+    "on the same deterministic cell relation",
 )
 def q200(spark, sf_dir):
     from snowflake_cdc_spark.operators.semdedup import semantic_dup_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
-    return semantic_dup_pairs(emb, t_num=9, t_den=20, dim=64).orderBy(
-        "vec_a", "vec_b"
-    )
+    return semantic_dup_pairs(
+        emb, t_num=9, t_den=20, dim=64, cell_cap=4096
+    ).orderBy("vec_a", "vec_b")
 
 
 # --------------------------------------------------------------------------
@@ -512,7 +520,9 @@ SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true_pairs,
     "measure-your-own-dedup lane (the q49/q52/q144 recall-check "
     "discipline applied to the MinHash family): ground truth = ALL "
     "pairs with exact hashed-shingle Jaccard >= 0.8 (integer "
-    "cross-mult 5·inter >= 4·union, postings join — never all-pairs), "
+    "cross-mult 5·inter >= 4·union, via the q149 PPJoin prefix-filter "
+    "join — pigeonhole-pruned candidates, self-deskewing on shared "
+    "boilerplate shingles, never |postings|²), "
     "candidates = the q25 banding (k=8, 2 bands x 4 rows, md5-seeded "
     "so the candidate set is a fixed function of the data, not a coin "
     "flip). Emits true/candidate/hit/missed counts + exact integer "
@@ -545,20 +555,20 @@ def q206(spark, sf_dir):
         .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
         .dropDuplicates(["a", "b"])
     )
-    post = sh.select("id", F.explode("hset").alias("h"))
-    sz = sh.select("id", F.size("hset").cast("bigint").alias("sz"))
-    inter = (
-        post.select(F.col("id").alias("a"), "h")
-        .join(post.select(F.col("id").alias("b"), "h"), "h")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("ni"))
-    )
-    truth = (
-        inter.join(sz.select(F.col("id").alias("a"), F.col("sz").alias("sa")), "a")
-        .join(sz.select(F.col("id").alias("b"), F.col("sz").alias("sb")), "b")
-        .filter(5 * F.col("ni") >= 4 * (F.col("sa") + F.col("sb") - F.col("ni")))
-        .select("a", "b")
+    # ground truth through the PPJoin prefix filter (VERDICT r06 #4):
+    # the raw postings self-join is |postings|² per shared shingle — one
+    # boilerplate shingle in k docs contributes k² candidate rows. The
+    # q149 prefix-filter join computes the IDENTICAL truth set (same
+    # integer predicate 5·inter >= 4·union) with pigeonhole pruning:
+    # only the (1-t)·|set|+1 rarest tokens of each doc enter the join,
+    # so hot shingles fall out of the candidate generator entirely
+    # (measured: one shingle shared by 1k docs -> 499.5k raw candidate
+    # rows vs 0 prefix candidates when sets are otherwise disjoint)
+    from snowflake_cdc_spark.operators.setsim import prefix_filter_join
+
+    toks = sh.select(F.col("id").alias("doc_id"), F.explode("hset").alias("tok"))
+    truth = prefix_filter_join(toks, 4, 5, "doc_id").select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
     )
     hit = cand.join(truth, ["a", "b"], "left_semi")
     nt = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true_pairs"))
@@ -630,13 +640,15 @@ untouched AS (
          CAST(coalesce(sum(p.cents), 0) AS BIGINT) AS last_cents,
          CAST(coalesce(sum(p.cents), 0) * 1000000 AS BIGINT) AS linear_cents_micro
   FROM p WHERE pid NOT IN (SELECT pid FROM per_p))
-SELECT c.channel, c.n_first, c.first_cents,
+SELECT channel,
+       coalesce(c.n_first, 0) AS n_first,
+       coalesce(c.first_cents, 0) AS first_cents,
        coalesce(cl.n_last, 0) AS n_last,
        coalesce(cl.last_cents, 0) AS last_cents,
        coalesce(cn.linear_cents_micro, 0) AS linear_cents_micro
 FROM chan c
-LEFT JOIN chan_l cl ON cl.channel = c.channel
-LEFT JOIN chan_lin cn ON cn.channel = c.channel
+FULL JOIN chan_l cl USING (channel)
+FULL JOIN chan_lin cn USING (channel)
 UNION ALL
 SELECT channel, n_first, first_cents, n_last, last_cents, linear_cents_micro
 FROM untouched
@@ -729,13 +741,20 @@ def q204(spark, sf_dir):
             .alias("linear_cents_micro"),
         )
     )
+    # FULL outer on the channel key: a channel that only ever appears as
+    # a last/linear touch (every journey ends on it but never starts on
+    # it) must still carry its last_cents / linear credit — a LEFT join
+    # keyed on first-touch channels would silently drop it and break the
+    # accounting-closure claim (ADVICE r06)
     touched = (
-        chan_f.join(chan_l, "channel", "left")
-        .join(chan_lin, "channel", "left")
+        chan_f.join(chan_l, "channel", "full")
+        .join(chan_lin, "channel", "full")
         .select(
             "channel",
-            "n_first",
-            "first_cents",
+            F.coalesce(F.col("n_first"), F.lit(0)).cast("bigint").alias("n_first"),
+            F.coalesce(F.col("first_cents"), F.lit(0))
+            .cast("bigint")
+            .alias("first_cents"),
             F.coalesce(F.col("n_last"), F.lit(0)).cast("bigint").alias("n_last"),
             F.coalesce(F.col("last_cents"), F.lit(0))
             .cast("bigint")

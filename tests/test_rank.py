@@ -30,10 +30,38 @@ class TestRangebucketRank:
         }
         assert got == want
 
-    def test_all_equal_values_single_bucket(self, spark):
+    def test_all_equal_values_tie_bucket_fallback(self, spark):
+        # span == 0: buckets come from the TIE column (ADVICE r06 — a
+        # value-derived bucket would single-partition the whole relation)
         df = spark.createDataFrame([(5, i) for i in range(20)], "v long, id long")
         got = {r.id: r.rn for r in rangebucket_rank(df, "v", "id").collect()}
         assert got == {i: i + 1 for i in range(20)}
+
+    def test_all_equal_values_string_tie(self, spark):
+        ids = [f"k{i:03d}" for i in range(30)] + ["", "zz"]
+        df = spark.createDataFrame(
+            [(7, t) for t in ids], "v long, id string"
+        )
+        got = {r.id: r.rn for r in rangebucket_rank(df, "v", "id").collect()}
+        want = {t: rk + 1 for rk, t in enumerate(sorted(ids))}
+        assert got == want
+
+    def test_all_equal_values_null_ties_first(self, spark):
+        df = spark.createDataFrame(
+            [(5, None), (5, 10), (5, 2), (5, None)], "v long, id long"
+        )
+        out = sorted(
+            rangebucket_rank(df, "v", "id").collect(), key=lambda r: r.rn
+        )
+        # NULL ties sort first (Spark ASC default), then 2, then 10
+        assert [r.id for r in out] == [None, None, 2, 10]
+        assert [r.rn for r in out] == [1, 2, 3, 4]
+
+    def test_all_equal_values_and_ties(self, spark):
+        # every sort key identical: any assignment valid, ranks 1..N
+        df = spark.createDataFrame([(5, 1)] * 8, "v long, id long")
+        out = rangebucket_rank(df, "v", "id").collect()
+        assert sorted(r.rn for r in out) == list(range(1, 9))
 
     def test_nulls_excluded(self, spark):
         df = spark.createDataFrame(

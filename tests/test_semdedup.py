@@ -109,3 +109,63 @@ class TestSemDeDup:
             ).collect()
         }
         assert got == _brute_pairs(vecs, cells, 9, 10)
+
+
+def test_dim_mismatch_fails_fast(spark):
+    """ADVICE r06: a wrong ``dim`` must raise, not silently NULL the
+    unrolled dot/distance and corrupt the ranking (element_at past the
+    array end is NULL; NULL sorts first under the ascending window)."""
+    from snowflake_cdc_spark.operators.ivf_exact import _pair_dist
+
+    df = spark.createDataFrame(
+        [([1, 2, 3], [1, 2, 3])], "qa array<bigint>, qb array<bigint>"
+    )
+    # matching dim: exact distance
+    assert df.select(_pair_dist("qa", "qb", 3).alias("d")).collect()[0].d == 0
+    # dim larger than the vectors: loud failure
+    with pytest.raises(Exception, match="dim=4"):
+        df.select(_pair_dist("qa", "qb", 4).alias("d")).collect()
+
+
+def test_semdedup_dim_mismatch_fails_fast(spark):
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.01]), (3, [0.0, 1.0]), (4, [0.0, 0.99])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="dim=3"):
+        semantic_dup_pairs(emb, k=1, rounds=1, dim=3).collect()
+
+
+def test_hot_cell_cap_bounds_pair_join(spark):
+    """VERDICT r06 #1: a mega-cell (k-means can't split low-structure
+    mass) is dropped by ``cell_cap`` with a logged count; surviving
+    pairs are exactly the uncapped pairs minus the hot cell's —
+    capped ⊆ uncapped, small-cell pairs untouched."""
+    rng = random.Random(13)
+    rows = []
+    # hot cluster: 40 near-identical vectors around [1, 0]
+    hot_ids = list(range(100, 140))
+    for i in hot_ids:
+        rows.append((i, [1.0 + rng.uniform(-0.01, 0.01), rng.uniform(-0.01, 0.01)]))
+    # cold cluster: 8 near-identical vectors around [0, 1]
+    cold_ids = list(range(200, 208))
+    for i in cold_ids:
+        rows.append((i, [rng.uniform(-0.01, 0.01), 1.0 + rng.uniform(-0.01, 0.01)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def pairs(cap):
+        return {
+            (r.vec_a, r.vec_b)
+            for r in semantic_dup_pairs(
+                emb, t_num=19, t_den=20, k=2, rounds=2, cell_cap=cap
+            ).collect()
+        }
+
+    uncapped = pairs(None)
+    capped = pairs(16)
+    assert capped, "cold-cluster pairs must survive the cap"
+    assert capped <= uncapped
+    hot = set(hot_ids)
+    assert all(a not in hot and b not in hot for a, b in capped)
+    # the hot cluster's pairs were present before the cap
+    assert any(a in hot and b in hot for a, b in uncapped)

@@ -103,3 +103,42 @@ def test_planted_boilerplate_bounds_prefix_postings(spark):
         assert (0, n) in {(x[0], x[1]) for x in a}  # the planted pair found
     finally:
         toks.unpersist()
+
+
+def test_hot_shingle_prefix_prunes_all_candidates(spark):
+    """VERDICT r06 #4 skew posture: a boilerplate token shared by every
+    doc (max doc-frequency) never enters any prefix, so it generates
+    ZERO candidates — the raw postings self-join would emit C(n,2) rows
+    from it. Truth set equality on a planted near-dup pair is preserved."""
+    from pyspark.sql import functions as F
+
+    from snowflake_cdc_spark.operators.setsim import (
+        prefix_candidates,
+        prefix_filter_join,
+    )
+
+    rows = []
+    for d in range(50):
+        rows.append((d, "hot"))
+        for j in range(9):
+            rows.append((d, f"u{d}_{j}"))
+    # planted near-dup pair: docs 100/101 share 9 of 10 tokens (j=0.82)
+    for j in range(9):
+        rows.append((100, f"p{j}"))
+        rows.append((101, f"p{j}"))
+    rows.append((100, "x100"))
+    rows.append((101, "x101"))
+    toks = spark.createDataFrame(rows, "doc_id long, tok string")
+    raw = (
+        toks.select(F.col("doc_id").alias("a"), "tok")
+        .join(toks.select(F.col("doc_id").alias("b"), "tok"), "tok")
+        .filter("a < b")
+        .count()
+    )
+    assert raw >= 50 * 49 // 2  # the hot shingle alone is quadratic
+    cand = prefix_candidates(toks, 4, 5).collect()
+    assert {(r.da, r.db) for r in cand} == {(100, 101)}
+    got = prefix_filter_join(toks, 4, 5).collect()
+    assert [(r.doc_a, r.doc_b, r.n_inter, r.n_union) for r in got] == [
+        (100, 101, 9, 11)
+    ]
