@@ -122,10 +122,19 @@ def reconcile(
     target_table: str,
     raw_path: str,
     ts_col: str | None = None,
+    field_stats=None,
 ) -> list[str]:
     """The full E1→E2→E3 loop for one table. Returns the new columns
     found (empty → nothing to do, matching check_and_update_output's
-    no-op path)."""
+    no-op path).
+
+    ``field_stats`` (``streaming/field_stats.py``): when the always-on
+    per-field stats maintainer tracks the drifted fields, their
+    first-seen timestamps come from the maintained state instead of a
+    raw-zone scan — the reference's engine answers this probe from its
+    continuously-maintained statistics (add_output.py:264-274), and so
+    do we once the 5th maintainer runs. Fields the maintainer does not
+    track fall back to the one-aggregation scan."""
     target_cols = (
         sink.read(spark, target_table).columns if sink.exists(target_table) else []
     )
@@ -141,16 +150,29 @@ def reconcile(
         # reconciliation I/O by k)
         row_fields = {f.name.lower() for f in raw.schema["data"].dataType["row"].dataType.fields}
         probeable = [c for c in new_cols if c.lower() in row_fields]
-        if probeable:
+        maintained = {}
+        if field_stats is not None and probeable:
+            summ = {
+                r.field.lower(): r.first_seen
+                for r in field_stats.field_summary(spark).collect()
+            }
+            for c in probeable:
+                for key in (c.lower(), f"data.row.{c.lower()}"):
+                    if key in summ and summ[key] is not None:
+                        maintained[c] = summ[key]
+                        break
+        to_scan = [c for c in probeable if c not in maintained]
+        if to_scan:
             agg_row = raw.agg(
                 *[
                     F.min(
                         F.when(F.col(f"data.row.{c}").isNotNull(), F.col(ts_col))
                     ).alias(c)
-                    for c in probeable
+                    for c in to_scan
                 ]
             ).collect()[0]
-            usable = [agg_row[c] for c in probeable if agg_row[c] is not None]
+            usable = [agg_row[c] for c in to_scan if agg_row[c] is not None]
+        usable += list(maintained.values())
     if ts_col and usable:
         backfill(spark, pipeline, raw_path, min(usable), ts_col)
     else:

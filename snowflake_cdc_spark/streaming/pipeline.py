@@ -74,6 +74,7 @@ class CdcPipeline:
         quarantine_dir: str | None = None,
         dq_expectations: dict[str, list] | None = None,
         maintenance: MaintenancePolicy | None = None,
+        convergence=None,
     ) -> None:
         """``fail_on_write_error`` mirrors the reference's
         ``failOnWriteError: True`` default (add_output.py:115): a failing
@@ -88,7 +89,15 @@ class CdcPipeline:
         diverted to ``quarantine_dir/<table>/dq_batch=<id>`` and never
         reach the merge. Delete events are exempt (their after-image is
         legitimately NULL). Gating requires ``quarantine_dir``: a quality
-        gate that silently drops rows is a data-loss bug, not a policy."""
+        gate that silently drops rows is a data-loss bug, not a policy.
+
+        ``convergence`` (``streaming/convergence.py``): when set, every
+        successful table merge is followed by a snapshot-to-snapshot
+        ``table_diff`` of the versions the merge moved between, appended
+        to the monitor's ledger — the per-batch adds/removes/changed
+        observability surface. Monitor failures follow
+        ``fail_on_write_error`` (observability must not take a
+        permissive stream down)."""
         if dq_expectations and not quarantine_dir:
             raise ValueError(
                 "dq_expectations requires quarantine_dir — gated rows are "
@@ -101,6 +110,7 @@ class CdcPipeline:
         self.quarantine_dir = quarantine_dir
         self.dq_expectations = dq_expectations or {}
         self.maintenance = maintenance
+        self.convergence = convergence
         self.write_errors: list[tuple[str, int, str]] = []  # (table, batch, err)
         self.dq_violations: list[tuple[str, int, int]] = []  # (table, batch, n)
         self.metrics: list[BatchMetric] = []  # per-(table, batch) merge stats
@@ -222,6 +232,7 @@ class CdcPipeline:
                 reduced = latest_by_key(changes, keys, "seq")
                 try:
                     t0 = time.perf_counter()
+                    from_v = self.sink.current_version(spec.target_table)
                     version = self.sink.merge(
                         reduced,
                         spec.target_table,
@@ -240,6 +251,26 @@ class CdcPipeline:
                             round(time.perf_counter() - t0, 3),
                         )
                     )
+                    if self.convergence is not None:
+                        try:
+                            self.convergence.record(
+                                self.spark,
+                                spec.target_table,
+                                batch_id,
+                                from_v,
+                                int(version or 0),
+                                keys,
+                            )
+                        except Exception as ce:  # noqa: BLE001 - policy
+                            if self.fail_on_write_error:
+                                raise
+                            self.write_errors.append(
+                                (
+                                    spec.target_table,
+                                    batch_id,
+                                    f"convergence monitor failed: {ce}",
+                                )
+                            )
                 except Exception as e:  # noqa: BLE001 - policy decides
                     if self.fail_on_write_error:
                         raise

@@ -109,3 +109,40 @@ def test_pack_invariants_fuzzed(spark):
                     assert not r.straddles and r.last_bin == r.first_bin
 
     check()
+
+
+class TestBpePacking:
+    """q209 (VERDICT r06 #6): packing invariants at BPE granularity —
+    budgets in real trained-tokenizer tokens."""
+
+    def test_bpe_packing_invariants(self, spark):
+        from snowflake_cdc_spark.queries_round7_ext import q209
+
+        out = q209(spark, "/root/testdata/sf0.001").collect()
+        assert out, "no shards produced"
+        cap = 2048
+        for r in out:
+            # window count is exactly ceil(total/capacity)
+            assert r.n_bins == -(-r.total_tokens // cap)
+            # padding closes the last window exactly
+            assert r.pad_tokens == r.n_bins * cap - r.total_tokens
+            assert 0 <= r.pad_tokens < cap or r.total_tokens == 0
+            # a doc can straddle at most (its windows - 1); loose sanity:
+            assert 0 <= r.n_split_docs <= r.n_docs
+        # every document is packed exactly once (zero-token docs too)
+        from snowflake_cdc_spark.queries import _t
+
+        n_docs = _t(spark, "/root/testdata/sf0.001", "documents").count()
+        assert sum(r.n_docs for r in out) == n_docs
+
+    def test_zero_token_doc_still_packed(self, spark):
+        """A doc with no [a-z]+ words gets n_tokens=0 and a shard
+        assignment (the LEFT-join contract)."""
+        from snowflake_cdc_spark.operators.packing import pack_sequences
+
+        df = spark.createDataFrame(
+            [(1, 0), (2, 100), (3, 0)], "doc_id long, n_toks long"
+        )
+        out = {r.doc_id: r for r in pack_sequences(df, "doc_id", "n_toks", 64, 4).collect()}
+        assert set(out) == {1, 2, 3}
+        assert all(not out[d].straddles for d in (1, 3))

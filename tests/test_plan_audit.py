@@ -105,3 +105,46 @@ class TestAuditRules:
 
     def test_take_ordered_passes(self):
         assert audit_plan(TAKE_ORDERED) == []
+
+
+ROW_UDF = """AdaptiveSparkPlan isFinalPlan=false
++- Project [pythonUDF0#21 AS y#9]
+   +- BatchEvalPython [f(x#0L)#8], [pythonUDF0#21]
+      +- Range (0, 100, step=1, splits=32)"""
+
+ARROW_UDF = """AdaptiveSparkPlan isFinalPlan=false
++- Project [pythonUDF0#21 AS y#9]
+   +- ArrowEvalPython [f(x#0L)#8], [pythonUDF0#21], 200
+      +- Range (0, 100, step=1, splits=32)"""
+
+
+class TestPythonBoundary:
+    def test_row_udf_flagged(self):
+        flags = audit_plan(ROW_UDF)
+        assert len(flags) == 1 and flags[0].startswith("row-udf: BatchEvalPython")
+
+    def test_arrow_udf_flagged(self):
+        flags = audit_plan(ARROW_UDF)
+        assert flags == ["arrow-python: ArrowEvalPython"]
+
+    def test_planted_row_udf_real_plan(self, spark):
+        """The gate fires on a REAL row-at-a-time UDF plan, not just
+        synthetic text (VERDICT r06 #5 'planted row-UDF test')."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
+
+        nasty = F.udf(lambda x: x + 1, LongType())
+        df = spark.range(10).select(nasty("id").alias("y"))
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        flags = audit_plan(plan)
+        assert any(f.startswith("row-udf: BatchEvalPython") for f in flags)
+
+    def test_pandas_udf_real_plan_is_arrow_not_row(self, spark):
+        from pyspark.sql.functions import pandas_udf
+
+        plus_one = pandas_udf(lambda s: s + 1, "long")
+        df = spark.range(10).select(plus_one("id").alias("y"))
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        flags = audit_plan(plan)
+        assert any(f.startswith("arrow-python") for f in flags)
+        assert not any(f.startswith("row-udf") for f in flags)

@@ -17,6 +17,14 @@ the argument lists the detectors need), and flags:
 - ``CartesianProduct`` (the non-broadcast nested loop). Broadcast
   nested-loop joins pass: the build side was provably small enough to
   ship.
+- Python-boundary discipline (VERDICT r06 #5): ``BatchEvalPython``
+  (the row-at-a-time Python UDF node) fails ANYWHERE — there is no
+  whitelist for it; every Python boundary in this repo must be
+  Arrow-batched. Arrow/pandas nodes (``ArrowEvalPython``,
+  ``MapInPandas``, ``FlatMapGroupsInPandas``, ``MapInArrow``, …) fail
+  unless the query is enumerated in ``PY_WHITELIST`` — the pandas
+  ADC/assignment/multimodal lanes where the Python stage IS the
+  operator.
 
 Every flagged site must be covered by the WHITELIST below — an
 enumerated, per-query budget of sites that are KNOWN constant-bounded
@@ -96,6 +104,58 @@ WHITELIST: dict[str, tuple[int, str]] = {
 }
 
 
+# query -> (max allowed Arrow-python sites, reason). Row-UDF
+# (BatchEvalPython) sites are NEVER whitelistable. Every entry below is
+# a lane where the Arrow-batched Python stage IS the operator (decode,
+# ADC lookup, vectorized assignment) — not an expression that belongs
+# in JVM codegen.
+PY_WHITELIST: dict[str, tuple[int, str]] = {
+    "q34_multimodal_features": (
+        1,
+        "mapInPandas media decode — the multimodal boundary is the lane",
+    ),
+    "q52_ivf_ann": (
+        1,
+        "vectorized pandas_udf centroid assignment (operators/ivf.py)",
+    ),
+    "q52b_ivf_full_probe": (
+        2,
+        "pandas_udf assignment on both the corpus and the exhaustive "
+        "probe side",
+    ),
+    "q68_pandas_cosine": (
+        1,
+        "the scalar pandas_udf demonstration lane (SURVEY §2.8 UDF "
+        "surface) — the Arrow boundary is the subject under test",
+    ),
+    "q69_grouped_pandas_norm": (
+        1,
+        "applyInPandas grouped normalization — ditto",
+    ),
+    "q133_pq_ann": (
+        2,
+        "pandas_udf PQ encode + vectorized ADC lookup (operators/pq.py; "
+        "site count varies 0-2 with whether the codebook stage is "
+        "already materialized when the plan is built)",
+    ),
+    "q144_ivfpq_ann": (
+        2,
+        "pandas_udf IVF assignment + vectorized ADC lookup "
+        "(operators/ivfpq.py)",
+    ),
+    "q163_media_roundtrip": (
+        2,
+        "mapInPandas BMP decode + re-encode stages "
+        "(operators/multimodal.py)",
+    ),
+    "q186_audio_frame_energy": (
+        3,
+        "mapInPandas WAV decode + frame-energy stages "
+        "(operators/multimodal.py)",
+    ),
+}
+
+
 def _load_entry():
     spec = importlib.util.spec_from_file_location(
         "__spark_entry__", os.path.join(os.path.dirname(__file__), "..", "__spark_entry__.py")
@@ -142,6 +202,22 @@ _PASS_PARENTS = {
 }
 _WINDOW_NODES = {"Window", "WindowGroupLimit", "WindowInPandas"}
 
+# row-at-a-time Python UDF evaluation — the slow path, banned outright
+_ROW_UDF_NODES = {"BatchEvalPython"}
+# Arrow-batched Python boundaries — allowed only in whitelisted lanes
+_ARROW_NODES = {
+    "ArrowEvalPython",
+    "MapInPandas",
+    "MapInArrow",
+    "PythonMapInArrow",
+    "FlatMapGroupsInPandas",
+    "FlatMapGroupsInPandasWithState",
+    "TransformWithStateInPandas",
+    "FlatMapCoGroupsInPandas",
+    "AggregateInPandas",
+    "WindowInPandas",
+}
+
 
 def audit_plan(plan: str) -> list[str]:
     """Flagged sites (human-readable) in one physical plan dump."""
@@ -187,6 +263,13 @@ def audit_plan(plan: str) -> list[str]:
                 )
         elif nm == "CartesianProduct":
             flags.append("cartesian: CartesianProduct")
+        elif nm in _ROW_UDF_NODES:
+            flags.append(
+                f"row-udf: {nm} (row-at-a-time Python UDF — use a "
+                "pandas_udf / mapInPandas boundary instead)"
+            )
+        elif nm in _ARROW_NODES:
+            flags.append(f"arrow-python: {nm}")
     return flags
 
 
@@ -209,22 +292,44 @@ def main(argv: list[str]) -> int:
             continue
         flags = audit_plan(plan)
         audited += 1
+        plan_flags = [f for f in flags if not f.startswith(("row-udf", "arrow-python"))]
+        row_flags = [f for f in flags if f.startswith("row-udf")]
+        arrow_flags = [f for f in flags if f.startswith("arrow-python")]
+
+        over = []
         allowed, reason = WHITELIST.get(name, (0, ""))
-        if len(flags) > allowed:
-            bad.append((name, flags[allowed:] if allowed else flags))
-            print(f"FAIL {name}: {len(flags)} flagged site(s), {allowed} allowed")
-            for f in flags:
+        if len(plan_flags) > allowed:
+            over += plan_flags[allowed:] if allowed else plan_flags
+        pallowed, preason = PY_WHITELIST.get(name, (0, ""))
+        if len(arrow_flags) > pallowed:
+            over += arrow_flags[pallowed:] if pallowed else arrow_flags
+        over += row_flags  # no whitelist for row-at-a-time UDFs
+
+        if over:
+            bad.append((name, over))
+            print(f"FAIL {name}: {len(over)} unlisted site(s)")
+            for f in over:
                 print(f"     - {f}")
         elif flags:
-            print(f"ok   {name}: {len(flags)} whitelisted site(s) [{reason}]")
-        if allowed and len(flags) < allowed:
+            parts = []
+            if plan_flags:
+                parts.append(f"{len(plan_flags)} plan [{reason}]")
+            if arrow_flags:
+                parts.append(f"{len(arrow_flags)} arrow-python [{preason}]")
+            print(f"ok   {name}: whitelisted {'; '.join(parts)}")
+        if allowed and len(plan_flags) < allowed:
             print(
                 f"warn {name}: whitelist budget {allowed} > observed "
-                f"{len(flags)} — prune the stale entry"
+                f"{len(plan_flags)} — prune the stale entry"
+            )
+        if pallowed and len(arrow_flags) < pallowed:
+            print(
+                f"warn {name}: PY whitelist budget {pallowed} > observed "
+                f"{len(arrow_flags)} — prune the stale entry"
             )
     print(
         f"\n{audited} plans audited, {len(bad)} with unlisted "
-        f"global-window/global-sort/cartesian sites"
+        f"global-window/global-sort/cartesian/python-boundary sites"
     )
     return 1 if bad else 0
 
