@@ -1,15 +1,25 @@
-"""Round-7 extension lanes — tokenizer-aware shaping of the training
-pipeline:
+"""Round-7 extension lanes — tokenizer-aware shaping and selection of
+the training corpus:
 
 - q209 BPE-token sequence packing (VERDICT r06 #6): the q114
   concat-and-chunk packer re-run at REAL trained-tokenizer
-  granularity, composing the exact q145/q146 BPE lane.
+  granularity, composing the exact q145/q146 BPE lane;
+- q210 stratified train/val/test split: per-source md5 rank + exact
+  integer boundaries — stratum counts exact, not hash-approximate;
+- q211 token-budget corpus selection: greedy quality-ranked knapsack
+  prefix, sort-free (skewed_count_rank + the q203 bucketed cumsum);
+- q212 intra-document repetition score: dup word-3-gram fraction —
+  the within-doc complement of the corpus dedup family;
+- q213 per-field stats report: the batch form of the 5th streaming
+  maintainer (A1 value distribution + A2 first/last-seen together);
+- q214 train/test split contamination: per-test-doc fraction of
+  5-gram shingles that leak from the train split — the
+  decontamination audit composed on q210's deterministic split.
 
 All lanes keep the standing disciplines: token-identical DuckDB
-oracles (BPE token counts are exact integers, so the composition
-inherits the complete oracle), md5-only randomness, no global sorts
-(the packer's only ordered region is the per-bucket prefix sum; the
-BPE rounds touch vocab-sized relations only).
+oracles (exact integer/md5 algebra end to end), md5-only randomness,
+no global sorts (per-source/per-bucket windows only; the one
+unpartitioned window in q211 is the 256-row bucket-offsets table).
 """
 
 from __future__ import annotations
@@ -125,3 +135,420 @@ def q209(spark, sf_dir):
         )
     )
     return packing_stats(perdoc, "doc_id", "n_toks", capacity=2048, n_buckets=16)
+
+
+# --------------------------------------------------------------------------
+# Q210 — stratified train/val/test split assignment (exact boundaries)
+# --------------------------------------------------------------------------
+
+_SPLIT_ORACLE = """
+WITH d AS (SELECT doc_id, source,
+                  CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT)
+                    AS n_toks,
+                  md5(CAST(doc_id AS VARCHAR)) AS h
+           FROM documents),
+r AS (SELECT *,
+             row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM d),
+s AS (SELECT source, n_toks,
+             CASE WHEN rk <= (8 * n) // 10 THEN 'train'
+                  WHEN rk <= (9 * n) // 10 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM r)
+SELECT source, split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_toks) AS BIGINT) AS n_tokens
+FROM s GROUP BY source, split ORDER BY source, split
+"""
+
+
+@register(
+    "q210_stratified_split",
+    _SPLIT_ORACLE,
+    "stratified train/val/test assignment: per SOURCE, documents rank "
+    "by md5(doc_id) (deterministic shuffle within the stratum) and "
+    "split at the exact integer boundaries rank <= 8n DIV 10 (train) "
+    "and rank <= 9n DIV 10 (val) — unlike hash-threshold splitting "
+    "(which only approximates ratios in expectation), the per-source "
+    "counts are EXACT: train+val+test == n and each split is within "
+    "one document of its ratio, per stratum. The only windows are "
+    "per-source (partitioned — a stratum is never the whole corpus); "
+    "the oracle re-derives ranks, boundaries, and per-(source, split) "
+    "doc/token totals",
+)
+def q210(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.size(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+        )
+        .cast("bigint")
+        .alias("n_toks"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    wn = Window.partitionBy("source")
+    r = d.withColumn("rk", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    split = (
+        F.when(F.col("rk") <= F.expr("(8 * n) DIV 10"), "train")
+        .when(F.col("rk") <= F.expr("(9 * n) DIV 10"), "val")
+        .otherwise("test")
+    )
+    return (
+        r.groupBy("source", split.alias("split"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("n_tokens"),
+        )
+        .orderBy("source", "split")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q211 — token-budget corpus selection (greedy by quality rank, sort-free)
+# --------------------------------------------------------------------------
+
+_BUDGET = 20_000
+_SEL_BUCKETS = 256
+
+_BUDGET_ORACLE = f"""
+WITH d AS (SELECT doc_id, source,
+                  regexp_extract_all(lower(text), '[a-z]+') AS ws
+           FROM documents),
+sc AS (SELECT doc_id, source,
+              CAST(len(ws) AS BIGINT) AS n_toks,
+              CAST(len(list_distinct(ws)) AS BIGINT) AS score
+       FROM d),
+f AS (SELECT * FROM sc WHERE score >= 1),
+r AS (SELECT *,
+             row_number() OVER (ORDER BY score DESC,
+                                md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM f),
+c AS (SELECT *,
+             sum(n_toks) OVER (ORDER BY rk
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS cum
+      FROM r),
+sel AS (SELECT * FROM c WHERE cum <= {_BUDGET})
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_selected,
+       CAST(sum(n_toks) AS BIGINT) AS tokens_selected,
+       CAST(min(score) AS BIGINT) AS min_score
+FROM sel GROUP BY source ORDER BY source
+"""
+
+
+@register(
+    "q211_budget_selection",
+    _BUDGET_ORACLE,
+    "token-budget corpus selection: pick documents in quality order "
+    "(score = distinct-word count, a vocabulary-richness proxy; ties "
+    "by md5 then id) until the cumulative token budget is exhausted — "
+    "the greedy knapsack every 'train on the best N tokens' job runs. "
+    "Sort-free at scale: the quality order comes from "
+    "operators/rank.py::skewed_count_rank (exact-count buckets + md5 "
+    "sub-buckets — the q174/q188 machinery), and the running token "
+    "total along that order uses the q203 range-bucket + broadcast-"
+    "offset cumsum (256 fixed buckets; the only unpartitioned window "
+    "is the 256-row offsets table). The md5 tie order INSIDE an equal-"
+    "score block determines which of those docs make the budget cut, "
+    "so the oracle uses the identical (score DESC, md5, id) order — "
+    "hash-identical selection, never a coin flip",
+)
+def q211(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from snowflake_cdc_spark.operators.rank import skewed_count_rank
+
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+    sc = docs.select(
+        "doc_id",
+        "source",
+        F.size(ws).cast("bigint").alias("n_toks"),
+        F.size(F.array_distinct(ws)).cast("bigint").alias("score"),
+    ).filter(F.col("score") >= 1)
+    ranked = skewed_count_rank(
+        sc, "score", "doc_id", ascending=False, rank_col="rk"
+    )
+    n = sc.agg(F.count(F.lit(1)).alias("__n"))
+    keyed = (
+        ranked.crossJoin(F.broadcast(n))
+        .withColumn(
+            "__rb",
+            F.expr(f"CAST(((rk - 1) * {_SEL_BUCKETS}) DIV __n AS BIGINT)"),
+        )
+        .localCheckpoint(eager=True)  # both branches read the rank subtree
+    )
+    per_bucket = keyed.groupBy("__rb").agg(F.sum("n_toks").alias("__bt"))
+    offsets = per_bucket.select(
+        "__rb",
+        (F.sum("__bt").over(Window.orderBy("__rb")) - F.col("__bt")).alias(
+            "__off"
+        ),
+    )
+    w_intra = (
+        Window.partitionBy("__rb")
+        .orderBy("rk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sel = (
+        keyed.join(F.broadcast(offsets), "__rb")
+        .withColumn("cum", F.col("__off") + F.sum("n_toks").over(w_intra))
+        .filter(F.col("cum") <= _BUDGET)
+    )
+    return (
+        sel.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_selected"),
+            F.sum("n_toks").cast("bigint").alias("tokens_selected"),
+            F.min("score").cast("bigint").alias("min_score"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q212 — intra-document repetition score (dup 3-gram fraction)
+# --------------------------------------------------------------------------
+
+_REP_ORACLE = """
+WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+           FROM documents),
+g AS (SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(ws) - 2),
+                    i -> array_to_string(ws[i:i+2], ' '))) AS gram
+      FROM d WHERE len(ws) >= 3),
+per AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS c
+        FROM g GROUP BY 1, 2),
+agg AS (SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_grams,
+               CAST(count(*) AS BIGINT) AS n_distinct
+        FROM per GROUP BY 1)
+SELECT doc_id, n_grams, n_distinct,
+       n_grams - n_distinct AS n_repeats,
+       CAST((n_grams - n_distinct) * 1000000 // n_grams AS BIGINT) AS rep_ppm
+FROM agg WHERE n_grams - n_distinct > 0 ORDER BY doc_id
+"""
+
+
+@register(
+    "q212_repetition_score",
+    _REP_ORACLE,
+    "intra-document repetition score — the within-doc complement of "
+    "the corpus-level dedup family (q25-q28 find docs similar to OTHER "
+    "docs; this finds docs that repeat THEMSELVES — boilerplate loops, "
+    "template spam, degenerate generations; standard C4/Gopher-style "
+    "quality filter). Per doc: total word-3-gram occurrences, distinct "
+    "3-grams, repeated occurrences = total - distinct, and exact "
+    "integer rep_ppm; only repeating docs are emitted. One corpus "
+    "scan, one explode bounded by document length, two map-side-"
+    "combined aggregations — no joins, no windows",
+)
+def q212(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+    d = docs.select("doc_id", ws.alias("ws")).filter(F.size("ws") >= 3)
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws") - 2),
+                lambda i: F.concat_ws(" ", F.slice("ws", i, F.lit(3))),
+            )
+        ).alias("gram"),
+    )
+    per = grams.groupBy("doc_id", "gram").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    agg = per.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_grams"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+    )
+    return (
+        agg.select(
+            "doc_id",
+            "n_grams",
+            "n_distinct",
+            (F.col("n_grams") - F.col("n_distinct")).alias("n_repeats"),
+            F.expr(
+                "CAST((n_grams - n_distinct) * 1000000 DIV n_grams AS BIGINT)"
+            ).alias("rep_ppm"),
+        )
+        .filter(F.col("n_repeats") > 0)
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q213 — per-field stats report (batch form of the 5th maintainer)
+# --------------------------------------------------------------------------
+
+_FIELD_STATS_ORACLE = """
+WITH src AS (SELECT event_type,
+                    strftime(date_trunc('month', ts), '%Y-%m') AS month,
+                    ts
+             FROM events),
+stacked AS (
+  SELECT 'event_type' AS field, CAST(event_type AS VARCHAR) AS val, ts FROM src
+  UNION ALL
+  SELECT 'month', month, ts FROM src)
+SELECT field, val,
+       CAST(count(*) AS BIGINT) AS cnt,
+       date_trunc('second', min(ts)) AS first_seen,
+       date_trunc('second', max(ts)) AS last_seen
+FROM stacked WHERE val IS NOT NULL
+GROUP BY field, val ORDER BY field, val
+"""
+
+
+@register(
+    "q213_field_stats_report",
+    _FIELD_STATS_ORACLE,
+    "per-field statistics report (streaming/field_stats.py::"
+    "field_stats_report — the one-shot batch form of the 5th "
+    "maintainer, and the A1+A2 surfaces computed TOGETHER): per "
+    "(field, value), exact count plus first/last-seen event time, over "
+    "a stacked multi-field projection — the reference's always-on "
+    "inspection service (add_output.py:264-274, 524-525) as one "
+    "map-side-combined aggregation. The maintained streaming state "
+    "equals this report by the sum/min/max merge laws "
+    "(parity-fuzzed in test_field_stats_stream.py)",
+)
+def q213(spark, sf_dir):
+    from snowflake_cdc_spark.queries import ntz
+    from snowflake_cdc_spark.streaming.field_stats import field_stats_report
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format(F.date_trunc("month", "ts"), "yyyy-MM").alias("month"),
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    rep = field_stats_report(ev, ["event_type", "month"], ts_col="ts")
+    return ntz(
+        rep.select(
+            "field",
+            "val",
+            "cnt",
+            F.date_trunc("second", "first_seen").alias("first_seen"),
+            F.date_trunc("second", "last_seen").alias("last_seen"),
+        )
+    ).orderBy("field", "val")
+
+
+# --------------------------------------------------------------------------
+# Q214 — train/test split contamination (composes q210's split)
+# --------------------------------------------------------------------------
+
+_CONTAM_ORACLE = """
+WITH d AS (SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z]+') AS ws,
+                  md5(CAST(doc_id AS VARCHAR)) AS h
+           FROM documents),
+r AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM d),
+s AS (SELECT doc_id, source, ws,
+             CASE WHEN rk <= (8 * n) // 10 THEN 'train'
+                  WHEN rk <= (9 * n) // 10 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM r),
+g AS (SELECT split, doc_id, source,
+             unnest(list_transform(generate_series(1, len(ws) - 4),
+                    i -> array_to_string(ws[i:i+4], ' '))) AS gram
+      FROM s WHERE len(ws) >= 5),
+tr AS (SELECT DISTINCT gram FROM g WHERE split = 'train'),
+te AS (SELECT DISTINCT doc_id, source, gram FROM g WHERE split = 'test'),
+per AS (SELECT te.doc_id, te.source,
+               CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(CASE WHEN tr.gram IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_contam
+        FROM te LEFT JOIN tr USING (gram)
+        GROUP BY 1, 2)
+SELECT doc_id, source, n_grams, n_contam,
+       CAST(n_contam * 1000000 // n_grams AS BIGINT) AS contam_ppm
+FROM per ORDER BY doc_id
+"""
+
+
+@register(
+    "q214_split_contamination",
+    _CONTAM_ORACLE,
+    "train/test contamination audit — the decontamination check every "
+    "eval pipeline needs, composed directly on q210's deterministic "
+    "split: for each TEST document, the fraction of its distinct "
+    "word-5-gram shingles that also appear anywhere in the TRAIN "
+    "split (a contaminated eval doc inflates benchmark scores; this "
+    "lane finds them BEFORE the split ships). One shingle-keyed "
+    "LEFT join of the test postings against the distinct train-gram "
+    "relation — contamination is counted on the join key, never "
+    "doc x doc — plus exact integer ppm. The oracle re-derives the "
+    "split, both shingle sets, and every per-doc count",
+)
+def q214(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+    d = docs.select(
+        "doc_id",
+        "source",
+        ws.alias("ws"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    wn = Window.partitionBy("source")
+    r = d.withColumn("rk", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    s = r.select(
+        "doc_id",
+        "source",
+        "ws",
+        F.when(F.col("rk") <= F.expr("(8 * n) DIV 10"), "train")
+        .when(F.col("rk") <= F.expr("(9 * n) DIV 10"), "val")
+        .otherwise("test")
+        .alias("split"),
+    ).filter(F.size("ws") >= 5)
+    g = s.select(
+        "split",
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws") - 4),
+                lambda i: F.concat_ws(" ", F.slice("ws", i, F.lit(5))),
+            )
+        ).alias("gram"),
+    )
+    tr = g.filter("split = 'train'").select("gram").distinct()
+    te = (
+        g.filter("split = 'test'")
+        .select("doc_id", "source", "gram")
+        .distinct()
+    )
+    per = (
+        te.join(tr.withColumn("__hit", F.lit(1)), "gram", "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_contam"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "source",
+        "n_grams",
+        "n_contam",
+        F.expr("CAST(n_contam * 1000000 DIV n_grams AS BIGINT)").alias(
+            "contam_ppm"
+        ),
+    ).orderBy("doc_id")

@@ -50,9 +50,33 @@ from pyspark.sql import functions as F
 from snowflake_cdc_spark.operators.stats import backfill_start
 from snowflake_cdc_spark.streaming.state_store import latest_snapshot
 
-__all__ = ["FieldStatsMaintainer"]
+__all__ = ["FieldStatsMaintainer", "field_stats_report"]
 
 _STATE_COLS = ["field", "val", "cnt", "first_seen", "last_seen"]
+
+
+def field_stats_report(
+    df: DataFrame, fields: list[str], ts_col: str = "ts"
+) -> DataFrame:
+    """(field, val, cnt, first_seen, last_seen) — the one-shot batch
+    form of the maintained state (and the maintainer's per-batch
+    summary): one stack + one map-side-combined aggregation. Dotted
+    names are nested-struct paths; NULL values are absent by the
+    first/last-seen contract (a field "holds data" when non-null)."""
+    n = len(fields)
+    pairs = ", ".join(
+        f"'{f}', CAST({f if '.' in f else '`' + f + '`'} AS STRING)"
+        for f in fields
+    )
+    stacked = df.select(
+        F.expr(f"stack({n}, {pairs})").alias("field", "val"),
+        F.col(ts_col).alias("__ts"),
+    ).filter(F.col("val").isNotNull())
+    return stacked.groupBy("field", "val").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.min("__ts").alias("first_seen"),
+        F.max("__ts").alias("last_seen"),
+    )
 
 
 class FieldStatsMaintainer:
@@ -73,24 +97,9 @@ class FieldStatsMaintainer:
     # ------------------------------------------------------------- batch step
 
     def _batch_summary(self, batch: DataFrame) -> DataFrame:
-        """(field, val, cnt, first_seen, last_seen) at batch granularity:
-        one stack + one map-side-combined aggregation."""
-        n = len(self.fields)
-        # dotted names are nested-struct PATHS (data.row.o_comment), not
-        # literal column names — only bare names get backticked
-        pairs = ", ".join(
-            f"'{f}', CAST({f if '.' in f else '`' + f + '`'} AS STRING)"
-            for f in self.fields
-        )
-        stacked = batch.select(
-            F.expr(f"stack({n}, {pairs})").alias("field", "val"),
-            F.col(self.ts_col).alias("__ts"),
-        ).filter(F.col("val").isNotNull())
-        return stacked.groupBy("field", "val").agg(
-            F.count(F.lit(1)).cast("bigint").alias("cnt"),
-            F.min("__ts").alias("first_seen"),
-            F.max("__ts").alias("last_seen"),
-        )
+        """(field, val, cnt, first_seen, last_seen) at batch granularity
+        — the shared one-shot report over just this batch."""
+        return field_stats_report(batch, self.fields, self.ts_col)
 
     def process_batch(self, batch: DataFrame, batch_id: int = 0) -> None:
         spark = batch.sparkSession

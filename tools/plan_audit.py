@@ -101,6 +101,12 @@ WHITELIST: dict[str, tuple[int, str]] = {
         "rows (the shuffle-rank offsets window lives inside the "
         "materialized checkpoint, audited via q120)",
     ),
+    "q211_budget_selection": (
+        1,
+        "bucket-offsets running sum over 256 fixed range buckets (the "
+        "q203 cumsum shape; the skewed_count_rank windows live inside "
+        "the materialized checkpoint, audited via q174/q188)",
+    ),
 }
 
 
