@@ -45,11 +45,25 @@ def peak_concurrency_by_bucket(
     start_col: str = "start_ts",
     end_col: str = "end_ts",
     bucket: str = "hour",
+    include_empty_buckets: bool = False,
 ) -> DataFrame:
     """(bucket_ts, n_starts, peak): per time bucket, how many intervals
     begin in it and the maximum number simultaneously active within it
     (half-open intervals: an interval ending exactly when another starts
-    does not overlap it)."""
+    does not overlap it).
+
+    By default only buckets CONTAINING a boundary appear — a bucket
+    spanned entirely by one long session (no starts, no ends inside it)
+    emits no row, though sessions are active throughout. With
+    ``include_empty_buckets=True`` the full bucket spine between the
+    first and last boundary bucket is emitted; a boundary-free bucket
+    reports ``n_starts = 0`` and ``peak = carry`` (the sessions running
+    straight through it). The spine is generated with ``sequence()``
+    over the bucket RANGE (timeline-sized, like the carry window — not
+    data-sized) and ``bucket`` must then be one of hour/day/week so the
+    stride is a fixed interval."""
+    _STRIDES = {"hour": "interval 1 hour", "day": "interval 1 day",
+                "week": "interval 7 days"}
     starts = intervals.select(
         F.col(start_col).alias("t"), F.lit(1).alias("delta")
     )
@@ -80,6 +94,21 @@ def peak_concurrency_by_bucket(
         F.sum("delta").alias("net"),
         F.sum("n_starts").cast("bigint").alias("n_starts"),
     )
+    if include_empty_buckets:
+        stride = _STRIDES[bucket]  # unsupported bucket: loud KeyError
+        ext = per_bucket.agg(F.min("bkt").alias("lo"), F.max("bkt").alias("hi"))
+        spine = ext.select(
+            F.explode(F.expr(f"sequence(lo, hi, {stride})")).alias("bkt")
+        )
+        per_bucket = spine.join(per_bucket, "bkt", "left").select(
+            "bkt",
+            "max_run",  # NULL marks a boundary-free bucket
+            "t0",
+            F.coalesce(F.col("net"), F.lit(0)).alias("net"),
+            F.coalesce(F.col("n_starts"), F.lit(0))
+            .cast("bigint")
+            .alias("n_starts"),
+        )
     # carry-in: running net of PRIOR buckets — the only unpartitioned
     # window, over the bucket-count-sized table
     w_carry = Window.orderBy("bkt").rowsBetween(
@@ -94,8 +123,11 @@ def peak_concurrency_by_bucket(
             "n_starts",
             # the bucket-start instant is a peak candidate (= bare carry)
             # only when no boundary sits exactly there; otherwise that
-            # instant's concurrency is already carry + run(t0)
-            F.when(
+            # instant's concurrency is already carry + run(t0). A
+            # boundary-free spine bucket (max_run NULL) is the carry
+            # throughout — explicit guard, not greatest()'s null-skip
+            F.when(F.col("max_run").isNull(), F.col("carry"))
+            .when(
                 F.col("t0") == F.col("bkt"),
                 F.col("carry") + F.col("max_run"),
             )

@@ -14,7 +14,10 @@ the training corpus:
   maintainer (A1 value distribution + A2 first/last-seen together);
 - q214 train/test split contamination: per-test-doc fraction of
   5-gram shingles that leak from the train split — the
-  decontamination audit composed on q210's deterministic split.
+  decontamination audit composed on q210's deterministic split;
+- q215 concurrency timeline: the q152 sweep line with the full bucket
+  spine, so boundary-free hours report the carry running through
+  them (closes the 'no boundaries' gap the r06 verdict named).
 
 All lanes keep the standing disciplines: token-identical DuckDB
 oracles (exact integer/md5 algebra end to end), md5-only randomness,
@@ -552,3 +555,72 @@ def q214(spark, sf_dir):
             "contam_ppm"
         ),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Q215 — concurrency timeline with a full bucket spine (empty hours too)
+# --------------------------------------------------------------------------
+
+_TIMELINE_ORACLE = """
+WITH iv AS (SELECT ts AS s, ts + INTERVAL 180 MINUTE AS e FROM events
+            WHERE event_id % 997 = 0),
+b AS (SELECT s AS t, 1 AS delta FROM iv UNION ALL SELECT e, -1 FROM iv),
+pi AS (SELECT date_trunc('hour', t) AS bkt, t, sum(delta) AS delta,
+              CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_starts
+       FROM b GROUP BY 1, 2),
+sw AS (SELECT bkt, t, delta, n_starts,
+              sum(delta) OVER (PARTITION BY bkt ORDER BY t
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+       FROM pi),
+pb AS (SELECT bkt, max(run) AS max_run, min(t) AS t0, sum(delta) AS net,
+              CAST(sum(n_starts) AS BIGINT) AS n_starts
+       FROM sw GROUP BY 1),
+spine AS (SELECT unnest(generate_series((SELECT min(bkt) FROM pb),
+                                        (SELECT max(bkt) FROM pb),
+                                        INTERVAL 1 HOUR)) AS bkt),
+pbs AS (SELECT spine.bkt, pb.max_run, pb.t0,
+               coalesce(pb.net, 0) AS net,
+               coalesce(pb.n_starts, 0) AS n_starts
+        FROM spine LEFT JOIN pb USING (bkt))
+SELECT bucket_ts, n_starts,
+       CAST(CASE WHEN max_run IS NULL THEN carry
+                 WHEN t0 = bucket_ts THEN carry + max_run
+                 ELSE greatest(carry, carry + max_run) END AS BIGINT) AS peak
+FROM (SELECT bkt AS bucket_ts, t0, n_starts, max_run,
+             coalesce(sum(net) OVER (ORDER BY bkt
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS carry
+      FROM pbs)
+ORDER BY bucket_ts
+"""
+
+
+@register(
+    "q215_concurrency_timeline",
+    _TIMELINE_ORACLE,
+    "concurrency TIMELINE (q152's sweep line with "
+    "include_empty_buckets=True): a sparse session sample (3-hour "
+    "sessions) where most hours contain NO boundary — the default "
+    "sweep output skips them even when sessions run straight through "
+    "(the 'exact per-hour concurrency' gap the r06 verdict named); the "
+    "spine mode emits every hour between the first and last boundary "
+    "bucket, with peak = carry for boundary-free hours. The spine is "
+    "sequence() over the bucket RANGE — timeline-sized like the carry "
+    "window, never data-sized. The oracle re-derives the spine with "
+    "generate_series and the identical carry/peak algebra",
+)
+def q215(spark, sf_dir):
+    from snowflake_cdc_spark.operators.sweepline import (
+        peak_concurrency_by_bucket,
+    )
+    from snowflake_cdc_spark.queries import ntz
+
+    ev = _t(spark, sf_dir, "events").filter("event_id % 997 = 0")
+    iv = ev.select(
+        F.col("ts").cast("timestamp").alias("start_ts"),
+        (F.col("ts").cast("timestamp") + F.expr("INTERVAL 180 MINUTES")).alias(
+            "end_ts"
+        ),
+    )
+    return ntz(
+        peak_concurrency_by_bucket(iv, bucket="hour", include_empty_buckets=True)
+    )

@@ -39,6 +39,23 @@ class TestSweepLine:
         rows = peak_concurrency_by_bucket(iv).collect()
         assert [(r.n_starts, r.peak) for r in rows] == [(2, 1)]
 
+    def test_empty_bucket_spine_reports_carry(self, spark):
+        # one session 00:30 -> 03:10: hours 01 and 02 contain NO
+        # boundary; the default output skips them, the spine mode
+        # reports peak = carry = 1 (the session runs straight through)
+        iv = self._iv(spark, [(0, 30, 3, 10), (0, 40, 0, 50)])
+        default = {
+            r.bucket_ts.hour for r in peak_concurrency_by_bucket(iv).collect()
+        }
+        assert default == {0, 3}
+        spine = {
+            r.bucket_ts.hour: (r.n_starts, r.peak)
+            for r in peak_concurrency_by_bucket(
+                iv, include_empty_buckets=True
+            ).collect()
+        }
+        assert spine == {0: (2, 2), 1: (0, 1), 2: (0, 1), 3: (0, 1)}
+
 
 class TestFrequentPairs:
     def test_apriori_prune_and_counts(self, spark):
