@@ -45,17 +45,30 @@ def _pair_dist(a_col: str, b_col: str, dim: int | None):
         t = F.element_at(a_col, i) - F.element_at(b_col, i)
         term = t * t
         out = term if out is None else out + term
-    # fail FAST on a dim misconfiguration: element_at past the array end
-    # is NULL, a NULL dist sorts FIRST under the ascending window
-    # (Spark default nulls-first) and would silently corrupt the top-k
-    # ranking instead of erroring (ADVICE r06)
-    guard = (F.size(a_col) == dim) & (F.size(b_col) == dim)
-    return F.when(guard, out.cast("bigint")).otherwise(
-        F.raise_error(
-            f"_pair_dist: vector length != dim={dim} "
-            "(unrolled integer distance read past the array end)"
+    # Deliberately NO per-row guard here: wrapping the 64-term unroll in
+    # a when()/raise_error measured 4.5x on the q192 pair scan (the
+    # round-6 codegen-limit lesson — the guard pushes the expression
+    # into interpreted mode). The ADVICE r06 dim-mismatch protection
+    # lives at the operator boundary instead: ``_check_dim`` fails fast
+    # driver-side, and the ranking window orders NULLs LAST so a ragged
+    # row can never silently win the top-k.
+    return out.cast("bigint")
+
+
+def _check_dim(df: DataFrame, vec_col: str, dim: int, what: str) -> None:
+    """Fail FAST on a dim misconfiguration (ADVICE r06): element_at past
+    the array end is NULL and would silently corrupt results. A wrong
+    ``dim`` parameter disagrees with EVERY row, so probing one row
+    catches it without a corpus scan; per-row ragged-array corruption is
+    additionally contained by NULLS LAST ranking (search) or the
+    threshold filter (semdedup), so it degrades to a dropped pair, never
+    a poisoned winner."""
+    row = df.select(F.size(F.col(vec_col)).alias("n")).first()
+    if row is not None and row["n"] != dim:
+        raise ValueError(
+            f"{what}: vector length {row['n']} != dim={dim} — the "
+            "unrolled integer distance would read past the array end"
         )
-    )
 
 
 def ivf_exact_search(
@@ -108,12 +121,19 @@ def ivf_exact_search(
         cand = cand.filter(F.col(id_col) != F.col(query_id))
     if exclude_match_col:
         cand = cand.filter(F.col("__cex") != F.col(exclude_match_col))
+    if dim is not None:
+        _check_dim(assigned, "qv", dim, "ivf_exact_search(assigned)")
+        _check_dim(queries, "qv", dim, "ivf_exact_search(queries)")
     scored = cand.select(
         query_id,
         id_col,
         _pair_dist("qv", "__cqv", dim).alias("dist"),
     )
-    w = Window.partitionBy(query_id).orderBy("dist", id_col)
+    # NULLS LAST: a NULL dist (ragged array slipping past the head
+    # check) sinks to the bottom instead of winning rank 1 (ADVICE r06)
+    w = Window.partitionBy(query_id).orderBy(
+        F.asc_nulls_last("dist"), id_col
+    )
     return (
         scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)

