@@ -17,7 +17,12 @@ the training corpus:
   decontamination audit composed on q210's deterministic split;
 - q215 concurrency timeline: the q152 sweep line with the full bucket
   spine, so boundary-free hours report the carry running through
-  them (closes the 'no boundaries' gap the r06 verdict named).
+  them (closes the 'no boundaries' gap the r06 verdict named);
+- q216 embedding hygiene: the vector-QA gate before every ANN lane —
+  dim consistency, norm² range, zero-vector count, all exact BIGINTs;
+- q217 exact-duplicate split leakage: test docs whose md5(text)
+  appears verbatim in train — the hard contamination beyond q214's
+  shingle overlap.
 
 All lanes keep the standing disciplines: token-identical DuckDB
 oracles (exact integer/md5 algebra end to end), md5-only randomness,
@@ -623,4 +628,148 @@ def q215(spark, sf_dir):
     )
     return ntz(
         peak_concurrency_by_bucket(iv, bucket="hour", include_empty_buckets=True)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q216 — embedding hygiene report (vector QA before any ANN/dedup lane)
+# --------------------------------------------------------------------------
+
+_HYGIENE_ORACLE = """
+WITH sg AS (SELECT vec_id,
+                   list_transform(embedding,
+                     x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT))
+                     AS qc,
+                   CAST(len(embedding) AS BIGINT) AS dim
+            FROM embeddings),
+n AS (SELECT vec_id, dim,
+             CAST(list_sum(list_transform(qc, x -> x * x)) AS BIGINT) AS n2
+      FROM sg)
+SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(count(DISTINCT dim) AS BIGINT) AS n_dims_seen,
+       CAST(min(dim) AS BIGINT) AS min_dim,
+       CAST(max(dim) AS BIGINT) AS max_dim,
+       CAST(min(n2) AS BIGINT) AS min_n2,
+       CAST(max(n2) AS BIGINT) AS max_n2,
+       CAST(sum(CASE WHEN n2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+       CAST(sum(n2) AS BIGINT) AS sum_n2
+FROM n
+"""
+
+
+@register(
+    "q216_embedding_hygiene",
+    _HYGIENE_ORACLE,
+    "embedding hygiene report — the vector-QA gate that belongs BEFORE "
+    "every ANN/SemDeDup lane (a zero vector has undefined cosine and "
+    "silently matches nothing; a ragged dim corrupts unrolled "
+    "distances — the exact failure ADVICE r06 flagged): corpus-wide "
+    "dim consistency (distinct dims seen, min/max), integer norm² "
+    "range on the q200 signed grid, zero-vector count, and the total "
+    "norm² mass. One scan, one aggregation, every value an exact "
+    "BIGINT — the oracle re-derives the grid and all eight numbers. "
+    "n_dims_seen == 1 and n_zero == 0 are the preconditions "
+    "ivf_exact._check_dim and the cosine lanes rely on",
+)
+def q216(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    qc = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * F.lit(1000.0) + F.lit(0.5)).cast(
+            "bigint"
+        ),
+    )
+    n2 = F.aggregate(
+        qc, F.lit(0).cast("bigint"), lambda acc, v: acc + v * v
+    )
+    n = emb.select(
+        F.size("embedding").cast("bigint").alias("dim"), n2.alias("n2")
+    )
+    return n.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.countDistinct("dim").cast("bigint").alias("n_dims_seen"),
+        F.min("dim").cast("bigint").alias("min_dim"),
+        F.max("dim").cast("bigint").alias("max_dim"),
+        F.min("n2").cast("bigint").alias("min_n2"),
+        F.max("n2").cast("bigint").alias("max_n2"),
+        F.sum((F.col("n2") == 0).cast("bigint")).cast("bigint").alias("n_zero"),
+        F.sum("n2").cast("bigint").alias("sum_n2"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q217 — exact-duplicate split leakage (the hard contamination)
+# --------------------------------------------------------------------------
+
+_LEAK_ORACLE = """
+WITH d AS (SELECT doc_id, source, md5(text) AS h,
+                  md5(CAST(doc_id AS VARCHAR)) AS sh
+           FROM documents),
+r AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY sh, doc_id) AS rk,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM d),
+s AS (SELECT doc_id, source, h,
+             CASE WHEN rk <= (8 * n) // 10 THEN 'train'
+                  WHEN rk <= (9 * n) // 10 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM r),
+tr AS (SELECT DISTINCT h FROM s WHERE split = 'train'),
+te AS (SELECT doc_id, source, h FROM s WHERE split = 'test')
+SELECT te.source,
+       CAST(count(*) AS BIGINT) AS n_test_docs,
+       CAST(sum(CASE WHEN tr.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_leaked
+FROM te LEFT JOIN tr USING (h)
+GROUP BY te.source ORDER BY te.source
+"""
+
+
+@register(
+    "q217_exact_dup_leakage",
+    _LEAK_ORACLE,
+    "exact-duplicate split leakage — the HARD contamination q214's "
+    "shingle overlap generalizes: a test document whose md5(text) also "
+    "appears verbatim in the train split is a memorization leak, not "
+    "just an n-gram echo (the dedup-before-split mistake every corpus "
+    "pipeline must audit for). Composes q22's content hash with "
+    "q210's deterministic split: one hash-keyed LEFT join of test "
+    "docs against DISTINCT train hashes, per-source leak counts. "
+    "The oracle re-derives split, hashes, and counts",
+)
+def q217(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("h"),
+        F.md5(F.col("doc_id").cast("string")).alias("sh"),
+    )
+    w = Window.partitionBy("source").orderBy("sh", "doc_id")
+    wn = Window.partitionBy("source")
+    r = d.withColumn("rk", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    s = r.select(
+        "doc_id",
+        "source",
+        "h",
+        F.when(F.col("rk") <= F.expr("(8 * n) DIV 10"), "train")
+        .when(F.col("rk") <= F.expr("(9 * n) DIV 10"), "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    tr = s.filter("split = 'train'").select("h").distinct()
+    te = s.filter("split = 'test'").select("doc_id", "source", "h")
+    return (
+        te.join(tr.withColumn("__hit", F.lit(1)), "h", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test_docs"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_leaked"),
+        )
+        .orderBy("source")
     )
