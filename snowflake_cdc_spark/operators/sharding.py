@@ -32,10 +32,10 @@ from pyspark.sql import functions as F
 
 from snowflake_cdc_spark.operators.shuffle import deterministic_shuffle
 
-__all__ = ["shard_manifest"]
+__all__ = ["shard_assignments", "shard_manifest"]
 
 
-def shard_manifest(
+def shard_assignments(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -43,8 +43,10 @@ def shard_manifest(
     seed: int | str = 42,
     n_buckets: int = 256,
 ) -> DataFrame:
-    """(shard_id, n_docs, n_tokens, first_rank, last_rank): the shard
-    layout of the corpus along the seeded shuffle order."""
+    """Per-document shard assignment: (<id_col>, tok, shuffle_rank,
+    shard_id) — the relation :func:`shard_manifest` rolls up, exposed so
+    downstream audits (per-shard source mixture q218, shard-local
+    packing q114) can join document attributes back onto the layout."""
     toks = docs.select(
         F.col(id_col),
         F.size(
@@ -95,6 +97,22 @@ def shard_manifest(
         .withColumn(
             "shard_id", F.expr(f"CAST(__before DIV {shard_tokens} AS BIGINT)")
         )
+    )
+    return assigned.select(id_col, "tok", "shuffle_rank", "shard_id")
+
+
+def shard_manifest(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shard_tokens: int = 2000,
+    seed: int | str = 42,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """(shard_id, n_docs, n_tokens, first_rank, last_rank): the shard
+    layout of the corpus along the seeded shuffle order."""
+    assigned = shard_assignments(
+        docs, id_col, text_col, shard_tokens, seed, n_buckets
     )
     return (
         assigned.groupBy("shard_id")

@@ -22,7 +22,12 @@ the training corpus:
   dim consistency, norm² range, zero-vector count, all exact BIGINTs;
 - q217 exact-duplicate split leakage: test docs whose md5(text)
   appears verbatim in train — the hard contamination beyond q214's
-  shingle overlap.
+  shingle overlap;
+- q218 per-shard source-mixture audit: the well-mixedness check on
+  q203's shard layout via the new shard_assignments per-doc relation;
+- q219 train/test vocabulary drift: q190's exact nano-quantized KL
+  pointed at the split boundary — the distributional leg of the
+  split-audit family (q214 shingles, q217 exact dups, q219 drift).
 
 All lanes keep the standing disciplines: token-identical DuckDB
 oracles (exact integer/md5 algebra end to end), md5-only randomness,
@@ -773,3 +778,203 @@ def q217(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Q218 — per-shard source-mixture audit (composes q203's layout)
+# --------------------------------------------------------------------------
+
+_SHARD_MIX_ORACLE = """
+WITH toks AS (SELECT doc_id, source,
+                     CAST(len(regexp_extract_all(lower(text), '[a-z]+'))
+                          AS BIGINT) AS tok
+              FROM documents),
+r AS (SELECT doc_id, source, tok,
+             row_number() OVER (
+               ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rank
+      FROM toks),
+c AS (SELECT doc_id, source, tok,
+             coalesce(sum(tok) OVER (ORDER BY rank
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+      FROM r),
+a AS (SELECT doc_id, source, tok,
+             CAST(before // 2000 AS BIGINT) AS shard_id
+      FROM c),
+ps AS (SELECT shard_id, source,
+              CAST(count(*) AS BIGINT) AS nd,
+              CAST(sum(tok) AS BIGINT) AS st
+       FROM a GROUP BY 1, 2)
+SELECT shard_id,
+       CAST(sum(nd) AS BIGINT) AS n_docs,
+       CAST(sum(st) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_sources,
+       min(struct_pack(nst := -st, src := source)).src AS top_source,
+       CAST((-min(struct_pack(nst := -st, src := source)).nst) * 1000000
+            // sum(st) AS BIGINT) AS top_share_ppm
+FROM ps GROUP BY shard_id ORDER BY shard_id
+"""
+
+
+@register(
+    "q218_shard_mixture",
+    _SHARD_MIX_ORACLE,
+    "per-shard source-mixture audit — the well-mixedness check on "
+    "q203's training-shard layout (a shard dominated by one source "
+    "gives the trainer correlated batches; the seeded md5 shuffle is "
+    "SUPPOSED to prevent that, and this lane measures whether it "
+    "did): per shard, doc/token totals, distinct sources, and the "
+    "dominant source's exact token share in ppm (deterministic "
+    "(-tokens, source) struct tie-break). Composes the new "
+    "operators/sharding.py::shard_assignments per-doc relation with "
+    "one join back to document attributes; the oracle re-derives the "
+    "layout with the naive single-sort window (q203's check) plus the "
+    "same rollup",
+)
+def q218(spark, sf_dir):
+    from snowflake_cdc_spark.operators.sharding import shard_assignments
+
+    docs = _t(spark, sf_dir, "documents")
+    a = shard_assignments(docs, shard_tokens=2000, seed=42).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    ps = a.groupBy("shard_id", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nd"),
+        F.sum("tok").cast("bigint").alias("st"),
+    )
+    top = F.min(F.struct((-F.col("st")).alias("nst"), F.col("source").alias("src")))
+    return (
+        ps.groupBy("shard_id")
+        .agg(
+            F.sum("nd").cast("bigint").alias("n_docs"),
+            F.sum("st").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+            top["src"].alias("top_source"),
+            F.expr(
+                "CAST((-min(struct(-st AS nst, source AS src)).nst) * 1000000"
+                " DIV sum(st) AS BIGINT)"
+            ).alias("top_share_ppm"),
+        )
+        .orderBy("shard_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q219 — train/test vocabulary drift (q190's KL on q210's split)
+# --------------------------------------------------------------------------
+
+_SPLIT_KL_ORACLE = """
+WITH d AS (SELECT doc_id, source, text, md5(CAST(doc_id AS VARCHAR)) AS h
+           FROM documents),
+r AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM d),
+s AS (SELECT text,
+             CASE WHEN rk <= (8 * n) // 10 THEN 'train'
+                  WHEN rk <= (9 * n) // 10 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM r),
+toks AS (SELECT split, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+         FROM s WHERE split <> 'val'),
+c AS (SELECT w,
+             CAST(count(*) FILTER (WHERE split = 'test') AS BIGINT) AS cp,
+             CAST(count(*) FILTER (WHERE split = 'train') AS BIGINT) AS cq
+      FROM toks GROUP BY 1),
+t AS (SELECT CAST(sum(cp) AS BIGINT) AS np, CAST(sum(cq) AS BIGINT) AS nq,
+             CAST(count(*) AS BIGINT) AS v
+      FROM c),
+terms AS (SELECT c.w, c.cp, c.cq,
+                 CAST(floor(
+                   (CAST(c.cp + 1 AS DOUBLE) / CAST(t.np + t.v AS DOUBLE))
+                   * ln(CAST((c.cp + 1) * (t.nq + t.v) AS DOUBLE)
+                        / CAST((c.cq + 1) * (t.np + t.v) AS DOUBLE))
+                   * 1000000000.0) AS BIGINT) AS term_nano
+          FROM c, t)
+SELECT w, cp, cq, term_nano FROM terms
+UNION ALL
+SELECT '_TOTAL' AS w, t.np AS cp, t.nq AS cq,
+       (SELECT CAST(sum(term_nano) AS BIGINT) FROM terms) AS term_nano
+FROM t
+ORDER BY w
+"""
+
+
+@register(
+    "q219_split_vocab_drift",
+    _SPLIT_KL_ORACLE,
+    "train/test vocabulary drift — KL(test || train) with +1 smoothing "
+    "over the union vocabulary, on q210's deterministic split (q190's "
+    "exact nano-quantized KL algebra pointed at the split boundary "
+    "instead of corpus halves): a high divergence means the held-out "
+    "split is not representative of what the model trains on — the "
+    "third leg of the split-audit family (q214 shingle contamination, "
+    "q217 exact-dup leakage, THIS distributional drift). Each word's "
+    "KL term spends its floats in one token-identical expression, "
+    "quantized once to nano units, summed order-free; per-word terms "
+    "plus the _TOTAL row. One corpus scan, vocab-sized aggregation "
+    "with split-filtered counts, broadcast totals",
+)
+def q219(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    wn = Window.partitionBy("source")
+    r = d.withColumn("rk", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    s = r.select(
+        "text",
+        F.when(F.col("rk") <= F.expr("(8 * n) DIV 10"), "train")
+        .when(F.col("rk") <= F.expr("(9 * n) DIV 10"), "val")
+        .otherwise("test")
+        .alias("split"),
+    ).filter("split <> 'val'")
+    toks = s.select(
+        "split",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+        ).alias("w"),
+    )
+    c = toks.groupBy("w").agg(
+        F.sum(F.when(F.col("split") == "test", 1).otherwise(0))
+        .cast("bigint")
+        .alias("cp"),
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+        .cast("bigint")
+        .alias("cq"),
+    )
+    t = c.agg(
+        F.sum("cp").cast("bigint").alias("np"),
+        F.sum("cq").cast("bigint").alias("nq"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+    )
+    terms = c.crossJoin(F.broadcast(t)).select(
+        "w",
+        "cp",
+        "cq",
+        F.expr(
+            "CAST(floor("
+            " (CAST(cp + 1 AS DOUBLE) / CAST(np + v AS DOUBLE))"
+            " * ln(CAST((cp + 1) * (nq + v) AS DOUBLE)"
+            "      / CAST((cq + 1) * (np + v) AS DOUBLE))"
+            " * 1000000000.0) AS BIGINT)"
+        ).alias("term_nano"),
+    )
+    total = (
+        terms.agg(F.sum("term_nano").cast("bigint").alias("term_nano"))
+        .crossJoin(F.broadcast(t))
+        .select(
+            F.lit("_TOTAL").alias("w"),
+            F.col("np").alias("cp"),
+            F.col("nq").alias("cq"),
+            "term_nano",
+        )
+    )
+    return terms.unionByName(total).orderBy("w")

@@ -107,6 +107,11 @@ WHITELIST: dict[str, tuple[int, str]] = {
         "q203 cumsum shape; the skewed_count_rank windows live inside "
         "the materialized checkpoint, audited via q174/q188)",
     ),
+    "q218_shard_mixture": (
+        1,
+        "sharding.py bucket-offsets running sum over n_buckets=256 "
+        "rows (same constant-bounded site as q203)",
+    ),
 }
 
 
