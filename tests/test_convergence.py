@@ -130,3 +130,33 @@ def test_converged_reading_and_replay(spark, tmp_path):
     m2 = _metrics(mon, "T", 2)
     assert m2["rows_removed"] == 1 and m2["rows_common"] == 1
     assert not mon.converged("T")
+
+
+def test_monitor_survives_vacuum_policy(spark, tmp_path):
+    """The monitor diffs versions BEFORE the same batch's maintenance
+    runs, so an aggressive keep_versions=2 vacuum never removes the
+    from-version it needs — three merges under the policy, every
+    report recorded."""
+    from snowflake_cdc_spark.streaming.pipeline import MaintenancePolicy
+
+    sink = ParquetSnapshotSink(str(tmp_path / "snap"))
+    mon = ConvergenceMonitor(sink)
+    pipe = CdcPipeline(
+        spark,
+        [PipelineSpec("tpch.orders", use_synthetic_key=True)],
+        sink,
+        convergence=mon,
+        maintenance=MaintenancePolicy(every_n_batches=1, keep_versions=2),
+    )
+    events = cdc_events_nested(spark, SF_SMOKE).limit(300).persist()
+    try:
+        thirds = [
+            events.filter(F.col("seq") % 3 == i).persist() for i in range(3)
+        ]
+        for i, part in enumerate(thirds):
+            pipe.materialize_batch(part, batch_id=i)
+        batches = {b for (_t_, b, _f, _v, _m, _n) in mon.records}
+        assert batches == {0, 1, 2}
+        assert not pipe.write_errors
+    finally:
+        events.unpersist()

@@ -106,3 +106,37 @@ def test_mixing_needs_cap_branch(spark):
     # uniform target = 1/2 each; tiny has 3 of 4003 tokens ->
     # epochs = 4003*1e6 // (2*3)
     assert out["tiny"][0] == 4003 * 1000000 // 6
+
+
+def test_assignments_roll_up_to_manifest(spark):
+    """shard_assignments is the exact per-doc relation the manifest
+    aggregates: rolling it up reproduces shard_manifest row for row,
+    and every doc appears exactly once."""
+    from pyspark.sql import functions as F
+
+    from snowflake_cdc_spark.operators.sharding import (
+        shard_assignments,
+        shard_manifest,
+    )
+    from snowflake_cdc_spark.queries import _t
+
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    a = shard_assignments(docs, shard_tokens=2000, seed=42)
+    assert a.count() == docs.count()
+    assert a.select("doc_id").distinct().count() == docs.count()
+    rolled = {
+        r.shard_id: (r.n_docs, r.n_tokens, r.first_rank, r.last_rank)
+        for r in a.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("tok").cast("bigint").alias("n_tokens"),
+            F.min("shuffle_rank").cast("bigint").alias("first_rank"),
+            F.max("shuffle_rank").cast("bigint").alias("last_rank"),
+        )
+        .collect()
+    }
+    manifest = {
+        r.shard_id: (r.n_docs, r.n_tokens, r.first_rank, r.last_rank)
+        for r in shard_manifest(docs, shard_tokens=2000, seed=42).collect()
+    }
+    assert rolled == manifest
