@@ -55,14 +55,40 @@ def _pair_dist(a_col: str, b_col: str, dim: int | None):
     return out.cast("bigint")
 
 
-def _check_dim(df: DataFrame, vec_col: str, dim: int, what: str) -> None:
+def _check_dim(
+    df: DataFrame, vec_col: str, dim: int, what: str, scan: bool = False
+) -> None:
     """Fail FAST on a dim misconfiguration (ADVICE r06): element_at past
     the array end is NULL and would silently corrupt results. A wrong
     ``dim`` parameter disagrees with EVERY row, so probing one row
     catches it without a corpus scan; per-row ragged-array corruption is
     additionally contained by NULLS LAST ranking (search) or the
     threshold filter (semdedup), so it degrades to a dropped pair, never
-    a poisoned winner."""
+    a poisoned winner.
+
+    Over-length gap (ADVICE r07): the NULL-containment argument only
+    covers rows SHORTER than ``dim`` (element_at past the end → NULL
+    distance → NULLS-LAST loses). A row LONGER than ``dim`` yields a
+    non-NULL prefix-only distance that CAN win top-k or form a false
+    semdedup pair, and the one-row probe won't see it if the probed row
+    happens to be correct. Callers owe the q216 embedding-hygiene gate
+    (``n_dims_seen == 1``) as a precondition on mixed-provenance
+    corpora; where a scan is affordable, pass ``scan=True`` to probe
+    min(size)/max(size) across the whole relation instead."""
+    if scan:
+        row = df.select(
+            F.min(F.size(F.col(vec_col))).alias("lo"),
+            F.max(F.size(F.col(vec_col))).alias("hi"),
+        ).first()
+        if row is not None and row["lo"] is not None and (
+            row["lo"] != dim or row["hi"] != dim
+        ):
+            raise ValueError(
+                f"{what}: vector lengths span [{row['lo']}, {row['hi']}] "
+                f"!= dim={dim} — ragged corpus; run the q216 hygiene "
+                "gate and fix provenance before indexing"
+            )
+        return
     row = df.select(F.size(F.col(vec_col)).alias("n")).first()
     if row is not None and row["n"] != dim:
         raise ValueError(

@@ -648,7 +648,12 @@ WITH sg AS (SELECT vec_id,
                    CAST(len(embedding) AS BIGINT) AS dim
             FROM embeddings),
 n AS (SELECT vec_id, dim,
-             CAST(list_sum(list_transform(qc, x -> x * x)) AS BIGINT) AS n2
+             -- coalesce: DuckDB list_sum([]) is NULL while Spark's
+             -- F.aggregate fold with a 0 initializer returns 0 — a
+             -- zero-length embedding must agree in the hygiene lane
+             -- whose whole job is catching degenerate vectors.
+             CAST(coalesce(list_sum(list_transform(qc, x -> x * x)), 0)
+                  AS BIGINT) AS n2
       FROM sg)
 SELECT CAST(count(*) AS BIGINT) AS n_vectors,
        CAST(count(DISTINCT dim) AS BIGINT) AS n_dims_seen,

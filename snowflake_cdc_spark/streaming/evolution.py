@@ -161,6 +161,29 @@ def reconcile(
                     if key in summ and summ[key] is not None:
                         maintained[c] = summ[key]
                         break
+            if maintained:
+                # Coverage cross-check (ADVICE r07): a maintainer that
+                # started AFTER the raw zone began reports first_seen
+                # values that postdate the true raw-zone minimum, and the
+                # backfill would silently skip the older rows. Proxy for
+                # the maintainer's observation start: the earliest
+                # first_seen across ALL its fields (the always-on
+                # inspection fields appear in every row, so that min is
+                # the first event the maintainer ever saw). One
+                # column-pruned min(ts) probe of the raw zone — far
+                # cheaper than the per-field isNotNull probes — decides:
+                # if the maintainer demonstrably missed the raw zone's
+                # start, its horizons are untrusted and every field falls
+                # back to the exact scan. False positives only cost that
+                # scan, never a skipped backfill.
+                coverage = [v for v in summ.values() if v is not None]
+                raw_min = raw.agg(F.min(ts_col).alias("m")).collect()[0]["m"]
+                if (
+                    not coverage
+                    or raw_min is None
+                    or min(coverage) > raw_min
+                ):
+                    maintained = {}
         to_scan = [c for c in probeable if c not in maintained]
         if to_scan:
             agg_row = raw.agg(

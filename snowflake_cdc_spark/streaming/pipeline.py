@@ -103,6 +103,22 @@ class CdcPipeline:
                 "dq_expectations requires quarantine_dir — gated rows are "
                 "diverted, never silently dropped"
             )
+        if (
+            convergence is not None
+            and maintenance is not None
+            and maintenance.keep_versions < 2
+        ):
+            # The monitor diffs the pre-merge snapshot (read_version of
+            # the FROM version) against the post-merge one; with
+            # keep_versions=1 vacuum drops every non-current version, so
+            # the first post-maintenance batch dies mid-stream on a
+            # FileNotFoundError under fail_on_write_error. Fail at wiring
+            # time instead (ADVICE r07).
+            raise ValueError(
+                "ConvergenceMonitor requires MaintenancePolicy."
+                "keep_versions >= 2: the monitor re-reads the pre-merge "
+                f"snapshot version (got keep_versions={maintenance.keep_versions})"
+            )
         self.spark = spark
         self.specs = specs
         self.sink = sink
