@@ -148,6 +148,59 @@ def fingerprint(col: Column | str) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# Unicode word lane (round 8 — VERDICT r07 #1). ASCII-convention ledger:
+# every OTHER text lane in this repo extracts words with `[a-z]+` over
+# lowered text — q024/q029-q032 quality metrics, the BPE chain
+# (operators/bpe.py), sharding.py's doc-mixture tokens, the q190/q219 KL
+# drift lanes, q211 token budgets, q212 repetition, q214 contamination.
+# That convention is CORRECT on the driver fixture (TESTDATA.md: the
+# documents table is ASCII space-separated word soup) and keeps every
+# oracle byte-identical, but on a real multilingual corpus (CJK,
+# Cyrillic, accented Latin) `[a-z]+` silently tokenizes to zero or
+# mangled tokens — zeroing token budgets, dedup shingles, contamination
+# checks, and KL drift. Multilingual corpora must route through
+# ``unicode_words`` below; q220 is the oracle-backed proof that the two
+# lanes diverge on non-Latin text (its cyrillic/cjk rows count tokens
+# the ASCII lane can never see).
+# ---------------------------------------------------------------------------
+
+#: Unicode word class: letter runs including combining marks. Verified
+#: token-identical between Java regex (Spark) and RE2 (DuckDB) on
+#: Cyrillic / CJK / accented-Latin / mixed-script probes (q220's oracle is
+#: the standing parity check). No lookarounds, no script names — Java
+#: spells scripts \p{IsCyrillic} while RE2 spells them \p{Cyrillic}, so
+#: script CLASSES are out of the shared subset; script bucketing is done
+#: by leading-codepoint ranges instead (``script_of``).
+UNICODE_WORD = r"[\p{L}\p{M}]+"
+
+
+def unicode_words(col: Column | str) -> Column:
+    """Unicode letter-run tokenization over lowered text — the
+    multilingual counterpart of the ASCII ``[a-z]+`` convention (see the
+    ledger above). ``lower`` is engine-parity-safe on Cyrillic/accented
+    Latin (probed); locale-sensitive edges (Turkish dotted I, final
+    sigma) are outside the contract and belong to a real ICU pass."""
+    return F.regexp_extract_all(F.lower(_c(col)), F.lit(UNICODE_WORD), F.lit(0))
+
+
+def script_of(token: Column | str) -> Column:
+    """Coarse script bucket from the token's LEADING codepoint (Spark
+    ``ascii`` ≡ DuckDB ``unicode`` — probed identical): latin < 128 <=
+    latin_ext < 0x0400 <= cyrillic < 0x0500, cjk >= 0x2E80. First-char
+    heuristic by design: `\\p{L}+` runs are script-homogeneous except
+    for deliberately mixed-script tokens, and the O(1) probe avoids a
+    per-character explode; the thorough form is a max-codepoint scan."""
+    cp = F.ascii(_c(token))
+    return (
+        F.when(cp < 128, F.lit("latin"))
+        .when(cp < 0x0400, F.lit("latin_ext"))
+        .when(cp < 0x0500, F.lit("cyrillic"))
+        .when(cp >= 0x2E80, F.lit("cjk"))
+        .otherwise(F.lit("other"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # PII detection / redaction (round 3 — the scrubbing pass every public-crawl
 # training pipeline runs before anything else touches the text). Patterns are
 # deliberately restricted to the regex subset Java (Spark) and RE2 (DuckDB)
