@@ -112,6 +112,13 @@ WHITELIST: dict[str, tuple[int, str]] = {
         "sharding.py bucket-offsets running sum over n_buckets=256 "
         "rows (same constant-bounded site as q203)",
     ),
+    "q221_dsir_selection": (
+        1,
+        "bucket-offsets running sum over 256 fixed range buckets (the "
+        "q211 selection cumsum verbatim; the skewed_count_rank windows "
+        "live inside the materialized checkpoint, audited via "
+        "q174/q188)",
+    ),
 }
 
 
