@@ -313,3 +313,211 @@ def q221(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# Q222 — consistent cross-table snapshot cut (no torn transactions)
+# --------------------------------------------------------------------------
+
+_CUT_ORACLE = """
+WITH mx AS (SELECT max(o_orderkey) AS m FROM orders),
+ks AS (SELECT min(CASE WHEN o_orderkey % 2 = 0 AND o_orderkey % 7 <> 0
+                       THEN o_orderkey END) AS k0,
+              min(CASE WHEN o_orderkey % 2 = 1 AND o_orderkey % 7 <> 0
+                       THEN o_orderkey END) AS k1
+       FROM orders),
+cdc_events AS (
+  SELECT o_orderkey AS seq,
+         'orders_part_' || CAST(o_orderkey % 2 AS VARCHAR) AS table_name,
+         FALSE AS is_delete, CAST(o_orderkey AS VARCHAR) AS primary_key,
+         o_totalprice AS row_o_totalprice
+  FROM orders
+  UNION ALL
+  SELECT mx.m + o_orderkey,
+         'orders_part_' || CAST(o_orderkey % 2 AS VARCHAR),
+         FALSE, CAST(o_orderkey AS VARCHAR), o_totalprice + 10.0
+  FROM orders, mx WHERE o_orderkey % 3 = 0
+  UNION ALL
+  SELECT 2 * mx.m + o_orderkey,
+         'orders_part_' || CAST(o_orderkey % 2 AS VARCHAR),
+         TRUE, CAST(o_orderkey AS VARCHAR), CAST(NULL AS DOUBLE)
+  FROM orders, mx WHERE o_orderkey % 7 = 0
+),
+planted AS (
+  SELECT 3 * mx.m + t.i AS seq,
+         'orders_part_' || CAST(o_orderkey % 2 AS VARCHAR) AS table_name,
+         FALSE AS is_delete, CAST(o_orderkey AS VARCHAR) AS primary_key,
+         o_totalprice + 1000.0 * t.i AS row_o_totalprice
+  FROM orders, mx, ks, (VALUES (1), (2)) t(i)
+  WHERE o_orderkey IN (ks.k0, ks.k1)
+),
+all_ev AS (SELECT * FROM cdc_events UNION ALL SELECT * FROM planted),
+latest AS (
+  SELECT *, row_number() OVER (PARTITION BY table_name, primary_key
+                               ORDER BY seq DESC) AS rn
+  FROM (SELECT a.* FROM all_ev a, mx WHERE a.seq <= 3 * mx.m + 1)),
+snap AS (SELECT * FROM latest WHERE rn = 1 AND NOT is_delete),
+tg AS (SELECT CAST(coalesce(sum(CASE WHEN n_tab >= 2 AND n_vis > 0
+                                      AND n_vis < n_tab
+                                THEN 1 ELSE 0 END), 0) AS BIGINT)
+              AS n_torn_global
+       FROM (SELECT seq, count(DISTINCT table_name) AS n_tab,
+                    count(DISTINCT CASE WHEN seq <= 3 * mx.m + 1
+                                        THEN table_name END) AS n_vis
+             FROM all_ev, mx GROUP BY seq, mx.m)),
+tl AS (SELECT CAST(coalesce(sum(CASE WHEN n_tab >= 2 AND n_vis > 0
+                                      AND n_vis < n_tab
+                                THEN 1 ELSE 0 END), 0) AS BIGINT)
+              AS n_torn_lagged
+       FROM (SELECT seq, count(DISTINCT table_name) AS n_tab,
+                    count(DISTINCT CASE
+                      WHEN seq <= CASE WHEN table_name = 'orders_part_0'
+                                       THEN 3 * mx.m + 2
+                                       ELSE 3 * mx.m + 1 END
+                      THEN table_name END) AS n_vis
+             FROM all_ev, mx GROUP BY seq, mx.m)),
+pt AS (SELECT
+         CAST(sum(CASE WHEN table_name = 'orders_part_0'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS rows_part_0,
+         CAST(sum(CASE WHEN table_name = 'orders_part_1'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS rows_part_1,
+         ROUND(CAST(sum(CASE WHEN table_name = 'orders_part_0'
+                             THEN CAST(row_o_totalprice AS DECIMAL(18,2))
+                             ELSE CAST(0 AS DECIMAL(18,2)) END)
+                    AS DOUBLE), 2) AS price_part_0,
+         ROUND(CAST(sum(CASE WHEN table_name = 'orders_part_1'
+                             THEN CAST(row_o_totalprice AS DECIMAL(18,2))
+                             ELSE CAST(0 AS DECIMAL(18,2)) END)
+                    AS DOUBLE), 2) AS price_part_1,
+         max(CASE WHEN primary_key = CAST(ks.k0 AS VARCHAR)
+                  THEN row_o_totalprice END) AS price_k0,
+         max(CASE WHEN primary_key = CAST(ks.k1 AS VARCHAR)
+                  THEN row_o_totalprice END) AS price_k1
+       FROM snap, ks)
+SELECT * FROM tg, tl, pt
+"""
+
+
+@register(
+    "q222_consistent_cut",
+    _CUT_ORACLE,
+    "consistent cross-table snapshot cut (VERDICT r07 #3): the "
+    "reference's AtTime replay (add_output.py:260,666) generalized "
+    "from per-output to cross-output — ONE global seq horizon applied "
+    "to the shared change log before the per-table latest-by-key, so "
+    "a multi-table transaction (change rows sharing a seq) is visible "
+    "everywhere or nowhere. The lane PLANTS such a transaction twice "
+    "(same-seq updates to one key in each demuxed table: seq 3m+1 "
+    "inside the horizon, 3m+2 beyond it) and hash-checks three "
+    "things: n_torn_global = 0 (the global cut tears nothing — "
+    "operators/snapshot.py::torn_transactions), n_torn_lagged = 1 "
+    "(the per-table-watermark read a lagging replica would serve "
+    "DOES tear the boundary transaction), and price_k0/price_k1 both "
+    "show the +1000 in-horizon write (both sides of the transaction "
+    "applied, neither the +2000 beyond-horizon one). Snapshot sums "
+    "are DECIMAL-exact before the one final ROUND. All scalars "
+    "(horizon, planted keys) are broadcast 1-row relations; the cut "
+    "itself is one filter + the max_by two-phase reduce per table — "
+    "no cross-table coordination at any scale",
+)
+def q222(spark, sf_dir):
+    from snowflake_cdc_spark.operators.snapshot import (
+        consistent_cut,
+        torn_transactions,
+    )
+    from snowflake_cdc_spark.sources.cdc import cdc_events_flat
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    k = F.col("o_orderkey")
+    ks = orders.agg(
+        F.min(F.when((k % 2 == 0) & (k % 7 != 0), k)).alias("k0"),
+        F.min(F.when((k % 2 == 1) & (k % 7 != 0), k)).alias("k1"),
+        F.max(k).alias("m"),
+    )
+    base = orders.crossJoin(F.broadcast(ks)).filter(
+        (k == F.col("k0")) | (k == F.col("k1"))
+    )
+    i = F.col("i")
+    planted = base.withColumn(
+        "i", F.explode(F.array(F.lit(1), F.lit(2)))
+    ).select(
+        (F.lit(3) * F.col("m") + i).alias("seq"),
+        F.lit("tpch").alias("database_name"),
+        F.concat(F.lit("orders_part_"), (k % 2).cast("string")).alias(
+            "table_name"
+        ),
+        F.concat(
+            F.lit("tpch.orders_part_"), (k % 2).cast("string")
+        ).alias("full_table_name"),
+        F.lit("update").alias("op"),
+        F.lit(False).alias("is_delete"),
+        k.cast("string").alias("primary_key"),
+        k.alias("row_o_orderkey"),
+        F.col("o_custkey").alias("row_o_custkey"),
+        F.col("o_orderstatus").alias("row_o_orderstatus"),
+        (F.col("o_totalprice") + F.lit(1000.0) * i).alias(
+            "row_o_totalprice"
+        ),
+        F.col("o_orderdate").alias("row_o_orderdate"),
+        F.col("o_orderpriority").alias("row_o_orderpriority"),
+        k.alias("old_row_o_orderkey"),
+        F.col("o_custkey").alias("old_row_o_custkey"),
+        F.col("o_orderstatus").alias("old_row_o_orderstatus"),
+        F.col("o_totalprice").alias("old_row_o_totalprice"),
+        F.col("o_orderdate").alias("old_row_o_orderdate"),
+        F.col("o_orderpriority").alias("old_row_o_orderpriority"),
+    )
+    ev = cdc_events_flat(spark, sf_dir).unionByName(planted)
+    evh = ev.crossJoin(F.broadcast(ks)).withColumn(
+        "__h", F.lit(3) * F.col("m") + 1
+    )
+    tbl = F.col("table_name")
+    snap = consistent_cut(
+        evh, F.col("__h"), table_col="table_name", key_cols=["primary_key"]
+    )
+    price = F.col("row_o_totalprice")
+    dec0 = F.lit(0).cast("decimal(18,2)")
+    pt = snap.agg(
+        F.sum(F.when(tbl == "orders_part_0", 1).otherwise(0))
+        .cast("bigint")
+        .alias("rows_part_0"),
+        F.sum(F.when(tbl == "orders_part_1", 1).otherwise(0))
+        .cast("bigint")
+        .alias("rows_part_1"),
+        F.round(
+            F.sum(
+                F.when(
+                    tbl == "orders_part_0", price.cast("decimal(18,2)")
+                ).otherwise(dec0)
+            ).cast("double"),
+            2,
+        ).alias("price_part_0"),
+        F.round(
+            F.sum(
+                F.when(
+                    tbl == "orders_part_1", price.cast("decimal(18,2)")
+                ).otherwise(dec0)
+            ).cast("double"),
+            2,
+        ).alias("price_part_1"),
+        F.max(
+            F.when(
+                F.col("primary_key") == F.col("k0").cast("string"), price
+            )
+        ).alias("price_k0"),
+        F.max(
+            F.when(
+                F.col("primary_key") == F.col("k1").cast("string"), price
+            )
+        ).alias("price_k1"),
+    )
+    tg = torn_transactions(evh, F.col("seq") <= F.col("__h")).select(
+        F.col("n_torn").alias("n_torn_global")
+    )
+    lag_w = F.when(
+        tbl == "orders_part_0", F.col("__h") + 1
+    ).otherwise(F.col("__h"))
+    tl = torn_transactions(evh, F.col("seq") <= lag_w).select(
+        F.col("n_torn").alias("n_torn_lagged")
+    )
+    return tg.crossJoin(F.broadcast(tl)).crossJoin(F.broadcast(pt))

@@ -341,6 +341,44 @@ class CdcPipeline:
 
     # ---- entry points ----------------------------------------------------
 
+    def snapshot_all_tables(
+        self, events: DataFrame, as_of_seq
+    ) -> dict[str, DataFrame]:
+        """Transactionally consistent cross-table cut (VERDICT r07 #3):
+        every spec's snapshot AS OF one global sequence horizon — the
+        reference's AtTime (add_output.py:260,666) generalized from
+        per-output to cross-output. One ``seq <= S`` predicate on the
+        shared envelope log means a multi-table transaction (rows
+        sharing a seq) is visible everywhere or nowhere; per-table
+        'latest' reads with differing watermarks tear such transactions
+        (``operators/snapshot.py::torn_transactions`` counts them).
+        ``events`` is the envelope relation (the raw zone read, or any
+        bounded slice of it); each table pays one transform + filter +
+        latest-by-key — no cross-table coordination, the horizon is a
+        scalar."""
+        from snowflake_cdc_spark.operators.upsert import (
+            snapshot_hard_delete,
+            snapshot_logical_delete,
+        )
+
+        out: dict[str, DataFrame] = {}
+        for spec in self.specs:
+            changes = self.transform(events, spec).filter(
+                F.col("seq") <= F.lit(as_of_seq)
+            )
+            keys = self._key_cols(spec)
+            if spec.delete_strategy is DeleteStrategy.HARD:
+                snap = snapshot_hard_delete(changes, keys, "seq")
+            else:
+                snap = snapshot_logical_delete(
+                    changes,
+                    keys,
+                    "seq",
+                    logical_col=spec.logical_delete_col or "is_deleted",
+                )
+            out[spec.target_table] = snap
+        return out
+
     def run_batch(self, source_path: str, event_time_col: str | None = None) -> None:
         """Bounded run over landed envelope events (backfill / tests).
         ``mergeSchema`` on: the raw zone may mix pre- and post-drift files.
