@@ -521,3 +521,185 @@ def q222(spark, sf_dir):
         F.col("n_torn").alias("n_torn_lagged")
     )
     return tg.crossJoin(F.broadcast(tl)).crossJoin(F.broadcast(pt))
+
+
+# --------------------------------------------------------------------------
+# Q223 — normalized decontamination (punctuation-robust q214)
+# --------------------------------------------------------------------------
+
+#: Planted contaminated sentence, split-correlated: train docs carry the
+#: apostrophe form, test docs the bare form. 9 normalized tokens with
+#: the perturbed word at position 5, so EVERY raw 5-gram window of the
+#: planted sentence straddles the perturbation — the raw lane can never
+#: match a planted gram, the normalized lane always matches all five.
+#: Vocabulary is disjoint from the fixture word soup by construction.
+_PLANT_TRAIN = (
+    "zeppelin quark banana violet doesn't umber lattice marble quartz"
+)
+_PLANT_TEST = (
+    "zeppelin quark banana violet doesnt umber lattice marble quartz"
+)
+
+_NORM_CONTAM_ORACLE = f"""
+WITH d AS (SELECT doc_id, source, text,
+                  md5(CAST(doc_id AS VARCHAR)) AS h
+           FROM documents),
+r AS (SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY h, doc_id) AS rk,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM d),
+s AS (SELECT doc_id, source,
+             CASE WHEN rk <= (8 * n) // 10 THEN 'train'
+                  WHEN rk <= (9 * n) // 10 THEN 'val'
+                  ELSE 'test' END AS split,
+             text
+      FROM r),
+aug AS (SELECT doc_id, source, split,
+               text || ' ' ||
+               CASE WHEN split = 'train'
+                    THEN '{_PLANT_TRAIN.replace("'", "''")}'
+                    ELSE '{_PLANT_TEST}' END AS t
+        FROM s WHERE split <> 'val'),
+tok AS (SELECT doc_id, source, split,
+               regexp_extract_all(lower(t), '[a-z]+') AS raw_ws,
+               regexp_extract_all(replace(lower(t), '''', ''),
+                                  '[a-z0-9]+') AS norm_ws
+        FROM aug),
+graw AS (SELECT split, doc_id, source,
+                unnest(list_transform(generate_series(1, len(raw_ws) - 4),
+                       i -> array_to_string(raw_ws[i:i+4], ' '))) AS gram
+         FROM tok WHERE len(raw_ws) >= 5),
+gnorm AS (SELECT split, doc_id, source,
+                 unnest(list_transform(generate_series(1, len(norm_ws) - 4),
+                        i -> array_to_string(norm_ws[i:i+4], ' '))) AS gram
+          FROM tok WHERE len(norm_ws) >= 5),
+trr AS (SELECT DISTINCT gram FROM graw WHERE split = 'train'),
+terr AS (SELECT DISTINCT doc_id, source, gram FROM graw
+         WHERE split = 'test'),
+pr AS (SELECT doc_id, source,
+              CAST(count(*) AS BIGINT) AS n_grams_raw,
+              CAST(sum(CASE WHEN trr.gram IS NOT NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_contam_raw
+       FROM terr LEFT JOIN trr USING (gram) GROUP BY 1, 2),
+trn AS (SELECT DISTINCT gram FROM gnorm WHERE split = 'train'),
+ten AS (SELECT DISTINCT doc_id, source, gram FROM gnorm
+        WHERE split = 'test'),
+pn AS (SELECT doc_id, source,
+              CAST(count(*) AS BIGINT) AS n_grams_norm,
+              CAST(sum(CASE WHEN trn.gram IS NOT NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_contam_norm
+       FROM ten LEFT JOIN trn USING (gram) GROUP BY 1, 2)
+SELECT pr.doc_id, pr.source, n_grams_raw, n_contam_raw,
+       n_grams_norm, n_contam_norm,
+       CAST(n_contam_norm - n_contam_raw AS BIGINT)
+         AS caught_only_normalized
+FROM pr JOIN pn USING (doc_id, source) ORDER BY pr.doc_id
+"""
+
+
+@register(
+    "q223_norm_contamination",
+    _NORM_CONTAM_ORACLE,
+    "normalized decontamination (VERDICT r07 #5): q214's shingle "
+    "audit re-run after the Llama/GPT-3-style matching normalization "
+    "— lowercase, apostrophe collapse, alphanumeric tokens — side by "
+    "side with the raw lane on the SAME corpus, so the rows "
+    "themselves prove what normalization buys. The lane plants a "
+    "split-correlated contaminated sentence whose only difference is "
+    "an apostrophe (train \"doesn't\", test \"doesnt\"), positioned "
+    "so every raw 5-gram window straddles the perturbation: "
+    "n_contam_raw misses all five planted grams on every test doc "
+    "while n_contam_norm catches them (caught_only_normalized >= 5). "
+    "Same scale shape as q214: contamination is counted on the "
+    "shingle join key, never doc x doc; two distinct-gram relations "
+    "instead of one",
+)
+def q223(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    wn = Window.partitionBy("source")
+    r = d.withColumn("rk", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    s = r.select(
+        "doc_id",
+        "source",
+        "text",
+        F.when(F.col("rk") <= F.expr("(8 * n) DIV 10"), "train")
+        .when(F.col("rk") <= F.expr("(9 * n) DIV 10"), "val")
+        .otherwise("test")
+        .alias("split"),
+    ).filter("split <> 'val'")
+    aug = s.select(
+        "doc_id",
+        "source",
+        "split",
+        F.concat(
+            F.col("text"),
+            F.lit(" "),
+            F.when(F.col("split") == "train", F.lit(_PLANT_TRAIN)).otherwise(
+                F.lit(_PLANT_TEST)
+            ),
+        ).alias("t"),
+    )
+    tok = aug.select(
+        "doc_id",
+        "source",
+        "split",
+        F.regexp_extract_all(F.lower(F.col("t")), F.lit("[a-z]+"), F.lit(0)).alias(
+            "raw_ws"
+        ),
+        F.regexp_extract_all(
+            F.replace(F.lower(F.col("t")), F.lit("'"), F.lit("")),
+            F.lit("[a-z0-9]+"),
+            F.lit(0),
+        ).alias("norm_ws"),
+    )
+
+    def _grams(col):
+        return F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(col) - 4),
+                lambda i: F.concat_ws(" ", F.slice(col, i, F.lit(5))),
+            )
+        )
+
+    def _lane(ws_col, n_grams_name, n_contam_name):
+        g = tok.filter(F.size(ws_col) >= 5).select(
+            "split", "doc_id", "source", _grams(ws_col).alias("gram")
+        )
+        tr = g.filter("split = 'train'").select("gram").distinct()
+        te = (
+            g.filter("split = 'test'")
+            .select("doc_id", "source", "gram")
+            .distinct()
+        )
+        return (
+            te.join(tr.withColumn("__hit", F.lit(1)), "gram", "left")
+            .groupBy("doc_id", "source")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias(n_grams_name),
+                F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+                .cast("bigint")
+                .alias(n_contam_name),
+            )
+        )
+
+    pr = _lane(F.col("raw_ws"), "n_grams_raw", "n_contam_raw")
+    pn = _lane(F.col("norm_ws"), "n_grams_norm", "n_contam_norm")
+    return (
+        pr.join(pn, ["doc_id", "source"])
+        .withColumn(
+            "caught_only_normalized",
+            (F.col("n_contam_norm") - F.col("n_contam_raw")).cast("bigint"),
+        )
+        .orderBy("doc_id")
+    )
