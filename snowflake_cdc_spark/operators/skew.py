@@ -35,7 +35,17 @@ def salted_latest_by_key(
     ``salt_buckets`` tasks — phase 2 races the ≤salt_buckets survivors.
     Equivalent to ``latest_by_key``; exists for plans that must stay on
     the window operator (e.g. when ties need deterministic multi-column
-    ordering that max_by's struct comparison can't express)."""
+    ordering that max_by's struct comparison can't express).
+
+    NOT wired into the pipeline, by measurement (VERDICT r07 #6,
+    docs/PLANS.md round-8 probe): on Spark >= 3.5 the plain
+    ``row_number()...filter(rn == 1)`` plan gets a map-side
+    ``WindowGroupLimit Partial`` below the Exchange — the optimizer
+    already two-phases the hot key — so salting's second window pass
+    LOSES at every skew level (0.44s window vs 0.67s salted at 90% hot,
+    5M rows). Use this form only where WindowGroupLimit cannot fire:
+    rank predicates the rule can't push (rn > 1 survivors, full
+    ordering without a top-k filter) or engines without the rule."""
     salted = df.withColumn(
         "__salt", F.pmod(F.xxhash64(F.col(seq_col)), F.lit(salt_buckets))
     )

@@ -34,3 +34,31 @@ def test_two_phase_count_distinct_matches(spark):
     }
     got = {(r.g, r.n) for r in count_distinct_two_phase(df, ["g"], "v").collect()}
     assert got == want
+
+
+def test_window_variant_has_partial_group_limit(spark):
+    """Spark >= 3.5 plans WindowGroupLimit Partial below the Exchange for
+    row_number()==1 — the map-side top-1 that makes the window variant of
+    latest_by_key skew-resistant WITHOUT salting (docs/PLANS.md round-8
+    probe: salting loses at every skew level because of this rule). If a
+    plan change ever drops the partial limit, the skew decision must be
+    revisited — this assertion is the tripwire."""
+    from pyspark.sql import functions as F
+
+    from snowflake_cdc_spark.operators.upsert import latest_by_key
+
+    df = spark.range(1000).select(
+        (F.col("id") % 10).alias("k"), F.col("id").alias("seq")
+    )
+    plan = (
+        latest_by_key(df, ["k"], "seq", use_window=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    partial = [
+        ln
+        for ln in plan.splitlines()
+        if "WindowGroupLimit" in ln and "Partial" in ln
+    ]
+    assert partial, f"no partial WindowGroupLimit in plan:\n{plan}"
