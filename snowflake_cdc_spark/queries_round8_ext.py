@@ -703,3 +703,241 @@ def q223(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Q224 — shard novelty curve (diminishing-returns audit)
+# --------------------------------------------------------------------------
+
+_NOVELTY_ORACLE = """
+WITH d AS (SELECT doc_id,
+                  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+                       AS BIGINT) % 8 AS shard,
+                  regexp_extract_all(lower(text), '[a-z]+') AS ws
+           FROM documents),
+g AS (SELECT DISTINCT shard,
+             unnest(list_transform(generate_series(1, len(ws) - 2),
+                    i -> array_to_string(ws[i:i+2], ' '))) AS gram
+      FROM d WHERE len(ws) >= 3),
+fs AS (SELECT gram, min(shard) AS first_shard FROM g GROUP BY 1),
+tot AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_grams FROM g GROUP BY 1),
+nw AS (SELECT first_shard AS shard, CAST(count(*) AS BIGINT) AS n_new
+       FROM fs GROUP BY 1)
+SELECT tot.shard, tot.n_grams, coalesce(nw.n_new, 0) AS n_new,
+       CAST(coalesce(nw.n_new, 0) * 1000000 // tot.n_grams AS BIGINT)
+         AS novelty_ppm
+FROM tot LEFT JOIN nw USING (shard)
+ORDER BY tot.shard
+"""
+
+
+@register(
+    "q224_shard_novelty",
+    _NOVELTY_ORACLE,
+    "shard novelty curve — the diminishing-returns audit every 'is "
+    "more data still buying vocabulary?' decision needs: documents "
+    "land in 8 deterministic md5 shards (a stand-in for ingestion "
+    "order); per shard, the count of distinct word-3-gram shingles "
+    "present, the count FIRST seen in that shard (min-shard "
+    "attribution), and the novelty fraction in ppm. A flattening "
+    "n_new across the curve says the corpus has saturated. Shape: "
+    "one distinct (shard, gram) projection, one min-aggregation at "
+    "gram granularity, two shard-sized rollups and an 8-row join — "
+    "no window, no pair join; gram attribution is a groupBy, so the "
+    "curve costs one shuffle at any corpus size",
+)
+def q224(spark, sf_dir):
+    from snowflake_cdc_spark.functions.text import word_shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    shard = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10
+        ).cast("long")
+        % 8
+    )
+    g = (
+        docs.select(shard.alias("shard"), F.explode(word_shingles("text", 3)).alias("gram"))
+        .distinct()
+    )
+    fs = g.groupBy("gram").agg(F.min("shard").alias("first_shard"))
+    tot = g.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams")
+    )
+    nw = fs.groupBy(F.col("first_shard").alias("shard")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n_new")
+    )
+    return (
+        tot.join(nw, "shard", "left")
+        .select(
+            "shard",
+            "n_grams",
+            F.coalesce(F.col("__n_new"), F.lit(0)).cast("bigint").alias("n_new"),
+            F.expr(
+                "CAST(coalesce(__n_new, 0) * 1000000 DIV n_grams AS BIGINT)"
+            ).alias("novelty_ppm"),
+        )
+        .orderBy("shard")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q225 — decontaminated training set (the removal action behind q223)
+# --------------------------------------------------------------------------
+
+_DECONTAM_ORACLE = f"""
+WITH d AS (SELECT doc_id, source, text,
+                  md5(CAST(doc_id AS VARCHAR)) AS h
+           FROM documents),
+r AS (SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY h, doc_id) AS rk,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM d),
+s AS (SELECT doc_id, source,
+             CASE WHEN rk <= (8 * n) // 10 THEN 'train'
+                  WHEN rk <= (9 * n) // 10 THEN 'val'
+                  ELSE 'test' END AS split,
+             text
+      FROM r),
+aug AS (SELECT doc_id, source, split,
+               text || ' ' ||
+               CASE WHEN split = 'train'
+                    THEN '{_PLANT_TRAIN.replace("'", "''")}'
+                    ELSE '{_PLANT_TEST}' END AS t
+        FROM s WHERE split <> 'val'),
+tok AS (SELECT doc_id, source, split,
+               regexp_extract_all(replace(lower(t), '''', ''),
+                                  '[a-z0-9]+') AS ws
+        FROM aug),
+g AS (SELECT split, doc_id, source, CAST(len(ws) AS BIGINT) AS n_toks,
+             unnest(list_transform(generate_series(1, len(ws) - 4),
+                    i -> array_to_string(ws[i:i+4], ' '))) AS gram
+      FROM tok WHERE len(ws) >= 5),
+te AS (SELECT DISTINCT gram FROM g WHERE split = 'test'),
+hits AS (SELECT DISTINCT g.doc_id FROM g JOIN te USING (gram)
+         WHERE g.split = 'train'),
+tr AS (SELECT doc_id, source, max(n_toks) AS n_toks
+       FROM g WHERE split = 'train' GROUP BY 1, 2)
+SELECT tr.source,
+       CAST(count(*) AS BIGINT) AS n_train,
+       CAST(sum(CASE WHEN hits.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dropped,
+       CAST(sum(CASE WHEN hits.doc_id IS NOT NULL THEN tr.n_toks
+                     ELSE 0 END) AS BIGINT) AS tokens_dropped,
+       CAST(sum(CASE WHEN hits.doc_id IS NULL THEN tr.n_toks
+                     ELSE 0 END) AS BIGINT) AS tokens_kept
+FROM tr LEFT JOIN hits USING (doc_id)
+GROUP BY tr.source ORDER BY tr.source
+"""
+
+
+@register(
+    "q225_decontaminated_train",
+    _DECONTAM_ORACLE,
+    "decontaminated training set — the REMOVAL action behind q223's "
+    "audit (the GPT-3 appendix-C posture: a train doc sharing any "
+    "normalized shingle with any eval doc is dropped from training, "
+    "conservatively): normalized 5-gram postings, distinct test-gram "
+    "relation, one semi-join-shaped hit set at gram granularity, and "
+    "per-source drop/keep token accounting. With the q223 planted "
+    "sentence in place, EVERY train doc shares the planted normalized "
+    "grams with the test split — so the lane reports total drop, the "
+    "adversarial upper bound that proves the hit propagation works "
+    "end to end (the fixture's organic overlap alone drops only a "
+    "fraction; the planted run exercises the worst case). Join is "
+    "gram-keyed, never doc x doc",
+)
+def q225(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    wn = Window.partitionBy("source")
+    r = d.withColumn("rk", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    s = r.select(
+        "doc_id",
+        "source",
+        "text",
+        F.when(F.col("rk") <= F.expr("(8 * n) DIV 10"), "train")
+        .when(F.col("rk") <= F.expr("(9 * n) DIV 10"), "val")
+        .otherwise("test")
+        .alias("split"),
+    ).filter("split <> 'val'")
+    aug = s.select(
+        "doc_id",
+        "source",
+        "split",
+        F.concat(
+            F.col("text"),
+            F.lit(" "),
+            F.when(F.col("split") == "train", F.lit(_PLANT_TRAIN)).otherwise(
+                F.lit(_PLANT_TEST)
+            ),
+        ).alias("t"),
+    )
+    tok = aug.select(
+        "doc_id",
+        "source",
+        "split",
+        F.regexp_extract_all(
+            F.replace(F.lower(F.col("t")), F.lit("'"), F.lit("")),
+            F.lit("[a-z0-9]+"),
+            F.lit(0),
+        ).alias("ws"),
+    ).filter(F.size("ws") >= 5)
+    g = tok.select(
+        "split",
+        "doc_id",
+        "source",
+        F.size("ws").cast("bigint").alias("n_toks"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws") - 4),
+                lambda i: F.concat_ws(" ", F.slice("ws", i, F.lit(5))),
+            )
+        ).alias("gram"),
+    )
+    te = g.filter("split = 'test'").select("gram").distinct()
+    hits = (
+        g.filter("split = 'train'")
+        .join(te, "gram")
+        .select("doc_id")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    tr = (
+        g.filter("split = 'train'")
+        .groupBy("doc_id", "source")
+        .agg(F.max("n_toks").alias("n_toks"))
+    )
+    return (
+        tr.join(hits, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_train"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_dropped"),
+            F.sum(
+                F.when(F.col("__hit").isNotNull(), F.col("n_toks")).otherwise(
+                    0
+                )
+            )
+            .cast("bigint")
+            .alias("tokens_dropped"),
+            F.sum(
+                F.when(F.col("__hit").isNull(), F.col("n_toks")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("tokens_kept"),
+        )
+        .orderBy("source")
+    )
