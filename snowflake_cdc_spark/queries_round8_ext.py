@@ -941,3 +941,87 @@ def q225(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Q226 — BPE fertility-by-frequency curve (tokenizer quality audit)
+# --------------------------------------------------------------------------
+
+
+def _fertility_oracle(rounds: int = 8) -> str:
+    from snowflake_cdc_spark.operators.bpe import _bpe_chain_ctes
+
+    ctes = _bpe_chain_ctes(rounds, "documents")
+    ctes.append(
+        f"tok AS (SELECT word, cnt, "
+        f"CAST(len(string_split(w, chr(30))) - 1 AS BIGINT) AS n_tok "
+        f"FROM w{rounds})"
+    )
+    ctes.append(
+        "bk AS (SELECT CAST(floor(4 * log2(cnt)) AS BIGINT) AS freq_band, "
+        "word, cnt, n_tok FROM tok)"
+    )
+    return (
+        f"WITH {', '.join(ctes)} "
+        "SELECT freq_band, CAST(count(*) AS BIGINT) AS n_words, "
+        "CAST(sum(cnt) AS BIGINT) AS total_cnt, "
+        "CAST(sum(cnt * length(word)) AS BIGINT) AS sum_chars, "
+        "CAST(sum(cnt * n_tok) AS BIGINT) AS sum_bpe, "
+        "CAST(sum(cnt * n_tok) * 1000 // sum(cnt) AS BIGINT) "
+        "  AS fertility_milli, "
+        "CAST(sum(cnt * length(word)) * 1000 // sum(cnt * n_tok) AS BIGINT) "
+        "  AS compression_milli "
+        "FROM bk GROUP BY freq_band ORDER BY freq_band"
+    )
+
+
+@register(
+    "q226_bpe_fertility_curve",
+    _fertility_oracle(8),
+    "tokenizer fertility-by-frequency curve — the standard BPE quality "
+    "audit (how many tokens an average word occurrence costs, by "
+    "word-frequency band): train the q145 merges, tokenize the "
+    "VOCABULARY once (q146's vocab-level discipline — documents are "
+    "never re-scanned per merge), band words by floor(4*log2(corpus "
+    "count)) (quarter-octave bands), and report per-band corpus-weighted fertility and "
+    "char-per-token compression in exact integer milli-units. A "
+    "healthy tokenizer shows fertility falling as frequency rises "
+    "(merges spend their budget on the head); a flat curve means the "
+    "merge budget is wasted. Everything after training is vocab-sized; "
+    "the corpus-weighted sums use the frequency table, not a rescan",
+)
+def q226(spark, sf_dir):
+    from snowflake_cdc_spark.operators.bpe import (
+        apply_bpe,
+        train_bpe,
+        word_frequencies,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    words = word_frequencies(docs)
+    merges = train_bpe(words, rounds=8).collect()
+    tok = apply_bpe(words, [tuple(m) for m in merges])
+    joined = tok.join(words, "word").withColumn(
+        "freq_band", F.floor(F.lit(4) * F.log2("cnt")).cast("bigint")
+    )
+    return (
+        joined.groupBy("freq_band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("cnt").cast("bigint").alias("total_cnt"),
+            F.sum(F.col("cnt") * F.length("word"))
+            .cast("bigint")
+            .alias("sum_chars"),
+            F.sum(F.col("cnt") * F.col("n_bpe_tokens"))
+            .cast("bigint")
+            .alias("sum_bpe"),
+            F.expr(
+                "CAST(sum(cnt * n_bpe_tokens) * 1000 DIV sum(cnt) AS BIGINT)"
+            ).alias("fertility_milli"),
+            F.expr(
+                "CAST(sum(cnt * length(word)) * 1000 "
+                "DIV sum(cnt * n_bpe_tokens) AS BIGINT)"
+            ).alias("compression_milli"),
+        )
+        .orderBy("freq_band")
+    )
