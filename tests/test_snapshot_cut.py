@@ -117,3 +117,28 @@ def test_pipeline_snapshot_all_tables_matches_per_table_replay(spark):
         g = sorted(map(tuple, got.collect()))
         e = sorted(map(tuple, want.collect()))
         assert g == e and len(g) > 0
+
+
+def test_scd2_seq_axis_composition(spark):
+    """The history-based read equals the log-replay read: SCD2 built on
+    the seq axis (scd2_from_changes(ts_col='seq')), read AS OF the same
+    global horizon, reproduces consistent_cut exactly — the composition
+    the pipeline uses for history-keeping tables (hard deletes excluded:
+    SCD2 models value churn, not row removal)."""
+    from snowflake_cdc_spark.operators.scd import scd2_as_of, scd2_from_changes
+
+    ev = _log(spark).filter(~F.col("is_delete"))
+    hist = scd2_from_changes(
+        ev,
+        key_cols=["table_name", "primary_key"],
+        attr_col="v",
+        ts_col="seq",
+        tiebreak_col="seq",
+    )
+    for s in (1, 2, 4, 5, 6):
+        via_history = {
+            (r["table_name"], r["primary_key"]): r["v"]
+            for r in scd2_as_of(hist, s).collect()
+        }
+        via_cut = _state(consistent_cut(ev, s))
+        assert via_history == via_cut, f"horizon {s}"
