@@ -131,6 +131,31 @@ class PqIndexMaintainer:
             .start()
         )
 
+    # -------------------------------------------------------- compaction
+
+    def compact(self) -> int:
+        """The rare scheduled job: re-encode EVERY generation's vectors
+        through the NEWEST codebooks and collapse to one generation.
+        Trigger on generation COUNT (each live generation adds one ADC
+        pass per search), not on a timer — drift events are what create
+        generations, so the compaction budget tracks actual drift.
+        Returns the number of generations collapsed. The raw vectors
+        ride in each generation's codes table (``pq_search`` re-ranks
+        on them), so compaction is one ``encode_with`` scan — no
+        side-channel vector store needed."""
+        if len(self.versions) == 1:
+            return 1
+        cur = self.current
+        merged = None
+        for idx, codes in zip(self.versions, self.codes):
+            vecs = codes.select(idx.id_col, idx.vec_col)
+            merged = vecs if merged is None else merged.unionByName(vecs)
+        recoded = encode_with(cur, merged).localCheckpoint(eager=True)
+        n = len(self.versions)
+        self.versions = [cur]
+        self.codes = [recoded]
+        return n
+
     # ------------------------------------------------------------ search
 
     def search(

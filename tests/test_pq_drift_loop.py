@@ -133,3 +133,34 @@ def test_foreachbatch_stream_trips_rebuild(spark, data, tmp_path):
     assert maint.rebuilds, "planted shift must trip through foreachBatch"
     total = sum(c.count() for c in maint.codes)
     assert total == len(corpus_a) + len(batch_a) + len(batch_b)
+
+
+def test_compaction_collapses_generations(spark, data):
+    """compact() re-encodes everything through the newest codebooks and
+    collapses to one generation; B-query recall stays recovered (the
+    newest books were trained on B) — only A-side codes change quality,
+    and the exact re-rank keeps results sane."""
+    corpus_a, batch_a, batch_b, queries = data
+    qdf = spark.createDataFrame(queries, Q_SCHEMA)
+    truth = _truth(corpus_a + batch_a + batch_b, queries)
+
+    index = build_pq(
+        spark.createDataFrame(corpus_a, SCHEMA), m=M, k=K, seed=11
+    )
+    maint = PqIndexMaintainer(index, threshold_ratio=2.0)
+    maint.process_batch(spark.createDataFrame(batch_a, SCHEMA), 1)
+    maint.process_batch(spark.createDataFrame(batch_b, SCHEMA), 2)
+    assert len(maint.versions) == 2
+    recall_two_gen = _recall(maint.search(qdf, k=5, shortlist=25).collect(), truth)
+
+    collapsed = maint.compact()
+    assert collapsed == 2 and len(maint.versions) == 1
+    total = maint.codes[0].count()
+    assert total == len(corpus_a) + len(batch_a) + len(batch_b)
+    recall_compacted = _recall(
+        maint.search(qdf, k=5, shortlist=25).collect(), truth
+    )
+    assert recall_compacted >= recall_two_gen - 0.1, (
+        f"compaction must not destroy recall: {recall_two_gen} -> "
+        f"{recall_compacted}"
+    )
