@@ -129,7 +129,7 @@ _DSIR_BUCKETS = 256  # hashed n-gram feature buckets (B)
 _DSIR_BUDGET = 8_000  # token budget for the selection prefix
 _DSIR_SEL_BUCKETS = 256  # range buckets for the sort-free cumsum
 
-_DSIR_ORACLE = f"""
+_DSIR_SEL_CTES = f"""
 WITH d AS (SELECT doc_id, lang,
                   regexp_extract_all(lower(text), '[a-z]+') AS ws
            FROM documents),
@@ -178,6 +178,11 @@ c2 AS (SELECT *,
                                 AND CURRENT ROW) AS cum
        FROM r2),
 sel AS (SELECT * FROM c2 WHERE cum <= {_DSIR_BUDGET})
+"""
+
+_DSIR_ORACLE = (
+    _DSIR_SEL_CTES
+    + """
 SELECT lang,
        CAST(count(*) AS BIGINT) AS n_selected,
        CAST(sum(n_toks) AS BIGINT) AS tokens_selected,
@@ -185,6 +190,7 @@ SELECT lang,
        CAST(max(logw) AS BIGINT) AS max_logw_unat
 FROM sel GROUP BY lang ORDER BY lang
 """
+)
 
 
 @register(
@@ -210,6 +216,23 @@ FROM sel GROUP BY lang ORDER BY lang
     "join however large the corpus",
 )
 def q221(spark, sf_dir):
+    sel = _dsir_selection(spark, sf_dir)
+    return (
+        sel.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_selected"),
+            F.sum("n_toks").cast("bigint").alias("tokens_selected"),
+            F.min("logw").cast("bigint").alias("min_logw_unat"),
+            F.max("logw").cast("bigint").alias("max_logw_unat"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _dsir_selection(spark, sf_dir):
+    """The shared DSIR scoring + budget-selection pipeline: returns the
+    SELECTED pool docs (doc_id, lang, n_toks, logw, cum ...) — q221
+    aggregates it, q227 evaluates it."""
     from pyspark.sql import Window
 
     from snowflake_cdc_spark.operators.rank import skewed_count_rank
@@ -298,20 +321,10 @@ def q221(spark, sf_dir):
         .orderBy("rk")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    sel = (
+    return (
         keyed.join(F.broadcast(offsets), "__rb")
         .withColumn("cum", F.col("__off") + F.sum("n_toks").over(w_intra))
         .filter(F.col("cum") <= _DSIR_BUDGET)
-    )
-    return (
-        sel.groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_selected"),
-            F.sum("n_toks").cast("bigint").alias("tokens_selected"),
-            F.min("logw").cast("bigint").alias("min_logw_unat"),
-            F.max("logw").cast("bigint").alias("max_logw_unat"),
-        )
-        .orderBy("lang")
     )
 
 
@@ -1024,4 +1037,128 @@ def q226(spark, sf_dir):
             ).alias("compression_milli"),
         )
         .orderBy("freq_band")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q227 — DSIR effectiveness: did selection move the corpus toward target?
+# --------------------------------------------------------------------------
+
+_DSIR_EVAL_ORACLE = (
+    _DSIR_SEL_CTES
+    + """,
+toks AS (SELECT doc_id, lang, unnest(ws) AS w2 FROM d),
+cw AS (SELECT w2,
+              CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS ct,
+              CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS cpool,
+              CAST(sum(CASE WHEN lang <> 'en'
+                             AND doc_id IN (SELECT doc_id FROM sel)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS csel
+       FROM toks GROUP BY 1),
+t2 AS (SELECT CAST(sum(ct) AS BIGINT) AS nt,
+              CAST(sum(cpool) AS BIGINT) AS npl,
+              CAST(sum(csel) AS BIGINT) AS ns,
+              CAST(count(*) AS BIGINT) AS v
+       FROM cw),
+terms AS (SELECT
+    CAST(floor((CAST(ct + 1 AS DOUBLE) / CAST(nt + v AS DOUBLE))
+               * ln(CAST((ct + 1) * (npl + v) AS DOUBLE)
+                    / CAST((cpool + 1) * (nt + v) AS DOUBLE))
+               * 1000000000.0) AS BIGINT) AS tp,
+    CAST(floor((CAST(ct + 1 AS DOUBLE) / CAST(nt + v AS DOUBLE))
+               * ln(CAST((ct + 1) * (ns + v) AS DOUBLE)
+                    / CAST((csel + 1) * (nt + v) AS DOUBLE))
+               * 1000000000.0) AS BIGINT) AS ts
+  FROM cw, t2)
+SELECT t2.v, t2.nt AS n_target_toks, t2.npl AS n_pool_toks,
+       t2.ns AS n_sel_toks,
+       CAST(sum(tp) AS BIGINT) AS kl_pool_nano,
+       CAST(sum(ts) AS BIGINT) AS kl_sel_nano,
+       CAST(sum(ts) < sum(tp) AS BOOLEAN) AS improved
+FROM terms, t2
+GROUP BY 1, 2, 3, 4
+"""
+)
+
+
+@register(
+    "q227_dsir_effectiveness",
+    _DSIR_EVAL_ORACLE,
+    "selection-effectiveness audit for q221 (the eval DSIR itself "
+    "calls for): exact smoothed KL(target || pool) vs KL(target || "
+    "selected) over the word vocabulary, in integer nano-nats (the "
+    "q190 discipline — one libm ln per term, quantized once, summed "
+    "order-free). 'improved' lands in the hashed output: the selected "
+    "subcorpus must sit CLOSER to the target distribution than the "
+    "raw pool, or the importance weights are noise (on this fixture "
+    "the selection roughly halves the divergence). Scale shape: the "
+    "selection is q221's (broadcast lr, sort-free rank+cumsum); the "
+    "eval adds one vocab-granularity aggregation with a broadcast "
+    "membership flag — no doc x doc anything",
+)
+def q227(spark, sf_dir):
+    sel_ids = _dsir_selection(spark, sf_dir).select("doc_id")
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+        ).alias("w2"),
+    ).join(
+        F.broadcast(sel_ids.withColumn("__sel", F.lit(1))), "doc_id", "left"
+    )
+    cw = toks.groupBy("w2").agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("bigint")
+        .alias("ct"),
+        F.sum(F.when(F.col("lang") != "en", 1).otherwise(0))
+        .cast("bigint")
+        .alias("cpool"),
+        F.sum(
+            F.when(
+                (F.col("lang") != "en") & F.col("__sel").isNotNull(), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("csel"),
+    )
+    t2 = cw.agg(
+        F.sum("ct").cast("bigint").alias("nt"),
+        F.sum("cpool").cast("bigint").alias("npl"),
+        F.sum("csel").cast("bigint").alias("ns"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+    )
+    terms = cw.crossJoin(F.broadcast(t2)).select(
+        "nt",
+        "npl",
+        "ns",
+        "v",
+        F.expr(
+            "CAST(floor((CAST(ct + 1 AS DOUBLE) / CAST(nt + v AS DOUBLE))"
+            " * ln(CAST((ct + 1) * (npl + v) AS DOUBLE)"
+            "      / CAST((cpool + 1) * (nt + v) AS DOUBLE))"
+            " * 1000000000.0) AS BIGINT)"
+        ).alias("tp"),
+        F.expr(
+            "CAST(floor((CAST(ct + 1 AS DOUBLE) / CAST(nt + v AS DOUBLE))"
+            " * ln(CAST((ct + 1) * (ns + v) AS DOUBLE)"
+            "      / CAST((csel + 1) * (nt + v) AS DOUBLE))"
+            " * 1000000000.0) AS BIGINT)"
+        ).alias("ts"),
+    )
+    return terms.groupBy("v", "nt", "npl", "ns").agg(
+        F.sum("tp").cast("bigint").alias("kl_pool_nano"),
+        F.sum("ts").cast("bigint").alias("kl_sel_nano"),
+        (F.sum("ts") < F.sum("tp")).alias("improved"),
+    ).select(
+        "v",
+        F.col("nt").alias("n_target_toks"),
+        F.col("npl").alias("n_pool_toks"),
+        F.col("ns").alias("n_sel_toks"),
+        "kl_pool_nano",
+        "kl_sel_nano",
+        "improved",
     )
