@@ -1110,20 +1110,27 @@ def q227(spark, sf_dir):
     ).join(
         F.broadcast(sel_ids.withColumn("__sel", F.lit(1))), "doc_id", "left"
     )
-    cw = toks.groupBy("w2").agg(
-        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
-        .cast("bigint")
-        .alias("ct"),
-        F.sum(F.when(F.col("lang") != "en", 1).otherwise(0))
-        .cast("bigint")
-        .alias("cpool"),
-        F.sum(
-            F.when(
-                (F.col("lang") != "en") & F.col("__sel").isNotNull(), 1
-            ).otherwise(0)
+    cw = (
+        toks.groupBy("w2")
+        .agg(
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+            .cast("bigint")
+            .alias("ct"),
+            F.sum(F.when(F.col("lang") != "en", 1).otherwise(0))
+            .cast("bigint")
+            .alias("cpool"),
+            F.sum(
+                F.when(
+                    (F.col("lang") != "en") & F.col("__sel").isNotNull(), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("csel"),
         )
-        .cast("bigint")
-        .alias("csel"),
+        # both the totals branch and the per-term branch read this
+        # vocab-sized table — materialize once or the whole DSIR
+        # selection subtree executes twice (q139's checkpoint pattern)
+        .localCheckpoint(eager=True)
     )
     t2 = cw.agg(
         F.sum("ct").cast("bigint").alias("nt"),

@@ -119,12 +119,6 @@ WHITELIST: dict[str, tuple[int, str]] = {
         "live inside the materialized checkpoint, audited via "
         "q174/q188)",
     ),
-    "q227_dsir_effectiveness": (
-        1,
-        "the q221 selection cumsum's 256-bucket offsets window (q227 "
-        "composes the identical selection subtree before its "
-        "vocab-granularity KL aggregation)",
-    ),
 }
 
 
