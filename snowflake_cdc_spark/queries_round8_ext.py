@@ -1169,3 +1169,143 @@ def q227(spark, sf_dir):
         "kl_sel_nano",
         "improved",
     )
+
+
+# --------------------------------------------------------------------------
+# Q228 — deterministic Poisson-bootstrap confidence interval
+# --------------------------------------------------------------------------
+
+#: Poisson(1) CDF thresholds on the exact 52-bit md5 grid:
+#: P(X <= k) * 2^52, k = 0..5 (tail capped at 6 — P(X > 6) < 1e-4).
+#: Computed once in Python and embedded as BIGINT literals in BOTH
+#: engines, so the replica weights are pure integer comparisons.
+_POIS_THR = [
+    1656781714176974,
+    3313563428353948,
+    4141954285442435,
+    4418084571138597,
+    4487117142562638,
+    4500923656847446,
+]
+_N_REPLICAS = 32
+
+
+def _pois_case(u_expr: str) -> str:
+    """CASE mapping a 52-bit uniform to a Poisson(1) draw (shared SQL)."""
+    branches = " ".join(
+        f"WHEN {u_expr} < {t} THEN {k}" for k, t in enumerate(_POIS_THR)
+    )
+    return f"CASE {branches} ELSE 6 END"
+
+
+_BOOTSTRAP_ORACLE = f"""
+WITH d AS (SELECT doc_id,
+                  CAST(len(regexp_extract_all(lower(text), '[a-z]+'))
+                       AS BIGINT) AS x
+           FROM documents),
+rep AS (SELECT doc_id, x, r,
+               {_pois_case("CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) "
+                           "|| '#' || CAST(r AS VARCHAR)), 1, 13)) AS BIGINT)")}
+                 AS w
+        FROM d, range({_N_REPLICAS}) t(r)),
+means AS (SELECT r,
+                 CAST(sum(w * x) * 1000000 // sum(w) AS BIGINT) AS mean_micro
+          FROM rep GROUP BY r HAVING sum(w) > 0),
+ranked AS (SELECT mean_micro,
+                  row_number() OVER (ORDER BY mean_micro, r) AS rk,
+                  count(*) OVER () AS n
+           FROM means)
+SELECT CAST(max(n) AS BIGINT) AS n_replicas,
+       CAST(sum(CASE WHEN rk = 2 THEN mean_micro ELSE 0 END) AS BIGINT)
+         AS ci_lo_micro,
+       CAST(sum(CASE WHEN rk = n - 1 THEN mean_micro ELSE 0 END) AS BIGINT)
+         AS ci_hi_micro,
+       CAST(sum(mean_micro) // max(n) AS BIGINT) AS boot_mean_micro
+FROM ranked
+"""
+
+
+@register(
+    "q228_bootstrap_ci",
+    _BOOTSTRAP_ORACLE,
+    "deterministic Poisson-bootstrap confidence interval for a corpus "
+    "statistic (mean tokens per document) — the error bar every "
+    "corpus-stats dashboard should carry: 32 bootstrap replicas with "
+    "Poisson(1) resampling weights drawn from md5(doc_id # replica) "
+    "on the exact 52-bit grid (CDF thresholds embedded as BIGINT "
+    "literals — a weight is an integer comparison, no float RNG "
+    "anywhere), per-replica integer micro-unit means, CI = the "
+    "2nd/31st order statistics of the 32 replica means. The Poisson "
+    "bootstrap is THE distributed-friendly bootstrap (replica weights "
+    "are per-row independent — one map pass, no resampling shuffle; "
+    "Chamandy et al., Google 2012); the only window runs over the "
+    "32-row replica-means table",
+)
+def q228(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("x"),
+    )
+    rep = d.select(
+        "doc_id",
+        "x",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(_N_REPLICAS - 1))
+        ).alias("r"),
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit("#"),
+                    F.col("r").cast("string"),
+                )
+            ),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = F.lit(6)
+    for k in range(len(_POIS_THR) - 1, -1, -1):
+        w = F.when(u < _POIS_THR[k], F.lit(k)).otherwise(w)
+    means = (
+        rep.withColumn("w", w)
+        .groupBy("r")
+        .agg(
+            F.expr(
+                "CAST(sum(w * x) * 1000000 DIV sum(w) AS BIGINT)"
+            ).alias("mean_micro"),
+            F.sum("w").alias("__sw"),
+        )
+        .filter(F.col("__sw") > 0)
+    )
+    wnd = Window.orderBy("mean_micro", "r")
+    ranked = means.select(
+        "mean_micro",
+        F.row_number().over(wnd).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    return ranked.agg(
+        F.max("n").cast("bigint").alias("n_replicas"),
+        F.sum(F.when(F.col("rk") == 2, F.col("mean_micro")).otherwise(0))
+        .cast("bigint")
+        .alias("ci_lo_micro"),
+        F.sum(
+            F.when(F.col("rk") == F.col("n") - 1, F.col("mean_micro")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("ci_hi_micro"),
+        F.expr("CAST(sum(mean_micro) DIV max(n) AS BIGINT)").alias(
+            "boot_mean_micro"
+        ),
+    )

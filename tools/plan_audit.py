@@ -119,6 +119,11 @@ WHITELIST: dict[str, tuple[int, str]] = {
         "live inside the materialized checkpoint, audited via "
         "q174/q188)",
     ),
+    "q228_bootstrap_ci": (
+        1,
+        "order-statistics window over the replica-means table — "
+        "exactly N_REPLICAS=32 rows regardless of corpus size",
+    ),
 }
 
 
