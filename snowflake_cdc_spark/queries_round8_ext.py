@@ -1309,3 +1309,155 @@ def q228(spark, sf_dir):
             "boot_mean_micro"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Q229 — quality-filter funnel (per-stage attrition report)
+# --------------------------------------------------------------------------
+
+_FUNNEL_ORACLE = """
+WITH planted AS (
+  SELECT doc_id, source,
+         text || CASE WHEN doc_id % 5 = 0
+                      THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                           || '@example.com'
+                      ELSE '' END AS text
+  FROM documents),
+d AS (SELECT doc_id,
+             string_split(text, ' ') AS ws,
+             len(regexp_extract_all(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+               AS n_pii
+      FROM planted),
+g AS (SELECT
+        CAST(len(list_filter(ws, x -> list_contains(
+             ['the','a','of','and','is','el','la','de','y','es',
+              'der','die','das','und','ist','le','et','est'], x)))
+             AS BIGINT) > 0 AS g1,
+        len(ws) BETWEEN 20 AND 100 AS g2,
+        (CAST(len(ws) AS BIGINT) - CAST(len(list_distinct(ws)) AS BIGINT))
+          * 100 <= 55 * CAST(len(ws) AS BIGINT) AS g3,
+        n_pii = 0 AS g4,
+        CAST(len(list_filter(ws, x -> list_contains(
+             ['the','a','of','and','is'], x))) AS BIGINT) * 50
+          >= CAST(len(ws) AS BIGINT) AS g5
+      FROM d),
+t AS (SELECT CAST(count(*) AS BIGINT) AS s0,
+             CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+             CAST(sum(CASE WHEN g1 AND g2 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+             CAST(sum(CASE WHEN g1 AND g2 AND g3 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS s3,
+             CAST(sum(CASE WHEN g1 AND g2 AND g3 AND g4 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS s4,
+             CAST(sum(CASE WHEN g1 AND g2 AND g3 AND g4 AND g5
+                           THEN 1 ELSE 0 END) AS BIGINT) AS s5
+      FROM g)
+SELECT * FROM (
+  SELECT 1 AS stage, 'language_id' AS gate, s0 AS n_in, s1 AS n_out FROM t
+  UNION ALL SELECT 2, 'length_window', s1, s2 FROM t
+  UNION ALL SELECT 3, 'repetition', s2, s3 FROM t
+  UNION ALL SELECT 4, 'pii_clean', s3, s4 FROM t
+  UNION ALL SELECT 5, 'stopword_density', s4, s5 FROM t)
+ORDER BY stage
+"""
+
+
+@register(
+    "q229_filter_funnel",
+    _FUNNEL_ORACLE,
+    "quality-filter FUNNEL — the per-stage attrition report every "
+    "published curation pipeline ships (FineWeb/CCNet style): five "
+    "gates (any-language stopword evidence, 20-100 token length "
+    "window, dup-token fraction <= 0.55, planted-PII-free — the q119 "
+    "in-query email plant so the stage has real attrition — and "
+    "english stopword density >= 2%) applied as a CUMULATIVE cascade, "
+    "each row showing that stage's survivors of the previous stage's "
+    "output. All gate arithmetic is integer comparisons (the ratio "
+    "thresholds are cross-multiplied), so the funnel is hash-exact. "
+    "ONE corpus scan computes every gate boolean; the funnel is a "
+    "single aggregation + a constant 5-row unpivot — adding a stage "
+    "costs one more conditional sum, never another pass",
+)
+def q229(spark, sf_dir):
+    from snowflake_cdc_spark.functions.text import PII_PATTERNS
+
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.select(
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text")
+    )
+    ws = F.split("text", " ")
+    n = F.size(ws).cast("bigint")
+    all_sw = F.array(
+        *[
+            F.lit(s)
+            for s in [
+                "the", "a", "of", "and", "is", "el", "la", "de", "y",
+                "es", "der", "die", "das", "und", "ist", "le", "et",
+                "est",
+            ]
+        ]
+    )
+    en_sw = F.array(*[F.lit(s) for s in ["the", "a", "of", "and", "is"]])
+    n_pii = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(PII_PATTERNS["email"]), F.lit(0))
+    )
+    g1 = F.size(F.filter(ws, lambda x: F.array_contains(all_sw, x))) > 0
+    g2 = (n >= 20) & (n <= 100)
+    g3 = (n - F.size(F.array_distinct(ws)).cast("bigint")) * 100 <= 55 * n
+    g4 = n_pii == 0
+    g5 = (
+        F.size(F.filter(ws, lambda x: F.array_contains(en_sw, x))).cast(
+            "bigint"
+        )
+        * 50
+        >= n
+    )
+    gates = planted.select(
+        g1.alias("g1"), g2.alias("g2"), g3.alias("g3"),
+        g4.alias("g4"), g5.alias("g5"),
+    )
+    t = gates.agg(
+        F.count(F.lit(1)).cast("bigint").alias("s0"),
+        F.sum(F.when(F.col("g1"), 1).otherwise(0)).cast("bigint").alias("s1"),
+        F.sum(F.when(F.col("g1") & F.col("g2"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("s2"),
+        F.sum(F.when(F.col("g1") & F.col("g2") & F.col("g3"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("s3"),
+        F.sum(
+            F.when(
+                F.col("g1") & F.col("g2") & F.col("g3") & F.col("g4"), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("s4"),
+        F.sum(
+            F.when(
+                F.col("g1") & F.col("g2") & F.col("g3") & F.col("g4")
+                & F.col("g5"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("s5"),
+    )
+    return t.selectExpr(
+        "inline(array("
+        "struct(1 AS stage, 'language_id' AS gate, s0 AS n_in, s1 AS n_out),"
+        "struct(2 AS stage, 'length_window' AS gate, s1 AS n_in, s2 AS n_out),"
+        "struct(3 AS stage, 'repetition' AS gate, s2 AS n_in, s3 AS n_out),"
+        "struct(4 AS stage, 'pii_clean' AS gate, s3 AS n_in, s4 AS n_out),"
+        "struct(5 AS stage, 'stopword_density' AS gate, s4 AS n_in, "
+        "s5 AS n_out)))"
+    ).orderBy("stage")
