@@ -1461,3 +1461,99 @@ def q229(spark, sf_dir):
         "struct(5 AS stage, 'stopword_density' AS gate, s4 AS n_in, "
         "s5 AS n_out)))"
     ).orderBy("stage")
+
+
+# --------------------------------------------------------------------------
+# Q230 — dup-cluster representative selection by QUALITY
+# --------------------------------------------------------------------------
+
+
+def _rep_oracle() -> str:
+    from snowflake_cdc_spark.queries_northstar import (
+        DOCS_CORPUS_SQL,
+        _SHINGLES_SQL,
+    )
+    from snowflake_cdc_spark.queries import REGISTRY as _R
+
+    base = _R["q116_dedup_pipeline"].oracle
+    head = base.rsplit("comp AS (SELECT node, min(r) AS component", 1)[0]
+    return (
+        head
+        + """comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+    sc AS (SELECT doc_id,
+                  CAST(len(list_distinct(regexp_extract_all(lower(text),
+                       '[a-z]+'))) AS BIGINT) AS score,
+                  md5(CAST(doc_id AS VARCHAR)) AS h
+           FROM corpus),
+    mem AS (SELECT comp.component, comp.node AS doc_id, sc.score, sc.h
+            FROM comp JOIN sc ON sc.doc_id = comp.node),
+    rr AS (SELECT *, row_number() OVER (PARTITION BY component
+                                        ORDER BY score DESC, h, doc_id) AS rn,
+                 count(*) OVER (PARTITION BY component) AS n
+           FROM mem)
+    SELECT component AS cluster_id, doc_id AS rep_doc_id,
+           score AS rep_score, CAST(n AS BIGINT) AS n_members,
+           (doc_id = component) AS rep_is_min_id
+    FROM rr WHERE rn = 1 AND n >= 2 ORDER BY component"""
+    )
+
+
+@register(
+    "q230_cluster_representative",
+    _rep_oracle(),
+    "dup-cluster REPRESENTATIVE selection by quality — what production "
+    "dedup actually keeps (q116 maps every duplicate to the min-id "
+    "canonical; real pipelines keep the BEST member): per connected "
+    "near-dup cluster, the argmax by (distinct-word score DESC, "
+    "md5(id), id). On the planted corpus the near-copies carry one "
+    "extra distinct token, so the quality rule deterministically picks "
+    "the NON-min-id member — rep_is_min_id lands in the hashed output "
+    "as proof the rule differs from (and improves on) min-id. Cluster "
+    "membership reuses q116's LSH pairs + connected components; the "
+    "selection is one partitioned window over cluster members",
+)
+def q230(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from snowflake_cdc_spark.operators.components import connected_components
+    from snowflake_cdc_spark.operators.dedup import minhash_lsh_pairs
+    from snowflake_cdc_spark.queries_northstar import planted_docs
+
+    docs = planted_docs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", k=8, bands=2, threshold=0.8)
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    comp = connected_components(edges, algorithm="auto")
+    sc = docs.select(
+        "doc_id",
+        F.size(
+            F.array_distinct(
+                F.regexp_extract_all(
+                    F.lower(F.col("text")), F.lit("[a-z]+"), F.lit(0)
+                )
+            )
+        )
+        .cast("bigint")
+        .alias("score"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    mem = comp.join(sc, comp["node"] == sc["doc_id"]).select(
+        "component", "doc_id", "score", "h"
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc("score"), F.col("h"), F.col("doc_id")
+    )
+    wn = Window.partitionBy("component")
+    rr = mem.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    return (
+        rr.filter((F.col("rn") == 1) & (F.col("n") >= 2))
+        .select(
+            F.col("component").alias("cluster_id"),
+            F.col("doc_id").alias("rep_doc_id"),
+            F.col("score").alias("rep_score"),
+            F.col("n").cast("bigint").alias("n_members"),
+            (F.col("doc_id") == F.col("component")).alias("rep_is_min_id"),
+        )
+        .orderBy("cluster_id")
+    )
