@@ -1557,3 +1557,143 @@ def q230(spark, sf_dir):
         )
         .orderBy("cluster_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Q231 — cross-horizon churn report (diff of two consistent cuts)
+# --------------------------------------------------------------------------
+
+_CHURN_ORACLE = """
+WITH mx AS (SELECT max(o_orderkey) AS m FROM orders),
+cdc_events AS (
+  SELECT o_orderkey AS seq,
+         'orders_part_' || CAST(o_orderkey % 2 AS VARCHAR) AS table_name,
+         FALSE AS is_delete, CAST(o_orderkey AS VARCHAR) AS primary_key,
+         o_totalprice AS price
+  FROM orders
+  UNION ALL
+  SELECT mx.m + o_orderkey,
+         'orders_part_' || CAST(o_orderkey % 2 AS VARCHAR),
+         FALSE, CAST(o_orderkey AS VARCHAR), o_totalprice + 10.0
+  FROM orders, mx WHERE o_orderkey % 3 = 0
+  UNION ALL
+  SELECT 2 * mx.m + o_orderkey,
+         'orders_part_' || CAST(o_orderkey % 2 AS VARCHAR),
+         TRUE, CAST(o_orderkey AS VARCHAR), CAST(NULL AS DOUBLE)
+  FROM orders, mx WHERE o_orderkey % 7 = 0
+),
+cut AS (SELECT e.*,
+               row_number() OVER (PARTITION BY table_name, primary_key
+                                  ORDER BY seq DESC) AS rn
+        FROM (SELECT c.* FROM cdc_events c, mx
+              WHERE c.seq <= (3 * mx.m) // 2) e),
+s1 AS (SELECT table_name, primary_key, price
+       FROM cut WHERE rn = 1 AND NOT is_delete),
+cut2 AS (SELECT e.*,
+                row_number() OVER (PARTITION BY table_name, primary_key
+                                   ORDER BY seq DESC) AS rn
+         FROM (SELECT c.* FROM cdc_events c, mx
+               WHERE c.seq <= 3 * mx.m) e),
+s2 AS (SELECT table_name, primary_key, price
+       FROM cut2 WHERE rn = 1 AND NOT is_delete),
+j AS (SELECT coalesce(s1.table_name, s2.table_name) AS table_name,
+             (s1.primary_key IS NOT NULL) AS in1,
+             (s2.primary_key IS NOT NULL) AS in2,
+             (s1.primary_key IS NOT NULL AND s2.primary_key IS NOT NULL
+              AND s1.price IS DISTINCT FROM s2.price) AS chg
+      FROM s1 FULL JOIN s2
+        ON s1.table_name = s2.table_name
+       AND s1.primary_key = s2.primary_key)
+SELECT table_name,
+       CAST(sum(CASE WHEN in2 AND NOT in1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS rows_added,
+       CAST(sum(CASE WHEN in1 AND NOT in2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS rows_removed,
+       CAST(sum(CASE WHEN chg THEN 1 ELSE 0 END) AS BIGINT) AS rows_changed,
+       CAST(sum(CASE WHEN in1 AND in2 AND NOT chg THEN 1 ELSE 0 END)
+            AS BIGINT) AS rows_common
+FROM j GROUP BY table_name ORDER BY table_name
+"""
+
+
+@register(
+    "q231_cut_churn",
+    _CHURN_ORACLE,
+    "cross-horizon churn report: table_diff between two consistent "
+    "cuts of the multiplexed change log (horizon 1.5m = mid-update "
+    "band, horizon 3m = everything incl. deletes) — the batch form of "
+    "the streaming ConvergenceMonitor, answering 'what changed in "
+    "every table between these two points of the SAME global "
+    "timeline'. Composes consistent_cut + operators/diff.py per "
+    "table; added/removed/changed/common are counted per table off "
+    "one full outer join on the snapshot key. Deletes land in "
+    "rows_removed, the %3 update band in rows_changed — every count "
+    "hash-checked against an independent SQL derivation",
+)
+def q231(spark, sf_dir):
+    from snowflake_cdc_spark.operators.snapshot import consistent_cut
+    from snowflake_cdc_spark.sources.cdc import cdc_events_flat
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    mx = orders.agg(F.max("o_orderkey").alias("m"))
+    ev = (
+        cdc_events_flat(spark, sf_dir)
+        .select(
+            "seq",
+            "table_name",
+            "is_delete",
+            "primary_key",
+            F.col("row_o_totalprice").alias("price"),
+        )
+        .crossJoin(F.broadcast(mx))
+    )
+    s1 = consistent_cut(
+        ev, F.expr("CAST((3 * m) DIV 2 AS BIGINT)"), key_cols=["primary_key"]
+    ).select("table_name", "primary_key", "price")
+    s2 = consistent_cut(
+        ev, (F.lit(3) * F.col("m")).cast("bigint"), key_cols=["primary_key"]
+    ).select("table_name", "primary_key", "price")
+    a = s1.select(
+        F.col("table_name").alias("t1"),
+        F.col("primary_key").alias("k1"),
+        F.col("price").alias("p1"),
+    )
+    b = s2.select(
+        F.col("table_name").alias("t2"),
+        F.col("primary_key").alias("k2"),
+        F.col("price").alias("p2"),
+    )
+    j = a.join(
+        b, (F.col("t1") == F.col("t2")) & (F.col("k1") == F.col("k2")), "full"
+    ).select(
+        F.coalesce(F.col("t1"), F.col("t2")).alias("table_name"),
+        F.col("k1").isNotNull().alias("in1"),
+        F.col("k2").isNotNull().alias("in2"),
+        (
+            F.col("k1").isNotNull()
+            & F.col("k2").isNotNull()
+            & ~F.col("p1").eqNullSafe(F.col("p2"))
+        ).alias("chg"),
+    )
+    return (
+        j.groupBy("table_name")
+        .agg(
+            F.sum(F.when(F.col("in2") & ~F.col("in1"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("rows_added"),
+            F.sum(F.when(F.col("in1") & ~F.col("in2"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("rows_removed"),
+            F.sum(F.when(F.col("chg"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("rows_changed"),
+            F.sum(
+                F.when(F.col("in1") & F.col("in2") & ~F.col("chg"), 1).otherwise(
+                    0
+                )
+            )
+            .cast("bigint")
+            .alias("rows_common"),
+        )
+        .orderBy("table_name")
+    )
