@@ -1697,3 +1697,116 @@ def q231(spark, sf_dir):
         )
         .orderBy("table_name")
     )
+
+
+# --------------------------------------------------------------------------
+# Q232 — event-time disorder audit (the watermark-design input)
+# --------------------------------------------------------------------------
+
+_DISORDER_BUCKETS = 256
+
+_DISORDER_ORACLE = f"""
+WITH mx AS (SELECT max(event_id) AS mid FROM events),
+e AS (SELECT (event_id * {_DISORDER_BUCKETS}) // (mx.mid + 1) AS bkt,
+             epoch_us(ts)
+               - CASE WHEN event_id % 97 = 0
+                      THEN 7200000000 ELSE 0 END AS us
+      FROM events, mx),
+pb AS (SELECT bkt,
+              CAST(count(*) AS BIGINT) AS n_events,
+              CAST(max(us) AS BIGINT) AS max_us
+       FROM e GROUP BY bkt),
+cb AS (SELECT bkt, n_events,
+              max(max_us) OVER (ORDER BY bkt
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS carry_us
+       FROM pb),
+lt AS (SELECT e.bkt,
+              CAST(sum(CASE WHEN cb.carry_us IS NOT NULL
+                             AND e.us < cb.carry_us
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+              CAST(coalesce(max(CASE WHEN cb.carry_us IS NOT NULL
+                                      AND e.us < cb.carry_us
+                                     THEN (cb.carry_us - e.us) // 1000000
+                                 END), 0) AS BIGINT) AS max_lag_s
+       FROM e JOIN cb USING (bkt) GROUP BY e.bkt)
+SELECT cb.bkt AS bucket, cb.n_events, lt.n_late, lt.max_lag_s
+FROM cb JOIN lt ON lt.bkt = cb.bkt
+WHERE lt.n_late > 0
+ORDER BY cb.bkt
+"""
+
+
+@register(
+    "q232_event_disorder",
+    _DISORDER_ORACLE,
+    "event-time disorder audit — the measurement a watermark delay "
+    "should be chosen FROM, not guessed: arrival order (event_id) is "
+    "cut into 256 fixed buckets; an event is cross-bucket LATE when "
+    "its event time precedes the maximum event time of all EARLIER "
+    "arrival buckets, and the report gives per-bucket late counts and "
+    "the worst regression in whole seconds (exact integer "
+    "epoch-microsecond algebra; a deterministic 2-hour regression is "
+    "planted on every 97th event so the audit has real signal on the "
+    "perfectly-ordered fixture). Resolution is deliberately bucket-"
+    "granular: the carry is a running max over the 256-row bucket "
+    "table (the q203 constant-bounded window pattern — never a "
+    "data-sized sort), and within-bucket disorder is invisible by "
+    "design; double the buckets to halve the blind spot. One scan, "
+    "one bucket rollup, one bucket-keyed join back",
+)
+def q232(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from snowflake_cdc_spark.sources.io import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("event_id").alias("mid"))
+    e = ev.crossJoin(F.broadcast(mx)).select(
+        F.expr(f"CAST((event_id * {_DISORDER_BUCKETS}) DIV (mid + 1) AS BIGINT)").alias(
+            "bkt"
+        ),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.when(F.col("event_id") % 97 == 0, 7200000000).otherwise(0)
+        ).alias("us"),
+    )
+    pb = e.groupBy("bkt").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.max("us").alias("max_us"),
+    )
+    w = Window.orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cb = pb.select(
+        "bkt", "n_events", F.max("max_us").over(w).alias("carry_us")
+    )
+    late = (
+        F.col("carry_us").isNotNull() & (F.col("us") < F.col("carry_us"))
+    )
+    lt = (
+        e.join(F.broadcast(cb.select("bkt", "carry_us")), "bkt")
+        .groupBy("bkt")
+        .agg(
+            F.sum(F.when(late, 1).otherwise(0)).cast("bigint").alias("n_late"),
+            F.coalesce(
+                F.max(
+                    F.when(
+                        late,
+                        F.expr("CAST((carry_us - us) DIV 1000000 AS BIGINT)"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("max_lag_s"),
+        )
+    )
+    return (
+        cb.join(lt, "bkt")
+        .filter(F.col("n_late") > 0)
+        .select(
+            F.col("bkt").alias("bucket"), "n_events", "n_late", "max_lag_s"
+        )
+        .orderBy("bucket")
+    )

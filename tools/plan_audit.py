@@ -124,6 +124,11 @@ WHITELIST: dict[str, tuple[int, str]] = {
         "order-statistics window over the replica-means table — "
         "exactly N_REPLICAS=32 rows regardless of corpus size",
     ),
+    "q232_event_disorder": (
+        1,
+        "carry running max over the 256-row fixed arrival-bucket "
+        "table (the q203 constant-bounded pattern)",
+    ),
 }
 
 
