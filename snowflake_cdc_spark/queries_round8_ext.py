@@ -1810,3 +1810,73 @@ def q232(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# Q233 — 2-D corpus map: length x quality equi-depth grid
+# --------------------------------------------------------------------------
+
+_GRID_K = 4
+
+_GRID_ORACLE = f"""
+WITH d AS (SELECT doc_id,
+                  CAST(len(regexp_extract_all(lower(text), '[a-z]+'))
+                       AS BIGINT) AS n_toks,
+                  CAST(len(list_distinct(regexp_extract_all(lower(text),
+                       '[a-z]+'))) AS BIGINT) AS score
+           FROM documents),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+rl AS (SELECT doc_id, n_toks, score,
+              row_number() OVER (ORDER BY n_toks, doc_id) AS r_len,
+              row_number() OVER (ORDER BY score, doc_id) AS r_q
+       FROM d),
+b AS (SELECT doc_id, n_toks,
+             ((r_len - 1) * {_GRID_K}) // n.n + 1 AS len_bucket,
+             ((r_q - 1) * {_GRID_K}) // n.n + 1 AS q_bucket
+      FROM rl, n)
+SELECT len_bucket, q_bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_toks) AS BIGINT) AS tokens
+FROM b GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@register(
+    "q233_corpus_grid",
+    _GRID_ORACLE,
+    "2-D corpus map — the joint length x quality distribution every "
+    "curation dashboard opens with: each document lands in a 4x4 "
+    "equi-depth grid (token-count quartile x distinct-word-score "
+    "quartile) with doc and token mass per cell; a mass concentration "
+    "off the diagonal says length and vocabulary richness decouple in "
+    "part of the corpus (boilerplate: long but poor). Both bucket "
+    "axes use operators/histogram.py::equidepth_assign — the "
+    "sort-free exact rank composition (range buckets + broadcast "
+    "offsets; the oracle's row_number formulation is the definition "
+    "it matches). Two assignments + one doc-keyed join + one rollup",
+)
+def q233(spark, sf_dir):
+    from snowflake_cdc_spark.operators.histogram import equidepth_assign
+
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), F.lit(0))
+    d = docs.select(
+        "doc_id",
+        F.size(ws).cast("bigint").alias("n_toks"),
+        F.size(F.array_distinct(ws)).cast("bigint").alias("score"),
+    )
+    lb = equidepth_assign(d, "n_toks", "doc_id", k=_GRID_K).select(
+        "doc_id", "n_toks", F.col("bucket").alias("len_bucket")
+    )
+    qb = equidepth_assign(d, "score", "doc_id", k=_GRID_K).select(
+        "doc_id", F.col("bucket").alias("q_bucket")
+    )
+    return (
+        lb.join(qb, "doc_id")
+        .groupBy("len_bucket", "q_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("tokens"),
+        )
+        .orderBy("len_bucket", "q_bucket")
+    )

@@ -129,6 +129,11 @@ WHITELIST: dict[str, tuple[int, str]] = {
         "carry running max over the 256-row fixed arrival-bucket "
         "table (the q203 constant-bounded pattern)",
     ),
+    "q233_corpus_grid": (
+        2,
+        "two equidepth_assign bucket-offsets windows (range_buckets=64 "
+        "rows each — one per grid axis, the q187 pattern)",
+    ),
 }
 
 
