@@ -16,10 +16,30 @@ importance-weighted selection:
   determinism-contract slice), target-vs-raw importance log-ratios in
   exact micro-nat integers (the q160/q172 discipline), per-doc
   weights, and a token-budget top-selection through the q211
-  sort-free rank + bucketed cumsum.
+  sort-free rank + bucketed cumsum;
+- q222 consistent cross-table snapshot cut (VERDICT r07 #3): one
+  global seq horizon across the demuxed tables, planted same-seq
+  multi-table transactions, torn_global = 0 vs torn_lagged = 1;
+- q223 normalized decontamination (VERDICT r07 #5) and q225 the
+  matching removal action (drop contaminated train docs);
+- q224 shard novelty curve (diminishing-returns audit) and q233 the
+  2-D length x quality equi-depth corpus grid;
+- q226 BPE fertility-by-frequency curve (tokenizer quality audit);
+- q227 DSIR effectiveness: exact nano-nat KL(target||selected) vs
+  KL(target||pool) with the improved flag hashed;
+- q228 deterministic Poisson-bootstrap CI (error bars without a
+  resampling shuffle);
+- q229 quality-filter funnel (five cumulative gates, one scan);
+- q230 dup-cluster representative selection by quality (argmax beats
+  min-id, rep_is_min_id hashed);
+- q231 cross-horizon churn (diff of two consistent cuts per table);
+- q232 event-time disorder audit (256 fixed arrival buckets — the
+  watermark-sizing measurement).
 
 All lanes keep the standing disciplines: token-identical DuckDB
-oracles, md5-only randomness, no global sorts.
+oracles, md5-only randomness, no global sorts (every unpartitioned
+window here is a constant-bounded offsets/replica/bucket table,
+whitelisted in tools/plan_audit.py).
 """
 
 from __future__ import annotations
