@@ -118,8 +118,16 @@ def pipeline_from_config(spark, cfg: dict | str, sink=None):
           "fail_on_write_error": false,
           "quarantine_dir": "/warehouse/_quarantine",
           "maintenance": {"every_n_batches": 10, "target_files": 8,
-                          "keep_versions": 2}
+                          "keep_versions": 2},
+          "convergence": {"log_dir": "/warehouse/_convergence"}
         }
+
+    ``convergence`` (round 8): truthy -> a ``ConvergenceMonitor`` wired
+    into the pipeline (``{}`` for in-memory ledger only; ``log_dir``
+    adds the parquet ledger). The pipeline's wiring-time
+    ``keep_versions >= 2`` check applies — a config combining
+    convergence with ``keep_versions: 1`` fails fast here, not
+    mid-stream.
 
     ``sink`` may be passed explicitly (any sink object) to override the
     config's local-parquet sink."""
@@ -146,6 +154,15 @@ def pipeline_from_config(spark, cfg: dict | str, sink=None):
     maint = None
     if cfg.get("maintenance"):
         maint = MaintenancePolicy(**cfg["maintenance"])
+    conv = None
+    if cfg.get("convergence") is not None:
+        from snowflake_cdc_spark.streaming.convergence import (
+            ConvergenceMonitor,
+        )
+
+        conv = ConvergenceMonitor(
+            sink, log_dir=cfg["convergence"].get("log_dir")
+        )
     return CdcPipeline(
         spark,
         specs,
@@ -154,6 +171,7 @@ def pipeline_from_config(spark, cfg: dict | str, sink=None):
         quarantine_dir=cfg.get("quarantine_dir"),
         dq_expectations=dq or None,
         maintenance=maint,
+        convergence=conv,
     )
 
 

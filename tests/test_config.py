@@ -90,3 +90,33 @@ def test_pipeline_from_config_runs_end_to_end(spark, tmp_path):
     assert snap.count() == oracle.count()
     # maintenance fired (every_n_batches=1) and compacted the snapshot
     assert pipe.maintenance_events
+
+
+def test_config_wires_convergence_monitor(spark, tmp_path):
+    raw = str(tmp_path / "raw_c")
+    cdc_events_nested(spark, SF_SMOKE).write.parquet(raw)
+    cfg = {
+        "tables": [
+            {
+                "full_table_name": "tpch.orders",
+                "use_upsolver_primary_key_column": True,
+                "logical_delete_col": "",
+            }
+        ],
+        "sink": {"root": str(tmp_path / "wh_c")},
+        "convergence": {"log_dir": str(tmp_path / "conv")},
+    }
+    pipe = pipeline_from_config(spark, cfg)
+    assert pipe.convergence is not None
+    pipe.run_batch(raw)
+    # first batch: everything reports as added in the monitor's ledger
+    rows = {r.metric: r.n for r in pipe.convergence.log(spark).collect()}
+    assert rows.get("rows_added", 0) > 0
+
+    # convergence + keep_versions < 2 must fail at wiring time
+    import pytest as _pytest
+
+    bad = dict(cfg)
+    bad["maintenance"] = {"every_n_batches": 1, "keep_versions": 1}
+    with _pytest.raises(ValueError, match="keep_versions"):
+        pipeline_from_config(spark, bad)
