@@ -1900,3 +1900,92 @@ def q233(spark, sf_dir):
         )
         .orderBy("len_bucket", "q_bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# Q234 — md5 bucket-uniformity audit (certifying the randomness base)
+# --------------------------------------------------------------------------
+
+_UNIF_B = 64
+
+_UNIF_ORACLE = f"""
+WITH h AS (SELECT CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 13))
+                       AS BIGINT) % {_UNIF_B} AS b
+           FROM events),
+c AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM h GROUP BY b),
+t AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_buckets,
+             CAST(min(c) AS BIGINT) AS min_c,
+             CAST(max(c) AS BIGINT) AS max_c,
+             CAST(sum((c * {_UNIF_B} - (SELECT sum(c) FROM c))
+                      * (c * {_UNIF_B} - (SELECT sum(c) FROM c)))
+                  AS BIGINT) AS ss
+      FROM c)
+SELECT n, n_buckets, min_c, max_c,
+       CAST(ss * 1000 // (n * {_UNIF_B}) AS BIGINT) AS chi2_milli,
+       (ss * 1000 // (n * {_UNIF_B})) < 3 * ({_UNIF_B} - 1) * 1000
+         AS within_bound
+FROM t
+"""
+
+
+@register(
+    "q234_md5_uniformity",
+    _UNIF_ORACLE,
+    "md5 bucket-uniformity audit — certifying the foundation every "
+    "determinism-contract lane stands on (shard keys, LSH bands, DSIR "
+    "features, bootstrap weights all ride the 52-bit md5 slice mod "
+    "B): bucket counts over 64 buckets, the exact integer chi-square "
+    "statistic in milli-units (sum of (c*B - n)^2 scaled once by "
+    "n*B — every term BIGINT, one final integer division), and a "
+    "3x(B-1) acceptance bound (chi2's mean is B-1; 3x is far beyond "
+    "any plausible tail) hashed into the output. A biased hash would "
+    "silently skew every md5-derived sample, shard, and band in the "
+    "repo — this lane makes 'md5 is uniform on our key space' a "
+    "checked fact instead of an assumption. One scan, one "
+    "64-row rollup, one scalar aggregate",
+)
+def q234(spark, sf_dir):
+    from snowflake_cdc_spark.sources.io import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    b = (
+        F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 13),
+            16,
+            10,
+        ).cast("long")
+        % _UNIF_B
+    )
+    c = ev.select(b.alias("b")).groupBy("b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    nrow = c.agg(F.sum("c").cast("bigint").alias("n"))
+    t = (
+        c.crossJoin(F.broadcast(nrow))
+        .agg(
+            F.max("n").cast("bigint").alias("n"),
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+            F.min("c").cast("bigint").alias("min_c"),
+            F.max("c").cast("bigint").alias("max_c"),
+            F.sum(
+                (F.col("c") * _UNIF_B - F.col("n"))
+                * (F.col("c") * _UNIF_B - F.col("n"))
+            )
+            .cast("bigint")
+            .alias("ss"),
+        )
+    )
+    return t.select(
+        "n",
+        "n_buckets",
+        "min_c",
+        "max_c",
+        F.expr(f"CAST(ss * 1000 DIV (n * {_UNIF_B}) AS BIGINT)").alias(
+            "chi2_milli"
+        ),
+        (
+            F.expr(f"ss * 1000 DIV (n * {_UNIF_B})")
+            < 3 * (_UNIF_B - 1) * 1000
+        ).alias("within_bound"),
+    )
