@@ -122,9 +122,10 @@ def pipeline_from_config(spark, cfg: dict | str, sink=None):
           "convergence": {"log_dir": "/warehouse/_convergence"}
         }
 
-    ``convergence`` (round 8): truthy -> a ``ConvergenceMonitor`` wired
-    into the pipeline (``{}`` for in-memory ledger only; ``log_dir``
-    adds the parquet ledger). The pipeline's wiring-time
+    ``convergence`` (round 8): an OBJECT enables a ``ConvergenceMonitor``
+    wired into the pipeline (``{}`` for in-memory ledger only;
+    ``log_dir`` adds the parquet ledger); ``false``/``null``/omitted
+    disables it; any other truthy non-object is a config error. The pipeline's wiring-time
     ``keep_versions >= 2`` check applies — a config combining
     convergence with ``keep_versions: 1`` fails fast here, not
     mid-stream.
@@ -155,13 +156,18 @@ def pipeline_from_config(spark, cfg: dict | str, sink=None):
     if cfg.get("maintenance"):
         maint = MaintenancePolicy(**cfg["maintenance"])
     conv = None
-    if cfg.get("convergence") is not None:
+    conv_cfg = cfg.get("convergence")
+    if isinstance(conv_cfg, dict):
         from snowflake_cdc_spark.streaming.convergence import (
             ConvergenceMonitor,
         )
 
-        conv = ConvergenceMonitor(
-            sink, log_dir=cfg["convergence"].get("log_dir")
+        conv = ConvergenceMonitor(sink, log_dir=conv_cfg.get("log_dir"))
+    elif conv_cfg:
+        raise ValueError(
+            "pipeline config 'convergence' must be an object "
+            '({"log_dir": ...}) or false/omitted to disable; got '
+            f"{conv_cfg!r}"
         )
     return CdcPipeline(
         spark,

@@ -990,8 +990,10 @@ def _fertility_oracle(rounds: int = 8) -> str:
         f"CAST(len(string_split(w, chr(30))) - 1 AS BIGINT) AS n_tok "
         f"FROM w{rounds})"
     )
+    from snowflake_cdc_spark.functions.intmath import quarter_log2_band_sql
+
     ctes.append(
-        "bk AS (SELECT CAST(floor(4 * log2(cnt)) AS BIGINT) AS freq_band, "
+        f"bk AS (SELECT {quarter_log2_band_sql('cnt')} AS freq_band, "
         "word, cnt, n_tok FROM tok)"
     )
     return (
@@ -1016,7 +1018,11 @@ def _fertility_oracle(rounds: int = 8) -> str:
     "word-frequency band): train the q145 merges, tokenize the "
     "VOCABULARY once (q146's vocab-level discipline — documents are "
     "never re-scanned per merge), band words by floor(4*log2(corpus "
-    "count)) (quarter-octave bands), and report per-band corpus-weighted fertility and "
+    "count)) (quarter-octave bands — EXACT INTEGER via "
+    "functions/intmath.py::quarter_log2_band: bit-length + precomputed "
+    "ceil(2^(e+i/4)) thresholds, because float log2 disagrees by 1 ulp "
+    "across engines exactly at power-of-two counts), and report "
+    "per-band corpus-weighted fertility and "
     "char-per-token compression in exact integer milli-units. A "
     "healthy tokenizer shows fertility falling as frequency rises "
     "(merges spend their budget on the head); a flat curve means the "
@@ -1030,12 +1036,14 @@ def q226(spark, sf_dir):
         word_frequencies,
     )
 
+    from snowflake_cdc_spark.functions.intmath import quarter_log2_band
+
     docs = _t(spark, sf_dir, "documents")
     words = word_frequencies(docs)
     merges = train_bpe(words, rounds=8).collect()
     tok = apply_bpe(words, [tuple(m) for m in merges])
     joined = tok.join(words, "word").withColumn(
-        "freq_band", F.floor(F.lit(4) * F.log2("cnt")).cast("bigint")
+        "freq_band", quarter_log2_band("cnt")
     )
     return (
         joined.groupBy("freq_band")
@@ -1851,8 +1859,18 @@ rl AS (SELECT doc_id, n_toks, score,
               row_number() OVER (ORDER BY score, doc_id) AS r_q
        FROM d),
 b AS (SELECT doc_id, n_toks,
-             ((r_len - 1) * {_GRID_K}) // n.n + 1 AS len_bucket,
-             ((r_q - 1) * {_GRID_K}) // n.n + 1 AS q_bucket
+             CASE WHEN r_len <= (n.n % {_GRID_K}) * (n.n // {_GRID_K} + 1)
+                  THEN (r_len - 1) // (n.n // {_GRID_K} + 1) + 1
+                  ELSE (n.n % {_GRID_K})
+                       + (r_len - (n.n % {_GRID_K}) * (n.n // {_GRID_K} + 1) - 1)
+                         // (n.n // {_GRID_K}) + 1
+             END AS len_bucket,
+             CASE WHEN r_q <= (n.n % {_GRID_K}) * (n.n // {_GRID_K} + 1)
+                  THEN (r_q - 1) // (n.n // {_GRID_K} + 1) + 1
+                  ELSE (n.n % {_GRID_K})
+                       + (r_q - (n.n % {_GRID_K}) * (n.n // {_GRID_K} + 1) - 1)
+                         // (n.n // {_GRID_K}) + 1
+             END AS q_bucket
       FROM rl, n)
 SELECT len_bucket, q_bucket,
        CAST(count(*) AS BIGINT) AS n_docs,
@@ -1872,8 +1890,11 @@ FROM b GROUP BY 1, 2 ORDER BY 1, 2
     "part of the corpus (boilerplate: long but poor). Both bucket "
     "axes use operators/histogram.py::equidepth_assign — the "
     "sort-free exact rank composition (range buckets + broadcast "
-    "offsets; the oracle's row_number formulation is the definition "
-    "it matches). Two assignments + one doc-keyed join + one rollup",
+    "offsets); the oracle runs the naive single-sort rank and applies "
+    "the SAME ntile-fill CASE (first n%k buckets take n//k+1 rows) as "
+    "q140's oracle, so parity holds at ANY corpus size, not just "
+    "counts divisible by k. Two assignments + one doc-keyed join + "
+    "one rollup",
 )
 def q233(spark, sf_dir):
     from snowflake_cdc_spark.operators.histogram import equidepth_assign

@@ -147,9 +147,20 @@ class PqIndexMaintainer:
             return 1
         cur = self.current
         merged = None
-        for idx, codes in zip(self.versions, self.codes):
-            vecs = codes.select(idx.id_col, idx.vec_col)
+        for g, (idx, codes) in enumerate(zip(self.versions, self.codes)):
+            vecs = codes.select(
+                idx.id_col, idx.vec_col, F.lit(g).alias("__gen")
+            )
             merged = vecs if merged is None else merged.unionByName(vecs)
+        # a re-arriving id leaves its stale row in the older generation;
+        # keep only the NEWEST generation's vector per id so the
+        # compacted table holds one row per id (the current value)
+        w_id = Window.partitionBy(cur.id_col).orderBy(F.desc("__gen"))
+        merged = (
+            merged.withColumn("__rn", F.row_number().over(w_id))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "__gen")
+        )
         recoded = encode_with(cur, merged).localCheckpoint(eager=True)
         n = len(self.versions)
         self.versions = [cur]
@@ -169,9 +180,13 @@ class PqIndexMaintainer:
         """Cross-generation top-k: the standard ADC + exact re-rank per
         generation (each against its own codebooks and codes), merged on
         the exact cosine — generation-independent, so the union's top-k
-        is exactly the top-k of the per-generation winners."""
+        is exactly the top-k of the per-generation winners. A
+        re-arriving (updated) id leaves its stale row in an older
+        generation; the merge keeps only the NEWEST generation's hit
+        per (query, id) before the final top-k, so an id never consumes
+        two slots and the score reflects its current vector."""
         parts = []
-        for idx, codes in zip(self.versions, self.codes):
+        for g, (idx, codes) in enumerate(zip(self.versions, self.codes)):
             gen = PqIndex(
                 codebooks=idx.codebooks,
                 codes=codes,
@@ -189,14 +204,19 @@ class PqIndexMaintainer:
                     shortlist=shortlist,
                     query_id=query_id,
                     query_vec=query_vec,
-                )
+                ).withColumn("__gen", F.lit(g))
             )
         merged = parts[0]
         for p in parts[1:]:
             merged = merged.unionByName(p)
-        w = Window.partitionBy(query_id).orderBy(
-            F.desc("sim"), F.col(self.current.id_col)
+        id_col = self.current.id_col
+        w_id = Window.partitionBy(query_id, id_col).orderBy(F.desc("__gen"))
+        merged = (
+            merged.withColumn("__gn", F.row_number().over(w_id))
+            .filter(F.col("__gn") == 1)
+            .drop("__gn", "__gen")
         )
+        w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.col(id_col))
         return (
             merged.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= k)
