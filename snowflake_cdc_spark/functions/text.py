@@ -148,20 +148,34 @@ def fingerprint(col: Column | str) -> Column:
 
 
 # ---------------------------------------------------------------------------
-# Unicode word lane (round 8 — VERDICT r07 #1). ASCII-convention ledger:
-# every OTHER text lane in this repo extracts words with `[a-z]+` over
-# lowered text — q024/q029-q032 quality metrics, the BPE chain
-# (operators/bpe.py), sharding.py's doc-mixture tokens, the q190/q219 KL
-# drift lanes, q211 token budgets, q212 repetition, q214 contamination.
-# That convention is CORRECT on the driver fixture (TESTDATA.md: the
-# documents table is ASCII space-separated word soup) and keeps every
-# oracle byte-identical, but on a real multilingual corpus (CJK,
-# Cyrillic, accented Latin) `[a-z]+` silently tokenizes to zero or
-# mangled tokens — zeroing token budgets, dedup shingles, contamination
-# checks, and KL drift. Multilingual corpora must route through
-# ``unicode_words`` below; q220 is the oracle-backed proof that the two
-# lanes diverge on non-Latin text (its cyrillic/cjk rows count tokens
-# the ASCII lane can never see).
+# Unicode word lane (round 8 — VERDICT r07 #1; DEFAULT since round 9 —
+# VERDICT r08 #2). ``unicode_words`` / ``UNICODE_WORD`` is the repo's
+# default word tokenizer: the corpus-curation family (q210/q211 splits +
+# budgets, q212 repetition, q214/q223/q225 contamination, q221/q227
+# DSIR, q190/q219 KL drift, q197 cross-source, q160 surprisal, q172 LM,
+# q173 PMI, q174 Zipf, q202 mixing, q149/q201 set-sim shingles
+# (operators/setsim.py), q180 phrase search (operators/phrase.py),
+# q203/q218/q224 sharding tokens (operators/sharding.py), q228 CI,
+# q230 representatives, q233 corpus grid, and the vocab-novelty
+# maintainer) all tokenize with the \p{L}\p{M} letter-run class in both
+# engines. On the all-ASCII driver fixture the two classes produce
+# IDENTICAL tokens over lowered text, so the migration was
+# hash-neutral (tests/test_unicode_migration.py proves token-level
+# equality corpus-wide and the divergence on planted non-Latin rows).
+#
+# ASCII-convention SURVIVORS, each with its reason:
+# - the BPE chain (operators/bpe.py; q145/q146/q209/q226): the merge
+#   algebra extracts marker-delimited `[a-z]+` symbol runs whose
+#   non-overlap guarantee is proven for that exact class; widening the
+#   class is a semantic change to the trained vocab, not a drop-in —
+#   multilingual BPE belongs to a byte-level pre-tokenizer, not to a
+#   wider regex.
+# - q220: measures the ASCII-vs-Unicode divergence BY DESIGN (its
+#   ascii_capturable column is defined as `^[a-z]+$`).
+# - queries_surface_ext's `[aeiou][a-z]+`: a regexp-surface demo lane —
+#   the pattern itself is the subject under test, not a tokenizer.
+# - ``bpe_ish_token_count`` below: a GPT-2-shaped pre-tokenizer COUNT
+#   heuristic, documented as ASCII-approximate.
 # ---------------------------------------------------------------------------
 
 #: Unicode word class: letter runs including combining marks. Verified
@@ -172,6 +186,12 @@ def fingerprint(col: Column | str) -> Column:
 #: script CLASSES are out of the shared subset; script bucketing is done
 #: by leading-codepoint ranges instead (``script_of``).
 UNICODE_WORD = r"[\p{L}\p{M}]+"
+
+#: The NORMALIZED-token class (letters + digits) used by the
+#: decontamination lanes (q223/q225): casefold + strip punctuation but
+#: keep digits, so "GPT-4 eval" and "gpt4 eval!" collide. Same shared
+#: Java/RE2 subset as UNICODE_WORD.
+UNICODE_WORD_NUM = r"[\p{L}\p{M}0-9]+"
 
 
 def unicode_words(col: Column | str) -> Column:

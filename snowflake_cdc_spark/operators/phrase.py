@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from snowflake_cdc_spark.functions.text import UNICODE_WORD
+
 
 def phrase_search(
     docs: DataFrame,
@@ -59,7 +61,7 @@ def phrase_search(
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(
-            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0)
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(UNICODE_WORD), 0)
         ).alias("pos", "w"),
     ).filter(F.col("w").isin(wanted))
 

@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from snowflake_cdc_spark.functions.text import UNICODE_WORD
+
 
 def shingle_sets(
     docs: DataFrame,
@@ -43,7 +45,7 @@ def shingle_sets(
     the lambda re-evaluates the full-text regex PER ARRAY ELEMENT (no
     CSE across lambda scopes — measured ~10 s of a 12 s query at sf0.1;
     bound form: ~1 s)."""
-    w = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0)
+    w = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(UNICODE_WORD), 0)
     base = docs.select(F.col(id_col), w.alias("__w"))
     wc = F.col("__w")
     gram = F.transform(

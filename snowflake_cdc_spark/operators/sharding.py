@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from snowflake_cdc_spark.functions.text import UNICODE_WORD
 from snowflake_cdc_spark.operators.shuffle import deterministic_shuffle
 
 __all__ = ["shard_assignments", "shard_manifest"]
@@ -50,7 +51,7 @@ def shard_assignments(
     toks = docs.select(
         F.col(id_col),
         F.size(
-            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0)
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(UNICODE_WORD), 0)
         )
         .cast("bigint")
         .alias("tok"),

@@ -43,6 +43,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from snowflake_cdc_spark.functions.text import UNICODE_WORD
 from snowflake_cdc_spark.operators.curation import cap_per_group
 from snowflake_cdc_spark.operators.expectations import (
     accepted_values,
@@ -1003,7 +1004,7 @@ _SETSIM_ORACLE = """
 WITH toks AS (
   SELECT DISTINCT doc_id, sh AS tok FROM (
     SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
-    FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w
+    FROM (SELECT doc_id, regexp_extract_all(lower(text), '[\\p{L}\\p{M}]+') AS w
           FROM documents),
          unnest(generate_series(1, len(w) - 2)) AS t(i))),
 df AS (SELECT tok, CAST(count(*) AS BIGINT) AS dfc FROM toks GROUP BY 1),
@@ -1671,7 +1672,7 @@ def q159(spark, sf_dir):
 
 _SURPRISAL_ORACLE = """
 WITH tok AS (
-  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[\\p{L}\\p{M}]+')) AS w
   FROM documents),
 tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok),
 vocab AS (
@@ -1712,7 +1713,7 @@ def q160(spark, sf_dir):
     tok = docs.select(
         "doc_id",
         F.explode(
-            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(UNICODE_WORD), 0)
         ).alias("w"),
     )
     tot = tok.agg(F.count(F.lit(1)).cast("bigint").alias("n"))

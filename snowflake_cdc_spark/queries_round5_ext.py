@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from snowflake_cdc_spark.functions.text import UNICODE_WORD
 from snowflake_cdc_spark.operators.substring_dedup import duplicate_spans
 from snowflake_cdc_spark.queries import _t, register
 
@@ -112,7 +113,7 @@ def q171(spark, sf_dir):
 
 _BIGRAM_ORACLE = """
 WITH toks AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+  SELECT doc_id, regexp_extract_all(lower(text), '[\\p{L}\\p{M}]+') AS ws
   FROM documents),
 bg AS (
   SELECT doc_id,
@@ -179,7 +180,7 @@ WHERE rn <= 10 ORDER BY doc_id
 )
 def q172(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    ws = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+    ws = F.regexp_extract_all(F.lower(F.col("text")), F.lit(UNICODE_WORD), 0)
     toks = docs.select("doc_id", ws.alias("ws"))
     n = F.size("ws")
     bge = (
@@ -255,7 +256,7 @@ def q172(spark, sf_dir):
 
 _PMI_ORACLE = """
 WITH toks AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+  SELECT doc_id, regexp_extract_all(lower(text), '[\\p{L}\\p{M}]+') AS ws
   FROM documents),
 uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cu
         FROM (SELECT unnest(ws) AS w FROM toks) GROUP BY 1),
@@ -303,7 +304,7 @@ WHERE rn <= 25 ORDER BY prev, cur
 )
 def q173(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    ws = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+    ws = F.regexp_extract_all(F.lower(F.col("text")), F.lit(UNICODE_WORD), 0)
     toks = docs.select(ws.alias("ws"))
     uni = (
         toks.select(F.explode("ws").alias("w"))
@@ -373,7 +374,7 @@ def q173(spark, sf_dir):
 
 _ZIPF_ORACLE = """
 WITH toks AS (
-  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+  SELECT unnest(regexp_extract_all(lower(text), '[\\p{L}\\p{M}]+')) AS w
   FROM documents),
 uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cu FROM toks GROUP BY 1),
 ranked AS (
@@ -415,7 +416,7 @@ def q174(spark, sf_dir):
     from snowflake_cdc_spark.operators.rank import skewed_count_rank
 
     docs = _t(spark, sf_dir, "documents")
-    ws = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+    ws = F.regexp_extract_all(F.lower(F.col("text")), F.lit(UNICODE_WORD), 0)
     uni = (
         docs.select(F.explode(ws).alias("w"))
         .groupBy("w")

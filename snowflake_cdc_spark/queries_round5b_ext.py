@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from snowflake_cdc_spark.functions.text import UNICODE_WORD
 from snowflake_cdc_spark.operators.kcore import kcore
 from snowflake_cdc_spark.operators.phrase import phrase_search
 from snowflake_cdc_spark.queries import _t, register
@@ -142,7 +143,7 @@ def _phrase_oracle_sql(phrases: dict[str, str]) -> str:
        GROUP BY doc_id"""
         )
     return (
-        """WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+        """WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '[\\p{L}\\p{M}]+') AS ws
            FROM documents)\n"""
         + "\nUNION ALL\n".join(blocks)
         + "\nORDER BY phrase, doc_id"
@@ -842,7 +843,7 @@ def q189(spark, sf_dir):
 
 _KL_ORACLE = """
 WITH toks AS (SELECT doc_id % 2 AS half, unnest(
-                  regexp_extract_all(lower(text), '[a-z]+')) AS w
+                  regexp_extract_all(lower(text), '[\\p{L}\\p{M}]+')) AS w
               FROM documents),
      c AS (SELECT w,
                   CAST(count(*) FILTER (WHERE half = 0) AS BIGINT) AS cp,
@@ -888,7 +889,7 @@ def q190(spark, sf_dir):
     toks = docs.select(
         (F.col("doc_id") % 2).alias("half"),
         F.explode(
-            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(UNICODE_WORD), 0)
         ).alias("w"),
     )
     c = toks.groupBy("w").agg(

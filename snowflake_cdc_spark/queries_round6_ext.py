@@ -36,6 +36,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from snowflake_cdc_spark.functions.text import UNICODE_WORD
 from snowflake_cdc_spark.operators.quantile_sketch import (
     bottomk_sample,
     quantile_estimates,
@@ -185,7 +186,7 @@ def q200(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 _CONTAIN_ORACLE = """
-WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '[\\p{L}\\p{M}]+') AS ws
            FROM documents),
 t AS (SELECT doc_id,
              unnest(list_distinct(list_transform(generate_series(1, len(ws) - 2),
@@ -241,7 +242,7 @@ def q201(spark, sf_dir):
 _MIXING_ORACLE = """
 WITH s AS (SELECT source,
                   CAST(count(*) AS BIGINT) AS n_docs,
-                  CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+')))
+                  CAST(sum(len(regexp_extract_all(lower(text), '[\\p{L}\\p{M}]+')))
                        AS BIGINT) AS n_tokens
            FROM documents GROUP BY 1),
 tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t,
@@ -277,7 +278,7 @@ def q202(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum(
             F.size(
-                F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit(UNICODE_WORD), 0)
             )
         )
         .cast("bigint")
@@ -314,7 +315,7 @@ def q202(spark, sf_dir):
 
 _SHARD_ORACLE = """
 WITH toks AS (SELECT doc_id,
-                     CAST(len(regexp_extract_all(lower(text), '[a-z]+'))
+                     CAST(len(regexp_extract_all(lower(text), '[\\p{L}\\p{M}]+'))
                           AS BIGINT) AS tok
               FROM documents),
 r AS (SELECT doc_id, tok,

@@ -39,6 +39,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from snowflake_cdc_spark.functions.text import UNICODE_WORD
 from snowflake_cdc_spark.operators.bpe import (
     _bpe_chain_ctes,
     apply_bpe,
@@ -156,7 +157,7 @@ def q209(spark, sf_dir):
 
 _SPLIT_ORACLE = """
 WITH d AS (SELECT doc_id, source,
-                  CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT)
+                  CAST(len(regexp_extract_all(lower(text), '[\\p{L}\\p{M}]+')) AS BIGINT)
                     AS n_toks,
                   md5(CAST(doc_id AS VARCHAR)) AS h
            FROM documents),
@@ -198,7 +199,7 @@ def q210(spark, sf_dir):
         "doc_id",
         "source",
         F.size(
-            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(UNICODE_WORD), 0)
         )
         .cast("bigint")
         .alias("n_toks"),
@@ -233,7 +234,7 @@ _SEL_BUCKETS = 256
 
 _BUDGET_ORACLE = f"""
 WITH d AS (SELECT doc_id, source,
-                  regexp_extract_all(lower(text), '[a-z]+') AS ws
+                  regexp_extract_all(lower(text), '[\\p{{L}}\\p{{M}}]+') AS ws
            FROM documents),
 sc AS (SELECT doc_id, source,
               CAST(len(ws) AS BIGINT) AS n_toks,
@@ -281,7 +282,7 @@ def q211(spark, sf_dir):
     from snowflake_cdc_spark.operators.rank import skewed_count_rank
 
     docs = _t(spark, sf_dir, "documents")
-    ws = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+    ws = F.regexp_extract_all(F.lower(F.col("text")), F.lit(UNICODE_WORD), 0)
     sc = docs.select(
         "doc_id",
         "source",
@@ -333,7 +334,7 @@ def q211(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 _REP_ORACLE = """
-WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '[\\p{L}\\p{M}]+') AS ws
            FROM documents),
 g AS (SELECT doc_id,
              unnest(list_transform(generate_series(1, len(ws) - 2),
@@ -367,7 +368,7 @@ FROM agg WHERE n_grams - n_distinct > 0 ORDER BY doc_id
 )
 def q212(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    ws = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+    ws = F.regexp_extract_all(F.lower(F.col("text")), F.lit(UNICODE_WORD), 0)
     d = docs.select("doc_id", ws.alias("ws")).filter(F.size("ws") >= 3)
     grams = d.select(
         "doc_id",
@@ -461,7 +462,7 @@ def q213(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 _CONTAM_ORACLE = """
-WITH d AS (SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z]+') AS ws,
+WITH d AS (SELECT doc_id, source, regexp_extract_all(lower(text), '[\\p{L}\\p{M}]+') AS ws,
                   md5(CAST(doc_id AS VARCHAR)) AS h
            FROM documents),
 r AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk,
@@ -508,7 +509,7 @@ def q214(spark, sf_dir):
     from pyspark.sql import Window
 
     docs = _t(spark, sf_dir, "documents")
-    ws = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+    ws = F.regexp_extract_all(F.lower(F.col("text")), F.lit(UNICODE_WORD), 0)
     d = docs.select(
         "doc_id",
         "source",
@@ -791,7 +792,7 @@ def q217(spark, sf_dir):
 
 _SHARD_MIX_ORACLE = """
 WITH toks AS (SELECT doc_id, source,
-                     CAST(len(regexp_extract_all(lower(text), '[a-z]+'))
+                     CAST(len(regexp_extract_all(lower(text), '[\\p{L}\\p{M}]+'))
                           AS BIGINT) AS tok
               FROM documents),
 r AS (SELECT doc_id, source, tok,
@@ -879,7 +880,7 @@ s AS (SELECT text,
                   WHEN rk <= (9 * n) // 10 THEN 'val'
                   ELSE 'test' END AS split
       FROM r),
-toks AS (SELECT split, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+toks AS (SELECT split, unnest(regexp_extract_all(lower(text), '[\\p{L}\\p{M}]+')) AS w
          FROM s WHERE split <> 'val'),
 c AS (SELECT w,
              CAST(count(*) FILTER (WHERE split = 'test') AS BIGINT) AS cp,
@@ -944,7 +945,7 @@ def q219(spark, sf_dir):
     toks = s.select(
         "split",
         F.explode(
-            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(UNICODE_WORD), 0)
         ).alias("w"),
     )
     c = toks.groupBy("w").agg(

@@ -48,6 +48,7 @@ from pyspark.sql import functions as F
 
 from snowflake_cdc_spark.functions.text import (
     UNICODE_WORD,
+    UNICODE_WORD_NUM,
     script_of,
 )
 from snowflake_cdc_spark.queries import _t, register
@@ -151,7 +152,7 @@ _DSIR_SEL_BUCKETS = 256  # range buckets for the sort-free cumsum
 
 _DSIR_SEL_CTES = f"""
 WITH d AS (SELECT doc_id, lang,
-                  regexp_extract_all(lower(text), '[a-z]+') AS ws
+                  regexp_extract_all(lower(text), '[\\p{{L}}\\p{{M}}]+') AS ws
            FROM documents),
 g AS (SELECT doc_id, lang, unnest(ws) AS g FROM d
       UNION ALL
@@ -258,7 +259,7 @@ def _dsir_selection(spark, sf_dir):
     from snowflake_cdc_spark.operators.rank import skewed_count_rank
 
     docs = _t(spark, sf_dir, "documents")
-    ws = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+    ws = F.regexp_extract_all(F.lower(F.col("text")), F.lit(UNICODE_WORD), 0)
     d = docs.select("doc_id", "lang", ws.alias("ws"))
     n = F.size("ws")
     uni = d.select("doc_id", "lang", F.explode("ws").alias("g"))
@@ -594,9 +595,9 @@ aug AS (SELECT doc_id, source, split,
                     ELSE '{_PLANT_TEST}' END AS t
         FROM s WHERE split <> 'val'),
 tok AS (SELECT doc_id, source, split,
-               regexp_extract_all(lower(t), '[a-z]+') AS raw_ws,
+               regexp_extract_all(lower(t), '[\\p{{L}}\\p{{M}}]+') AS raw_ws,
                regexp_extract_all(replace(lower(t), '''', ''),
-                                  '[a-z0-9]+') AS norm_ws
+                                  '[\\p{{L}}\\p{{M}}0-9]+') AS norm_ws
         FROM aug),
 graw AS (SELECT split, doc_id, source,
                 unnest(list_transform(generate_series(1, len(raw_ws) - 4),
@@ -687,12 +688,12 @@ def q223(spark, sf_dir):
         "doc_id",
         "source",
         "split",
-        F.regexp_extract_all(F.lower(F.col("t")), F.lit("[a-z]+"), F.lit(0)).alias(
+        F.regexp_extract_all(F.lower(F.col("t")), F.lit(UNICODE_WORD), F.lit(0)).alias(
             "raw_ws"
         ),
         F.regexp_extract_all(
             F.replace(F.lower(F.col("t")), F.lit("'"), F.lit("")),
-            F.lit("[a-z0-9]+"),
+            F.lit(UNICODE_WORD_NUM),
             F.lit(0),
         ).alias("norm_ws"),
     )
@@ -746,7 +747,7 @@ _NOVELTY_ORACLE = """
 WITH d AS (SELECT doc_id,
                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
                        AS BIGINT) % 8 AS shard,
-                  regexp_extract_all(lower(text), '[a-z]+') AS ws
+                  regexp_extract_all(lower(text), '[\\p{L}\\p{M}]+') AS ws
            FROM documents),
 g AS (SELECT DISTINCT shard,
              unnest(list_transform(generate_series(1, len(ws) - 2),
@@ -840,7 +841,7 @@ aug AS (SELECT doc_id, source, split,
         FROM s WHERE split <> 'val'),
 tok AS (SELECT doc_id, source, split,
                regexp_extract_all(replace(lower(t), '''', ''),
-                                  '[a-z0-9]+') AS ws
+                                  '[\\p{{L}}\\p{{M}}0-9]+') AS ws
         FROM aug),
 g AS (SELECT split, doc_id, source, CAST(len(ws) AS BIGINT) AS n_toks,
              unnest(list_transform(generate_series(1, len(ws) - 4),
@@ -922,7 +923,7 @@ def q225(spark, sf_dir):
         "split",
         F.regexp_extract_all(
             F.replace(F.lower(F.col("t")), F.lit("'"), F.lit("")),
-            F.lit("[a-z0-9]+"),
+            F.lit(UNICODE_WORD_NUM),
             F.lit(0),
         ).alias("ws"),
     ).filter(F.size("ws") >= 5)
@@ -1133,7 +1134,7 @@ def q227(spark, sf_dir):
         "doc_id",
         "lang",
         F.explode(
-            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(UNICODE_WORD), 0)
         ).alias("w2"),
     ).join(
         F.broadcast(sel_ids.withColumn("__sel", F.lit(1))), "doc_id", "left"
@@ -1228,7 +1229,7 @@ def _pois_case(u_expr: str) -> str:
 
 _BOOTSTRAP_ORACLE = f"""
 WITH d AS (SELECT doc_id,
-                  CAST(len(regexp_extract_all(lower(text), '[a-z]+'))
+                  CAST(len(regexp_extract_all(lower(text), '[\\p{{L}}\\p{{M}}]+'))
                        AS BIGINT) AS x
            FROM documents),
 rep AS (SELECT doc_id, x, r,
@@ -1276,7 +1277,7 @@ def q228(spark, sf_dir):
     d = docs.select(
         "doc_id",
         F.size(
-            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), F.lit(0))
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(UNICODE_WORD), F.lit(0))
         )
         .cast("bigint")
         .alias("x"),
@@ -1510,7 +1511,7 @@ def _rep_oracle() -> str:
         + """comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
     sc AS (SELECT doc_id,
                   CAST(len(list_distinct(regexp_extract_all(lower(text),
-                       '[a-z]+'))) AS BIGINT) AS score,
+                       '[\\p{L}\\p{M}]+'))) AS BIGINT) AS score,
                   md5(CAST(doc_id AS VARCHAR)) AS h
            FROM corpus),
     mem AS (SELECT comp.component, comp.node AS doc_id, sc.score, sc.h
@@ -1556,7 +1557,7 @@ def q230(spark, sf_dir):
         F.size(
             F.array_distinct(
                 F.regexp_extract_all(
-                    F.lower(F.col("text")), F.lit("[a-z]+"), F.lit(0)
+                    F.lower(F.col("text")), F.lit(UNICODE_WORD), F.lit(0)
                 )
             )
         )
@@ -1848,10 +1849,10 @@ _GRID_K = 4
 
 _GRID_ORACLE = f"""
 WITH d AS (SELECT doc_id,
-                  CAST(len(regexp_extract_all(lower(text), '[a-z]+'))
+                  CAST(len(regexp_extract_all(lower(text), '[\\p{{L}}\\p{{M}}]+'))
                        AS BIGINT) AS n_toks,
                   CAST(len(list_distinct(regexp_extract_all(lower(text),
-                       '[a-z]+'))) AS BIGINT) AS score
+                       '[\\p{{L}}\\p{{M}}]+'))) AS BIGINT) AS score
            FROM documents),
 n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
 rl AS (SELECT doc_id, n_toks, score,
@@ -1900,7 +1901,7 @@ def q233(spark, sf_dir):
     from snowflake_cdc_spark.operators.histogram import equidepth_assign
 
     docs = _t(spark, sf_dir, "documents")
-    ws = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), F.lit(0))
+    ws = F.regexp_extract_all(F.lower(F.col("text")), F.lit(UNICODE_WORD), F.lit(0))
     d = docs.select(
         "doc_id",
         F.size(ws).cast("bigint").alias("n_toks"),

@@ -32,6 +32,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from snowflake_cdc_spark.functions.text import UNICODE_WORD
 from snowflake_cdc_spark.streaming.state_store import latest_snapshot
 
 __all__ = ["VocabNoveltyMaintainer"]
@@ -44,7 +45,7 @@ class VocabNoveltyMaintainer:
     document stream; novelty reads are views over the newest state."""
 
     def __init__(
-        self, root: str, text_col: str = "text", pattern: str = "[a-z]+"
+        self, root: str, text_col: str = "text", pattern: str = UNICODE_WORD
     ) -> None:
         self.root = root
         self.text_col = text_col

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from snowflake_cdc_spark.functions.text import UNICODE_WORD
 from snowflake_cdc_spark.queries import REGISTRY, _load_extended
 from tests.conftest import SF_SMOKE
 
@@ -17,7 +18,7 @@ def _weights(spark, rows):
     from snowflake_cdc_spark.queries_round8_ext import _DSIR_BUCKETS
 
     docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
-    ws = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+    ws = F.regexp_extract_all(F.lower(F.col("text")), F.lit(UNICODE_WORD), 0)
     d = docs.select("doc_id", "lang", ws.alias("ws"))
     n = F.size("ws")
     uni = d.select("doc_id", "lang", F.explode("ws").alias("g"))

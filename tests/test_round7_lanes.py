@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from snowflake_cdc_spark.functions.text import UNICODE_WORD
 from snowflake_cdc_spark.queries import _t
 from snowflake_cdc_spark.queries_round7_ext import q210, q211, q212, q213
 
@@ -40,7 +41,7 @@ def test_budget_selection_matches_python_reference(spark):
 
     out = {r.source: r for r in q211(spark, SF).collect()}
     docs = _t(spark, SF, "documents")
-    ws = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+    ws = F.regexp_extract_all(F.lower(F.col("text")), F.lit(UNICODE_WORD), 0)
     rows = docs.select(
         "doc_id",
         "source",

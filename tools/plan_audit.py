@@ -176,6 +176,21 @@ PY_WHITELIST: dict[str, tuple[int, str]] = {
         "pandas_udf IVF assignment + vectorized ADC lookup "
         "(operators/ivfpq.py)",
     ),
+    "q52c_ivf_ann_panel": (
+        1,
+        "vectorized pandas_udf centroid assignment (operators/ivf.py — "
+        "the q52 lane on the fixed 128-query panel)",
+    ),
+    "q133c_pq_ann_panel": (
+        2,
+        "pandas_udf PQ encode + vectorized ADC lookup (the q133 lane "
+        "on the fixed 128-query panel)",
+    ),
+    "q144c_ivfpq_ann_panel": (
+        2,
+        "pandas_udf IVF assignment + vectorized ADC lookup (the q144 "
+        "lane on the fixed 128-query panel)",
+    ),
     "q163_media_roundtrip": (
         2,
         "mapInPandas BMP decode + re-encode stages "
