@@ -120,7 +120,10 @@ def translate_statement(sql: str) -> list[str]:
     execute it. Raises on any unrecognized shape (format drift in the
     generator should fail loudly, not silently no-op)."""
     s = sql.strip()
-    if s.startswith("CREATE"):
+    if s.startswith(("CREATE", "ALTER TABLE")):
+        # ALTER TABLE ADD COLUMN IF NOT EXISTS (E2 widen_ddl) shares the
+        # CREATE path: qualifier strip + type mapping; DuckDB supports
+        # the IF NOT EXISTS form natively
         return [_ddl(s)]
     if s.startswith("COPY INTO"):
         return [_copy(s)]

@@ -78,6 +78,109 @@ class ParquetSnapshotSink:
     def exists(self, table: str) -> bool:
         return self.current_version(table) >= 0
 
+    def tables(self) -> list[str]:
+        """Every table directory with a committed version."""
+        if not os.path.isdir(self.root):
+            return []
+        return sorted(
+            name
+            for name in os.listdir(self.root)
+            if not name.startswith("_")
+            and os.path.exists(os.path.join(self.root, name, "_CURRENT"))
+        )
+
+    # ---- cross-table generations (VERDICT r08 #3) -------------------------
+    #
+    # Per-table ``_CURRENT`` flips are atomic per TABLE, so a reader that
+    # walks the store between two tables' merges sees a torn multi-table
+    # state even when the writer applied a perfectly consistent cut
+    # (operators/snapshot.py). A GENERATION is one manifest committing N
+    # table versions atomically: writers merge all tables, then flip ONE
+    # ``_GENERATION`` pointer; generation readers see all-old or all-new,
+    # never mixed — the multi-table analogue of the _CURRENT trick, and
+    # the filesystem-local shape of a lakehouse catalog commit.
+
+    def _gen_dir(self) -> str:
+        return os.path.join(self.root, "_generations")
+
+    def current_generation(self) -> int:
+        ptr = os.path.join(self.root, "_GENERATION")
+        if not os.path.exists(ptr):
+            return -1
+        with open(ptr) as fh:
+            return int(fh.read().strip())
+
+    def manifest(self, gen: int | None = None) -> dict[str, int]:
+        """table -> version mapping committed by generation ``gen``
+        (default: the current generation)."""
+        import json
+
+        if gen is None:
+            gen = self.current_generation()
+        if gen < 0:
+            raise FileNotFoundError(f"no generation committed under {self.root}")
+        path = os.path.join(self._gen_dir(), f"gen={gen}.json")
+        with open(path) as fh:
+            return {t: int(v) for t, v in json.load(fh).items()}
+
+    def publish_generation(
+        self,
+        versions: dict[str, int] | None = None,
+        expected_generation: int | None = None,
+    ) -> int:
+        """Atomically commit one cross-table generation.
+
+        ``versions``: explicit table -> version map; default = the
+        current version of every table in the store. Same optimistic-
+        concurrency discipline as ``overwrite``: the manifest file is
+        claimed by exclusive create (two publishers racing to the same
+        generation number produce exactly one winner), and the pointer
+        flip CAS-checks ``expected_generation`` (default: the
+        generation as of now) so a losing publisher fails loudly."""
+        import json
+
+        if versions is None:
+            versions = {t: self.current_version(t) for t in self.tables()}
+        if expected_generation is None:
+            expected_generation = self.current_generation()
+        g = expected_generation + 1
+        os.makedirs(self._gen_dir(), exist_ok=True)
+        path = os.path.join(self._gen_dir(), f"gen={g}.json")
+        try:
+            with open(path, "x") as fh:  # exclusive create = atomic claim
+                json.dump(versions, fh, sort_keys=True)
+        except FileExistsError as e:
+            raise ConcurrentWriteError(
+                f"generation {g} already claimed by another publisher; "
+                "re-read the store and retry"
+            ) from e
+        if self.current_generation() != expected_generation:
+            os.remove(path)
+            raise ConcurrentWriteError(
+                f"store advanced past generation {expected_generation} "
+                "while this publish was derived from it; retry"
+            )
+        tmp = os.path.join(self.root, "_GENERATION.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(str(g))
+        os.replace(tmp, os.path.join(self.root, "_GENERATION"))
+        return g
+
+    def read_generation(
+        self, spark: SparkSession, table: str, gen: int | None = None
+    ) -> DataFrame:
+        """Read ``table`` at the version the generation manifest pins —
+        immune to concurrent per-table flips (tombstones filtered)."""
+        return self.read_version(spark, table, self.manifest(gen)[table])
+
+    def read_all_at_generation(
+        self, spark: SparkSession, gen: int | None = None
+    ) -> dict[str, DataFrame]:
+        """Every table of one generation — a transactionally consistent
+        view of the whole store (all-old or all-new, never mixed)."""
+        m = self.manifest(gen)
+        return {t: self.read_version(spark, t, v) for t, v in m.items()}
+
     def read(self, spark: SparkSession, table: str) -> DataFrame:
         """User-facing snapshot: tombstones filtered out (hard-deleted keys
         are invisible but retained internally — see ``merge``)."""
@@ -118,8 +221,14 @@ class ParquetSnapshotSink:
         import shutil
 
         current = self.current_version(table)
+        pinned = {current}
+        # never drop the version the committed generation manifest pins —
+        # a generation reader must stay consistent across maintenance
+        g = self.current_generation()
+        if g >= 0:
+            pinned.add(self.manifest(g).get(table))
         removable = [
-            v for v in self.versions(table)[:-keep_last] if v != current
+            v for v in self.versions(table)[:-keep_last] if v not in pinned
         ]
         for v in removable:
             shutil.rmtree(os.path.join(self._table_dir(table), f"v={v}"))

@@ -40,6 +40,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from snowflake_cdc_spark.operators.diff import table_diff
 from snowflake_cdc_spark.sinks.parquet_sink import ParquetSnapshotSink
@@ -113,6 +114,65 @@ class ConvergenceMonitor:
         return spark.read.option("recursiveFileLookup", "true").parquet(
             self.log_dir
         )
+
+    def churn_between_generations(
+        self,
+        spark: SparkSession,
+        g_from: int,
+        g_to: int,
+        key_cols: dict[str, list[str]] | list[str],
+        compare_cols: dict[str, list[str]] | list[str] | None = None,
+    ) -> DataFrame:
+        """Cross-table churn between two committed GENERATIONS (VERDICT
+        r08 #6) — the streaming counterpart of the batch q231 cut-churn
+        report: 'what changed in every table between global horizon S1
+        and S2' answered from the RETAINED snapshot versions the two
+        generation manifests pin, without re-reading the change log.
+        When each micro-batch applies one seq-horizon slice and
+        publishes one generation (``CdcPipeline._publish_generation``),
+        generation g IS the consistent cut at that batch's horizon, so
+        this diff equals q231's log-derived report (test-pinned).
+
+        ``key_cols``/``compare_cols``: per-table dict or one shared
+        list. A table present in only one manifest diffs against the
+        empty relation. Output: (table_name, metric, n) — one
+        full-outer join + one aggregation per table, same cost class
+        as the per-batch ``record``."""
+        m_from = self.sink.manifest(g_from)
+        m_to = self.sink.manifest(g_to)
+
+        def _cols(spec, table):
+            return spec[table] if isinstance(spec, dict) else spec
+
+        reports = []
+        for table in sorted(set(m_from) | set(m_to)):
+            have_old = table in m_from
+            have_new = table in m_to
+            new = (
+                self.sink.read_version(spark, table, m_to[table])
+                if have_new
+                else self.sink.read_version(spark, table, m_from[table]).limit(0)
+            )
+            old = (
+                self.sink.read_version(spark, table, m_from[table])
+                if have_old
+                else new.limit(0)
+            )
+            report = table_diff(
+                old,
+                new,
+                _cols(key_cols, table),
+                None if compare_cols is None else _cols(compare_cols, table),
+            )
+            reports.append(
+                report.select(
+                    F.lit(table).alias("table_name"), "metric", "n"
+                )
+            )
+        out = reports[0]
+        for r in reports[1:]:
+            out = out.unionByName(r)
+        return out
 
     def converged(self, table: str, last_n_batches: int = 1) -> bool:
         """True when the newest ``last_n_batches`` recorded reports for

@@ -306,12 +306,48 @@ class CdcPipeline:
                             )
         finally:
             events.unpersist()
+        self._publish_generation(batch_id)
         self._batches_applied += 1
         if (
             self.maintenance is not None
             and self._batches_applied % self.maintenance.every_n_batches == 0
         ):
             self._run_maintenance(batch_id)
+
+    def _publish_generation(self, batch_id: int) -> None:
+        """Atomic multi-table publish (VERDICT r08 #3): after every
+        table's per-table merge, ONE generation manifest commits the
+        batch's resulting versions, so a reader using the generation
+        view (``sink.read_generation`` / ``read_store_consistent``)
+        sees the whole batch or none of it — per-table ``_CURRENT``
+        flips alone tear multi-table transactions between two tables'
+        merges even when the applied cut was consistent. Failed tables
+        (fail_on_write_error=False) enter the manifest at their
+        unadvanced current version — still a consistent read of what
+        the store actually holds."""
+        publish = getattr(self.sink, "publish_generation", None)
+        if publish is None:
+            return
+        try:
+            publish(
+                {
+                    spec.target_table: self.sink.current_version(spec.target_table)
+                    for spec in self.specs
+                    if self.sink.exists(spec.target_table)
+                }
+            )
+        except Exception as e:  # noqa: BLE001 - policy decides
+            if self.fail_on_write_error:
+                raise
+            self.write_errors.append(("_generation", batch_id, str(e)))
+
+    def read_store_consistent(self, spark=None) -> dict[str, DataFrame]:
+        """Every target table at the current committed generation — the
+        sink-side counterpart of ``snapshot_all_tables`` (that one cuts
+        the LOG at a seq horizon; this one reads the STORE at a
+        manifest commit). All-old or all-new under concurrent merges,
+        never mixed."""
+        return self.sink.read_all_at_generation(spark or self.spark)
 
     def _run_maintenance(self, batch_id: int) -> None:
         """Compact + vacuum every table snapshot (MaintenancePolicy).
@@ -338,6 +374,10 @@ class CdcPipeline:
                 self.write_errors.append(
                     (table, batch_id, f"maintenance failed: {e}")
                 )
+        # compaction advanced per-table versions: re-commit the
+        # generation so consistent readers follow (vacuum pins the
+        # previous generation's versions until this lands)
+        self._publish_generation(batch_id)
 
     # ---- entry points ----------------------------------------------------
 
