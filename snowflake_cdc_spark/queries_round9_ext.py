@@ -358,3 +358,163 @@ def q235(spark, sf_dir):
         )
         .orderBy("true_en", "pred_en")
     )
+
+
+# --------------------------------------------------------------------------
+# Q236 — NB classifier precision/recall curve over equi-depth score bands
+# --------------------------------------------------------------------------
+
+_PR_BANDS = 10
+
+_NB_PR_ORACLE = f"""
+WITH d AS (SELECT doc_id, source, (lang = 'en') AS pos,
+                  regexp_extract_all(lower(text), '[\\p{{L}}\\p{{M}}]+') AS ws,
+                  md5(CAST(doc_id AS VARCHAR)) AS h
+           FROM documents),
+r AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM d),
+s AS (SELECT doc_id, pos, ws,
+             CASE WHEN rk <= (8 * n) // 10 THEN 'train'
+                  WHEN rk <= (9 * n) // 10 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM r),
+tr AS (SELECT doc_id, pos, unnest(ws) AS w FROM s WHERE split = 'train'),
+cls AS (SELECT CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+               CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS d0
+        FROM s WHERE split = 'train'),
+wc AS (SELECT w,
+              CAST(count(*) FILTER (WHERE pos) AS BIGINT) AS c1,
+              CAST(count(*) FILTER (WHERE NOT pos) AS BIGINT) AS c0
+       FROM tr GROUP BY 1),
+nv AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c0) AS BIGINT) AS n0,
+              CAST(count(*) AS BIGINT) AS v
+       FROM wc),
+lr AS (SELECT w,
+              CAST(floor(ln((CAST(c1 + 1 AS DOUBLE) * CAST(n0 + v AS DOUBLE))
+                            / (CAST(c0 + 1 AS DOUBLE) * CAST(n1 + v AS DOUBLE)))
+                         * 1000000.0 + 0.5) AS BIGINT) AS llr
+       FROM wc CROSS JOIN nv),
+k AS (SELECT CAST(floor(ln(CAST(d1 AS DOUBLE) / CAST(d0 AS DOUBLE))
+                        * 1000000.0 + 0.5) AS BIGINT) AS prior,
+             CAST(floor(ln(CAST(n0 + v AS DOUBLE) / CAST(n1 + v AS DOUBLE))
+                        * 1000000.0 + 0.5) AS BIGINT) AS unseen
+      FROM cls CROSS JOIN nv),
+te AS (SELECT doc_id, pos, unnest(ws) AS w FROM s WHERE split = 'test'),
+tc AS (SELECT doc_id, pos, w, CAST(count(*) AS BIGINT) AS c
+       FROM te GROUP BY 1, 2, 3),
+sc AS (SELECT tc.doc_id, tc.pos,
+              CAST(sum(tc.c * coalesce(lr.llr, k.unseen)) AS BIGINT)
+                + any_value(k.prior) AS score_unat
+       FROM tc LEFT JOIN lr USING (w) CROSS JOIN k
+       GROUP BY 1, 2),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS nt,
+               CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS np
+        FROM sc),
+rr AS (SELECT pos, score_unat,
+              row_number() OVER (ORDER BY score_unat, doc_id) AS rn
+       FROM sc),
+b AS (SELECT pos,
+             CASE WHEN rn <= (tot.nt % {_PR_BANDS}) * (tot.nt // {_PR_BANDS} + 1)
+                  THEN (rn - 1) // (tot.nt // {_PR_BANDS} + 1) + 1
+                  ELSE (tot.nt % {_PR_BANDS})
+                       + (rn - (tot.nt % {_PR_BANDS}) * (tot.nt // {_PR_BANDS} + 1) - 1)
+                         // (tot.nt // {_PR_BANDS}) + 1
+             END AS band
+      FROM rr, tot),
+pb AS (SELECT band,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+       FROM b GROUP BY 1),
+cum AS (SELECT band, n_docs, n_pos,
+               CAST(sum(n_docs) OVER (ORDER BY band DESC) AS BIGINT) AS cum_docs,
+               CAST(sum(n_pos) OVER (ORDER BY band DESC) AS BIGINT) AS cum_pos
+        FROM pb)
+SELECT CAST(band AS BIGINT) AS band, n_docs, n_pos, cum_docs, cum_pos,
+       CAST(cum_pos * 1000000 // cum_docs AS BIGINT) AS precision_ppm,
+       CAST(cum_pos * 1000000 // tot.np AS BIGINT) AS recall_ppm
+FROM cum, tot ORDER BY band
+"""
+
+
+@register(
+    "q236_nb_pr_curve",
+    _NB_PR_ORACLE,
+    "NB classifier precision/recall curve (the threshold-tuning "
+    "artifact every production quality filter ships with): q235's "
+    "scored test split cut into 10 equi-depth score bands "
+    "(operators/histogram.py::equidepth_assign — the sort-free q140 "
+    "composition, ntile-fill ranks over (score, doc_id)); band 10 = "
+    "highest scores, cumulative-from-the-top TP/doc counts give exact "
+    "integer precision_ppm and recall_ppm at each take-top-k-bands "
+    "cutoff. The only unpartitioned windows are the 64-row "
+    "bucket-offsets table and the 10-row band cumsum (whitelisted "
+    "constant-bounded class); the oracle re-derives the model, every "
+    "score, the naive single-sort ntile banding, and both curves",
+)
+def q236(spark, sf_dir):
+    from snowflake_cdc_spark.operators.histogram import equidepth_assign
+    from snowflake_cdc_spark.operators.nb import nb_score, nb_train
+
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "source",
+        (F.col("lang") == "en").alias("pos"),
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(UNICODE_WORD), F.lit(0)).alias("ws"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w_rk = Window.partitionBy("source").orderBy("h", "doc_id")
+    w_n = Window.partitionBy("source")
+    s = (
+        d.withColumn("rk", F.row_number().over(w_rk))
+        .withColumn("n", F.count(F.lit(1)).over(w_n))
+        .select(
+            "doc_id",
+            "pos",
+            "ws",
+            F.when(F.expr("rk <= (8 * n) DIV 10"), "train")
+            .when(F.expr("rk <= (9 * n) DIV 10"), "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    lr, k = nb_train(s.filter(F.col("split") == "train").select("doc_id", "pos", "ws"))
+    scored = nb_score(
+        s.filter(F.col("split") == "test").select("doc_id", "pos", "ws"), lr, k
+    ).localCheckpoint(eager=False)  # banding + totals both read the scores
+    banded = equidepth_assign(scored, "score_unat", "doc_id", k=_PR_BANDS).select(
+        "doc_id", F.col("bucket").alias("band")
+    )
+    pb = (
+        scored.join(banded, "doc_id")
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.col("pos").cast("bigint")).cast("bigint").alias("n_pos"),
+        )
+    )
+    tot = scored.agg(
+        F.sum(F.col("pos").cast("bigint")).cast("bigint").alias("np")
+    )
+    w_cum = Window.orderBy(F.desc("band")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        pb.withColumn("cum_docs", F.sum("n_docs").over(w_cum).cast("bigint"))
+        .withColumn("cum_pos", F.sum("n_pos").over(w_cum).cast("bigint"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("band").cast("bigint").alias("band"),
+            "n_docs",
+            "n_pos",
+            "cum_docs",
+            "cum_pos",
+            F.expr("CAST(cum_pos * 1000000 DIV cum_docs AS BIGINT)").alias(
+                "precision_ppm"
+            ),
+            F.expr("CAST(cum_pos * 1000000 DIV np AS BIGINT)").alias("recall_ppm"),
+        )
+        .orderBy("band")
+    )

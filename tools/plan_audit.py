@@ -134,6 +134,12 @@ WHITELIST: dict[str, tuple[int, str]] = {
         "two equidepth_assign bucket-offsets windows (range_buckets=64 "
         "rows each — one per grid axis, the q187 pattern)",
     ),
+    "q236_nb_pr_curve": (
+        2,
+        "one equidepth_assign bucket-offsets window (range_buckets=64 "
+        "rows) + the 10-row band cumulative window (both "
+        "constant-bounded by operator parameters, never by data)",
+    ),
 }
 
 
