@@ -125,7 +125,11 @@ def relational_ivf_topk(
     ).select(
         "query_id", "qv", "cell", _arr_dist(F.col("qv"), F.col("__cv")).alias("__cd")
     )
-    w_cells = Window.partitionBy("query_id").orderBy("__cd", "cell")
+    # NULLS LAST (ADVICE r06 discipline, mirrored from ivf_exact): a
+    # ragged vector's NULL cell distance must not win the probe ranking
+    w_cells = Window.partitionBy("query_id").orderBy(
+        F.asc_nulls_last("__cd"), "cell"
+    )
     probes = (
         scored_cells.withColumn("__rn", F.row_number().over(w_cells))
         .filter(F.col("__rn") <= nprobe)
