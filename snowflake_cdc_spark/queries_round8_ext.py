@@ -250,14 +250,10 @@ def q221(spark, sf_dir):
     )
 
 
-def _dsir_selection(spark, sf_dir):
-    """The shared DSIR scoring + budget-selection pipeline: returns the
-    SELECTED pool docs (doc_id, lang, n_toks, logw, cum ...) — q221
-    aggregates it, q227 evaluates it."""
-    from pyspark.sql import Window
-
-    from snowflake_cdc_spark.operators.rank import skewed_count_rank
-
+def _dsir_pool(spark, sf_dir):
+    """The DSIR scoring half: every non-target pool doc with its
+    importance log-weight — (doc_id, lang, n_toks, logw). q221/q227
+    select against it; q237 diagnoses its weight distribution."""
     docs = _t(spark, sf_dir, "documents")
     ws = F.regexp_extract_all(F.lower(F.col("text")), F.lit(UNICODE_WORD), 0)
     d = docs.select("doc_id", "lang", ws.alias("ws"))
@@ -308,10 +304,21 @@ def _dsir_selection(spark, sf_dir):
         .groupBy("doc_id")
         .agg(F.sum(F.col("c") * F.col("lr")).cast("bigint").alias("logw"))
     )
-    pool = w.join(
+    return w.join(
         d.select("doc_id", "lang", n.cast("bigint").alias("n_toks")),
         "doc_id",
     )
+
+
+def _dsir_selection(spark, sf_dir):
+    """The shared DSIR scoring + budget-selection pipeline: returns the
+    SELECTED pool docs (doc_id, lang, n_toks, logw, cum ...) — q221
+    aggregates it, q227 evaluates it."""
+    from pyspark.sql import Window
+
+    from snowflake_cdc_spark.operators.rank import skewed_count_rank
+
+    pool = _dsir_pool(spark, sf_dir)
     # skewed_count_rank needs a positive integer count: min-shift the
     # weight (monotone, so the (logw DESC, md5, id) order is unchanged)
     m = pool.agg(F.min("logw").alias("__m"))

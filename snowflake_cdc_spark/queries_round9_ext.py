@@ -518,3 +518,92 @@ def q236(spark, sf_dir):
         )
         .orderBy("band")
     )
+
+
+# --------------------------------------------------------------------------
+# Q237 — DSIR importance-weight diagnostics: effective sample size
+# --------------------------------------------------------------------------
+
+_ESS_ORACLE_TAIL = """
+mx AS (SELECT CAST(max(logw) AS BIGINT) AS mxw FROM pool),
+wq AS (SELECT doc_id,
+              CAST(floor(exp(CAST(logw - mx.mxw AS DOUBLE) / 1000000.0)
+                         * 1000.0 + 0.5) AS BIGINT) AS w_milli
+       FROM pool, mx),
+agg AS (SELECT CAST(count(*) AS BIGINT) AS n_pool,
+               CAST(sum(w_milli) AS BIGINT) AS s1,
+               CAST(sum(w_milli * w_milli) AS BIGINT) AS s2,
+               CAST(sum(CASE WHEN w_milli = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_zero_weight
+        FROM wq)
+SELECT agg.n_pool,
+       CAST(floor((CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * 1000.0)
+                  / CAST(s2 AS DOUBLE) + 0.5) AS BIGINT) AS ess_milli,
+       CAST(floor((CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * 1000000.0)
+                  / (CAST(s2 AS DOUBLE) * CAST(n_pool AS DOUBLE)) + 0.5)
+            AS BIGINT) AS ess_ratio_ppm,
+       agg.n_zero_weight, mx.mxw AS max_logw_unat
+FROM agg, mx
+"""
+
+
+def _ess_oracle() -> str:
+    from snowflake_cdc_spark.queries_round8_ext import _DSIR_SEL_CTES
+
+    # _DSIR_SEL_CTES ends at the sel CTE; chain the diagnostics after it
+    return _DSIR_SEL_CTES + "," + _ESS_ORACLE_TAIL
+
+
+@register(
+    "q237_dsir_ess",
+    _ess_oracle(),
+    "DSIR importance-weight diagnostics (Kong 1992 effective sample "
+    "size — the standard 'are my importance weights degenerate' check "
+    "run before any resampling/selection): per-doc weights w = "
+    "exp(logw - max_logw) quantized ONCE to milli-units (exp probed "
+    "bit-identical across Spark/DuckDB on the micro-nat grid, the ln-"
+    "lane discipline extended; max-shift makes overflow impossible and "
+    "keeps w in (0, 1]), then ESS = (sum w)^2 / (sum w^2) and "
+    "ESS/n in exact-double-quantized milli/ppm units, plus the "
+    "zero-weight tail count (docs >= ~7 nats below the max). ESS near "
+    "n = weights uninformative; ESS near 1 = selection collapses onto "
+    "a handful of docs. One scalar max + one map-side-combined "
+    "aggregation over the q221 pool — no window, no join beyond the "
+    "broadcast max",
+)
+def q237(spark, sf_dir):
+    from snowflake_cdc_spark.queries_round8_ext import _dsir_pool
+
+    pool = _dsir_pool(spark, sf_dir)
+    mx = pool.agg(F.max("logw").cast("bigint").alias("mxw"))
+    wq = pool.crossJoin(F.broadcast(mx)).select(
+        "mxw",
+        F.expr(
+            "CAST(floor(exp(CAST(logw - mxw AS DOUBLE) / 1000000.0)"
+            " * 1000.0 + 0.5) AS BIGINT)"
+        ).alias("w_milli"),
+    )
+    return (
+        wq.groupBy("mxw")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pool"),
+            F.sum("w_milli").cast("bigint").alias("s1"),
+            F.sum(F.col("w_milli") * F.col("w_milli")).cast("bigint").alias("s2"),
+            F.sum(F.when(F.col("w_milli") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_zero_weight"),
+        )
+        .select(
+            "n_pool",
+            F.expr(
+                "CAST(floor((CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * 1000.0)"
+                " / CAST(s2 AS DOUBLE) + 0.5) AS BIGINT)"
+            ).alias("ess_milli"),
+            F.expr(
+                "CAST(floor((CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * 1000000.0)"
+                " / (CAST(s2 AS DOUBLE) * CAST(n_pool AS DOUBLE)) + 0.5) AS BIGINT)"
+            ).alias("ess_ratio_ppm"),
+            "n_zero_weight",
+            F.col("mxw").alias("max_logw_unat"),
+        )
+    )

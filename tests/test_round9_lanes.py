@@ -132,3 +132,41 @@ def test_q235_confusion_counts_match_split(spark):
     split_rows = q210(spark, SF).collect()
     want = sum(r["n_docs"] for r in split_rows if r["split"] == "test")
     assert total == want
+
+
+def test_q237_ess_bounds_and_consistency(spark):
+    """ESS in [1, n_pool]; ratio consistent with ess/n; zero-weight tail
+    bounded by the pool."""
+    from snowflake_cdc_spark.queries_round9_ext import q237
+
+    r = q237(spark, SF).collect()[0]
+    assert 1000 <= r["ess_milli"] <= r["n_pool"] * 1000
+    want_ratio = round(r["ess_milli"] * 1000 / r["n_pool"])
+    assert abs(r["ess_ratio_ppm"] - want_ratio) <= 1
+    assert 0 <= r["n_zero_weight"] < r["n_pool"]
+
+
+def test_ess_degenerate_and_uniform_extremes(spark):
+    """The ESS algebra itself: uniform weights -> ESS == n; one dominant
+    weight -> ESS -> 1 (the q237 quantized form, driven directly)."""
+    from pyspark.sql import functions as F
+
+    def ess_milli(logws):
+        pool = spark.createDataFrame(
+            [(i, lw) for i, lw in enumerate(logws)], "doc_id int, logw bigint"
+        )
+        mx = pool.agg(F.max("logw").cast("bigint").alias("mxw"))
+        wq = pool.crossJoin(F.broadcast(mx)).select(
+            F.expr(
+                "CAST(floor(exp(CAST(logw - mxw AS DOUBLE) / 1000000.0)"
+                " * 1000.0 + 0.5) AS BIGINT)"
+            ).alias("w")
+        )
+        r = wq.agg(
+            F.sum("w").alias("s1"), F.sum(F.col("w") * F.col("w")).alias("s2")
+        ).collect()[0]
+        return round(r["s1"] * r["s1"] * 1000 / r["s2"])
+
+    assert ess_milli([500_000] * 8) == 8000  # uniform: ESS == n
+    # one doc 20 nats above the rest: everyone else quantizes to 0 weight
+    assert ess_milli([20_000_000] + [0] * 7) == 1000
