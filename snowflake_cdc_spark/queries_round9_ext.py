@@ -246,7 +246,7 @@ def q192b(spark, sf_dir):
 # Q235 — deterministic Naive Bayes quality/domain classifier (VERDICT r08 #4)
 # --------------------------------------------------------------------------
 
-_NB_ORACLE = """
+_NB_CTES = """
 WITH d AS (SELECT doc_id, source, (lang = 'en') AS pos,
                   regexp_extract_all(lower(text), '[\\p{L}\\p{M}]+') AS ws,
                   md5(CAST(doc_id AS VARCHAR)) AS h
@@ -291,6 +291,9 @@ pred AS (SELECT sc.doc_id, sc.pos,
                 (sc.wsum + k.prior) AS score_unat,
                 (sc.wsum + k.prior) > 0 AS pred_pos
          FROM sc CROSS JOIN k)
+"""
+
+_NB_ORACLE = _NB_CTES + """
 SELECT pos AS true_en, pred_pos AS pred_en,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(score_unat) AS BIGINT) AS sum_score_unat
@@ -298,25 +301,11 @@ FROM pred GROUP BY 1, 2 ORDER BY true_en, pred_en
 """
 
 
-@register(
-    "q235_nb_quality_filter",
-    _NB_ORACLE,
-    "deterministic Naive Bayes quality/domain classifier (VERDICT r08 "
-    "#4 — the fastText/CCNet-style filter the curation battery lacked: "
-    "GPT-3 and CCNet both train a classifier to recognize target-"
-    "domain text and threshold the crawl on its score). Target class = "
-    "the planted lang='en' label (the q221 DSIR target domain). Train "
-    "on q210's stratified train split, Laplace-smoothed per-word "
-    "log-likelihood ratios quantized ONCE to integer micro-nats (the "
-    "q160/q172 discipline: one libm ln per train word + one prior + "
-    "one unseen-word constant, everything after is exact BIGINT), "
-    "score the held-out test split (val untouched), threshold at 0 "
-    "(ties -> negative), emit the confusion matrix with per-cell "
-    "score sums (q191 posture). Scale shape: vocab-keyed equi-joins "
-    "and map-side-combined counts — never doc x vocab; the only "
-    "windows are q210's per-source split ranks (partitioned)",
-)
-def q235(spark, sf_dir):
+def _nb_test_scores(spark, sf_dir):
+    """Shared NB pipeline half: q210's stratified split, nb_train on
+    the train split, nb_score on the held-out test split — returns
+    (doc_id, pos, score_unat, pred_pos). q235 aggregates the confusion
+    matrix, q236 the PR curve, q238 the calibration curve."""
     from snowflake_cdc_spark.operators.nb import nb_score, nb_train
 
     docs = _t(spark, sf_dir, "documents")
@@ -344,9 +333,31 @@ def q235(spark, sf_dir):
         .localCheckpoint(eager=False)  # train and test branches share the split
     )
     lr, k = nb_train(s.filter(F.col("split") == "train").select("doc_id", "pos", "ws"))
-    sc = nb_score(
+    return nb_score(
         s.filter(F.col("split") == "test").select("doc_id", "pos", "ws"), lr, k
     )
+
+
+@register(
+    "q235_nb_quality_filter",
+    _NB_ORACLE,
+    "deterministic Naive Bayes quality/domain classifier (VERDICT r08 "
+    "#4 — the fastText/CCNet-style filter the curation battery lacked: "
+    "GPT-3 and CCNet both train a classifier to recognize target-"
+    "domain text and threshold the crawl on its score). Target class = "
+    "the planted lang='en' label (the q221 DSIR target domain). Train "
+    "on q210's stratified train split, Laplace-smoothed per-word "
+    "log-likelihood ratios quantized ONCE to integer micro-nats (the "
+    "q160/q172 discipline: one libm ln per train word + one prior + "
+    "one unseen-word constant, everything after is exact BIGINT), "
+    "score the held-out test split (val untouched), threshold at 0 "
+    "(ties -> negative), emit the confusion matrix with per-cell "
+    "score sums (q191 posture). Scale shape: vocab-keyed equi-joins "
+    "and map-side-combined counts — never doc x vocab; the only "
+    "windows are q210's per-source split ranks (partitioned)",
+)
+def q235(spark, sf_dir):
+    sc = _nb_test_scores(spark, sf_dir)
     return (
         sc.groupBy(
             F.col("pos").alias("true_en"),
@@ -366,54 +377,13 @@ def q235(spark, sf_dir):
 
 _PR_BANDS = 10
 
-_NB_PR_ORACLE = f"""
-WITH d AS (SELECT doc_id, source, (lang = 'en') AS pos,
-                  regexp_extract_all(lower(text), '[\\p{{L}}\\p{{M}}]+') AS ws,
-                  md5(CAST(doc_id AS VARCHAR)) AS h
-           FROM documents),
-r AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk,
-             count(*) OVER (PARTITION BY source) AS n
-      FROM d),
-s AS (SELECT doc_id, pos, ws,
-             CASE WHEN rk <= (8 * n) // 10 THEN 'train'
-                  WHEN rk <= (9 * n) // 10 THEN 'val'
-                  ELSE 'test' END AS split
-      FROM r),
-tr AS (SELECT doc_id, pos, unnest(ws) AS w FROM s WHERE split = 'train'),
-cls AS (SELECT CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS d1,
-               CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS d0
-        FROM s WHERE split = 'train'),
-wc AS (SELECT w,
-              CAST(count(*) FILTER (WHERE pos) AS BIGINT) AS c1,
-              CAST(count(*) FILTER (WHERE NOT pos) AS BIGINT) AS c0
-       FROM tr GROUP BY 1),
-nv AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c0) AS BIGINT) AS n0,
-              CAST(count(*) AS BIGINT) AS v
-       FROM wc),
-lr AS (SELECT w,
-              CAST(floor(ln((CAST(c1 + 1 AS DOUBLE) * CAST(n0 + v AS DOUBLE))
-                            / (CAST(c0 + 1 AS DOUBLE) * CAST(n1 + v AS DOUBLE)))
-                         * 1000000.0 + 0.5) AS BIGINT) AS llr
-       FROM wc CROSS JOIN nv),
-k AS (SELECT CAST(floor(ln(CAST(d1 AS DOUBLE) / CAST(d0 AS DOUBLE))
-                        * 1000000.0 + 0.5) AS BIGINT) AS prior,
-             CAST(floor(ln(CAST(n0 + v AS DOUBLE) / CAST(n1 + v AS DOUBLE))
-                        * 1000000.0 + 0.5) AS BIGINT) AS unseen
-      FROM cls CROSS JOIN nv),
-te AS (SELECT doc_id, pos, unnest(ws) AS w FROM s WHERE split = 'test'),
-tc AS (SELECT doc_id, pos, w, CAST(count(*) AS BIGINT) AS c
-       FROM te GROUP BY 1, 2, 3),
-sc AS (SELECT tc.doc_id, tc.pos,
-              CAST(sum(tc.c * coalesce(lr.llr, k.unseen)) AS BIGINT)
-                + any_value(k.prior) AS score_unat
-       FROM tc LEFT JOIN lr USING (w) CROSS JOIN k
-       GROUP BY 1, 2),
+_NB_PR_ORACLE = _NB_CTES + f""",
 tot AS (SELECT CAST(count(*) AS BIGINT) AS nt,
                CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS np
-        FROM sc),
+        FROM pred),
 rr AS (SELECT pos, score_unat,
               row_number() OVER (ORDER BY score_unat, doc_id) AS rn
-       FROM sc),
+       FROM pred),
 b AS (SELECT pos,
              CASE WHEN rn <= (tot.nt % {_PR_BANDS}) * (tot.nt // {_PR_BANDS} + 1)
                   THEN (rn - 1) // (tot.nt // {_PR_BANDS} + 1) + 1
@@ -454,36 +424,10 @@ FROM cum, tot ORDER BY band
 )
 def q236(spark, sf_dir):
     from snowflake_cdc_spark.operators.histogram import equidepth_assign
-    from snowflake_cdc_spark.operators.nb import nb_score, nb_train
 
-    docs = _t(spark, sf_dir, "documents")
-    d = docs.select(
-        "doc_id",
-        "source",
-        (F.col("lang") == "en").alias("pos"),
-        F.regexp_extract_all(F.lower(F.col("text")), F.lit(UNICODE_WORD), F.lit(0)).alias("ws"),
-        F.md5(F.col("doc_id").cast("string")).alias("h"),
-    )
-    w_rk = Window.partitionBy("source").orderBy("h", "doc_id")
-    w_n = Window.partitionBy("source")
-    s = (
-        d.withColumn("rk", F.row_number().over(w_rk))
-        .withColumn("n", F.count(F.lit(1)).over(w_n))
-        .select(
-            "doc_id",
-            "pos",
-            "ws",
-            F.when(F.expr("rk <= (8 * n) DIV 10"), "train")
-            .when(F.expr("rk <= (9 * n) DIV 10"), "val")
-            .otherwise("test")
-            .alias("split"),
-        )
-        .localCheckpoint(eager=False)
-    )
-    lr, k = nb_train(s.filter(F.col("split") == "train").select("doc_id", "pos", "ws"))
-    scored = nb_score(
-        s.filter(F.col("split") == "test").select("doc_id", "pos", "ws"), lr, k
-    ).localCheckpoint(eager=False)  # banding + totals both read the scores
+    scored = _nb_test_scores(spark, sf_dir).localCheckpoint(
+        eager=False
+    )  # banding + totals both read the scores
     banded = equidepth_assign(scored, "score_unat", "doc_id", k=_PR_BANDS).select(
         "doc_id", F.col("bucket").alias("band")
     )
@@ -606,4 +550,97 @@ def q237(spark, sf_dir):
             "n_zero_weight",
             F.col("mxw").alias("max_logw_unat"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q238 — NB classifier calibration curve (reliability diagram)
+# --------------------------------------------------------------------------
+
+_NB_CAL_ORACLE = _NB_CTES + f""",
+pp AS (SELECT doc_id, pos, score_unat,
+              CAST(floor(1000000.0
+                         / (1.0 + exp(-CAST(score_unat AS DOUBLE) / 1000000.0))
+                         + 0.5) AS BIGINT) AS prob_ppm
+       FROM pred),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM pp),
+rr AS (SELECT pos, prob_ppm,
+              row_number() OVER (ORDER BY score_unat, doc_id) AS rn
+       FROM pp),
+b AS (SELECT pos, prob_ppm,
+             CASE WHEN rn <= (tot.nt % {_PR_BANDS}) * (tot.nt // {_PR_BANDS} + 1)
+                  THEN (rn - 1) // (tot.nt // {_PR_BANDS} + 1) + 1
+                  ELSE (tot.nt % {_PR_BANDS})
+                       + (rn - (tot.nt % {_PR_BANDS}) * (tot.nt // {_PR_BANDS} + 1) - 1)
+                         // (tot.nt // {_PR_BANDS}) + 1
+             END AS band
+      FROM rr, tot)
+SELECT CAST(band AS BIGINT) AS band,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       CAST(sum(prob_ppm) // count(*) AS BIGINT) AS mean_pred_ppm,
+       CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) * 1000000 // count(*)
+            AS BIGINT) AS empirical_ppm,
+       CAST(sum(prob_ppm) // count(*)
+            - sum(CASE WHEN pos THEN 1 ELSE 0 END) * 1000000 // count(*)
+            AS BIGINT) AS gap_ppm
+FROM b GROUP BY band ORDER BY band
+"""
+
+
+@register(
+    "q238_nb_calibration",
+    _NB_CAL_ORACLE,
+    "NB classifier calibration curve (reliability diagram — the audit "
+    "that decides whether the filter's scores can be used as sampling "
+    "probabilities or only as a ranking): per equi-depth score band, "
+    "mean PREDICTED probability sigmoid(score) vs the EMPIRICAL "
+    "positive rate, and their gap, all in exact integer ppm. One "
+    "sigmoid per doc, quantized ONCE (exp probed bit-identical on the "
+    "micro-nat grid — q237 discipline; IEEE inf semantics make the "
+    "saturated tails exact 0/1e6 on both engines), then pure integer "
+    "band aggregation over the q236 ntile banding. Naive Bayes is "
+    "famously over-confident — the gap column is the measurement",
+)
+def q238(spark, sf_dir):
+    from snowflake_cdc_spark.operators.histogram import equidepth_assign
+
+    scored = _nb_test_scores(spark, sf_dir).localCheckpoint(eager=False)
+    pp = scored.withColumn(
+        "prob_ppm",
+        F.expr(
+            "CAST(floor(1000000.0"
+            " / (1.0 + exp(-CAST(score_unat AS DOUBLE) / 1000000.0))"
+            " + 0.5) AS BIGINT)"
+        ),
+    )
+    banded = equidepth_assign(pp, "score_unat", "doc_id", k=_PR_BANDS).select(
+        "doc_id", F.col("bucket").alias("band")
+    )
+    return (
+        pp.join(banded, "doc_id")
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.col("pos").cast("bigint")).cast("bigint").alias("n_pos"),
+            F.expr("CAST(sum(prob_ppm) DIV count(*) AS BIGINT)").alias(
+                "mean_pred_ppm"
+            ),
+            F.expr(
+                "CAST(sum(CAST(pos AS BIGINT)) * 1000000 DIV count(*) AS BIGINT)"
+            ).alias("empirical_ppm"),
+            F.expr(
+                "CAST(sum(prob_ppm) DIV count(*)"
+                " - sum(CAST(pos AS BIGINT)) * 1000000 DIV count(*) AS BIGINT)"
+            ).alias("gap_ppm"),
+        )
+        .select(
+            F.col("band").cast("bigint").alias("band"),
+            "n_docs",
+            "n_pos",
+            "mean_pred_ppm",
+            "empirical_ppm",
+            "gap_ppm",
+        )
+        .orderBy("band")
     )

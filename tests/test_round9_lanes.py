@@ -170,3 +170,22 @@ def test_ess_degenerate_and_uniform_extremes(spark):
     assert ess_milli([500_000] * 8) == 8000  # uniform: ESS == n
     # one doc 20 nats above the rest: everyone else quantizes to 0 weight
     assert ess_milli([20_000_000] + [0] * 7) == 1000
+
+
+def test_q238_calibration_invariants(spark):
+    """Probabilities in [0, 1e6]; empirical rate consistent with the
+    band's pos counts; bands partition the q236 test split."""
+    from snowflake_cdc_spark.queries_round9_ext import q236, q238
+
+    cal = q238(spark, SF).collect()
+    pr = q236(spark, SF).collect()
+    assert len(cal) == 10
+    assert sum(r["n_docs"] for r in cal) == sum(r["n_docs"] for r in pr)
+    for r in cal:
+        assert 0 <= r["mean_pred_ppm"] <= 1_000_000
+        assert r["empirical_ppm"] == r["n_pos"] * 1_000_000 // r["n_docs"]
+        assert r["gap_ppm"] == r["mean_pred_ppm"] - r["empirical_ppm"]
+    # monotone banding: higher bands hold higher scores, so the mean
+    # predicted probability must be non-decreasing across bands
+    preds = [r["mean_pred_ppm"] for r in sorted(cal, key=lambda r: r["band"])]
+    assert preds == sorted(preds)

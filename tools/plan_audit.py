@@ -140,6 +140,11 @@ WHITELIST: dict[str, tuple[int, str]] = {
         "rows) + the 10-row band cumulative window (both "
         "constant-bounded by operator parameters, never by data)",
     ),
+    "q238_nb_calibration": (
+        1,
+        "one equidepth_assign bucket-offsets window (range_buckets=64 "
+        "rows — the q236 banding without the band cumsum)",
+    ),
 }
 
 
