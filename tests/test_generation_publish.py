@@ -136,3 +136,41 @@ def test_pipeline_publishes_generation_per_batch(spark, tmp_path):
     assert store["ORDERS"].count() == sink.read(spark, "ORDERS").count()
     pipe.materialize_batch(events, batch_id=1)
     assert sink.current_generation() == 1
+
+
+def test_stream_publishes_generation_per_microbatch(spark, tmp_path):
+    """The availableNow stream path: every foreachBatch turn commits one
+    generation, and the final consistent read equals the _CURRENT read."""
+    from pyspark.sql import functions as F
+
+    from snowflake_cdc_spark.plans.spec import DeleteStrategy, PipelineSpec
+    from snowflake_cdc_spark.sources.cdc import cdc_events_nested
+    from snowflake_cdc_spark.streaming.pipeline import CdcPipeline
+    from tests.conftest import SF_SMOKE
+
+    raw = str(tmp_path / "raw")
+    events = cdc_events_nested(spark, SF_SMOKE)
+    events.withColumn("__c", F.col("seq") % 2).repartition(2, "__c").drop(
+        "__c"
+    ).write.mode("overwrite").parquet(raw)
+    sink = ParquetSnapshotSink(str(tmp_path / "snap"))
+    pipe = CdcPipeline(
+        spark,
+        [
+            PipelineSpec(
+                full_table_name="tpch.orders",
+                use_synthetic_key=True,
+                delete_strategy=DeleteStrategy.HARD,
+            )
+        ],
+        sink,
+    )
+    q = pipe.start_stream(
+        raw, checkpoint=str(tmp_path / "ckpt"), available_now=True
+    )
+    q.awaitTermination(300)
+    g = sink.current_generation()
+    assert g >= 0
+    assert sink.manifest(g)["ORDERS"] == sink.current_version("ORDERS")
+    snap = pipe.read_store_consistent()
+    assert snap["ORDERS"].count() == sink.read(spark, "ORDERS").count()
