@@ -37,6 +37,23 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def ntile_fill_sql(rn: str, n: str, k: int) -> str:
+    """The oracle-side ntile-fill bucket CASE, text-shared across every
+    lane that mirrors ``equidepth_assign`` in SQL (q140/q187/q233/q236/
+    q238) — the ADVICE r08 q233 finding was exactly a hand-copied
+    variant of this expression drifting from the engine formula; one
+    generator keeps the two representations in one place. ``rn`` = the
+    1-based rank expression, ``n`` = the total-count expression."""
+    return (
+        f"CASE WHEN {rn} <= ({n} % {k}) * ({n} // {k} + 1)\n"
+        f"                  THEN ({rn} - 1) // ({n} // {k} + 1) + 1\n"
+        f"                  ELSE ({n} % {k})\n"
+        f"                       + ({rn} - ({n} % {k}) * ({n} // {k} + 1) - 1)\n"
+        f"                         // ({n} // {k}) + 1\n"
+        f"             END"
+    )
+
+
 def equidepth_assign(
     df: DataFrame,
     value_col: str,

@@ -46,7 +46,11 @@ def _arr_dist(a, b):
 
 def _assign_join(q: DataFrame, centroids: DataFrame) -> DataFrame:
     """(vec_id, qv, cell, dist): nearest centroid by exact integer L2,
-    ties to the lowest cell id — one broadcast join + groupBy argmin."""
+    ties to the lowest cell id — one broadcast join + groupBy argmin.
+    The argmin struct leads with an is-null flag so a NULL distance
+    (ragged vector vs a zip_with-padded centroid) can never WIN the
+    assignment — struct ordering would otherwise sort the NULL field
+    first (the asc_nulls_last discipline, min()-shaped)."""
     scored = q.crossJoin(F.broadcast(centroids.select("cell", F.col("qv").alias("__cv"))))
     return (
         scored.select(
@@ -55,7 +59,11 @@ def _assign_join(q: DataFrame, centroids: DataFrame) -> DataFrame:
         .groupBy("vec_id")
         .agg(
             F.first("qv").alias("qv"),
-            F.min(F.struct("dist", "cell")).alias("__b"),
+            F.min(
+                F.struct(
+                    F.col("dist").isNull().alias("nf"), F.col("dist"), F.col("cell")
+                )
+            ).alias("__b"),
         )
         .select("vec_id", "qv", F.col("__b.cell").alias("cell"), F.col("__b.dist").alias("dist"))
     )
@@ -79,33 +87,41 @@ def relational_kmeans_fit(
         F.col(id_col).alias("vec_id"), "qv"
     ).persist()
     q.count()
-    key = F.md5(F.col("vec_id").cast("string"))
-    seed_rows = q.orderBy(key, "vec_id").limit(k).collect()
-    centroids = spark.createDataFrame(
-        [(i, list(r["qv"])) for i, r in enumerate(seed_rows)],
-        "cell int, qv array<bigint>",
-    )
-    assigned = _assign_join(q, centroids)
-    for _ in range(rounds - 1):
-        # update: per-(cell, dim) integer sums DIV counts; cells that
-        # lose all members drop (absent from the groupBy) — the
-        # kmeans_exact contract. k x d rows: coalesce(1) keeps the
-        # rebuilt centroid table a single tiny partition.
-        centroids = (
-            assigned.select("cell", F.posexplode("qv").alias("pos", "v"))
-            .groupBy("cell", "pos")
-            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
-            .select("cell", "pos", F.expr("s DIV n").alias("v"))
-            .groupBy("cell")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "v"))),
-                    lambda st: st["v"],
-                ).alias("qv")
-            )
+    try:
+        key = F.md5(F.col("vec_id").cast("string"))
+        seed_rows = q.orderBy(key, "vec_id").limit(k).collect()
+        centroids = spark.createDataFrame(
+            [(i, list(r["qv"])) for i, r in enumerate(seed_rows)],
+            "cell int, qv array<bigint>",
         )
         assigned = _assign_join(q, centroids)
-    return centroids, assigned
+        for _ in range(rounds - 1):
+            # update: per-(cell, dim) integer sums DIV counts; cells that
+            # lose all members drop (absent from the groupBy) — the
+            # kmeans_exact contract; the rebuilt k-row centroid table
+            # collapses to one tiny partition for the broadcast
+            centroids = (
+                assigned.select("cell", F.posexplode("qv").alias("pos", "v"))
+                .groupBy("cell", "pos")
+                .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+                .select("cell", "pos", F.expr("s DIV n").alias("v"))
+                .groupBy("cell")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "v"))),
+                        lambda st: st["v"],
+                    ).alias("qv")
+                )
+                .coalesce(1)
+            )
+            assigned = _assign_join(q, centroids)
+        # materialize both outputs so the cached quantized corpus can be
+        # released here instead of leaking one persisted copy per call
+        centroids = centroids.localCheckpoint(eager=True)
+        assigned = assigned.localCheckpoint(eager=True)
+        return centroids, assigned
+    finally:
+        q.unpersist()
 
 
 def relational_ivf_topk(
@@ -120,6 +136,14 @@ def relational_ivf_topk(
     nearest cells — centroids joined relationally (q158 semantics,
     corpus-sized-k plan shape). ``queries``: (query_id, qv). Output
     (query_id, vec_id, dist)."""
+    if dim is not None:
+        # fail FAST on a dim misconfiguration, exactly as the literal
+        # path does — the unrolled distance would otherwise silently
+        # compute prefix-only distances (ADVICE r06)
+        from snowflake_cdc_spark.operators.ivf_exact import _check_dim
+
+        _check_dim(assigned, "qv", dim, "relational_ivf_topk(assigned)")
+        _check_dim(queries, "qv", dim, "relational_ivf_topk(queries)")
     scored_cells = queries.crossJoin(
         F.broadcast(centroids.select("cell", F.col("qv").alias("__cv")))
     ).select(

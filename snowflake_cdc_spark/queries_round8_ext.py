@@ -46,6 +46,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from snowflake_cdc_spark.operators.histogram import ntile_fill_sql
 from snowflake_cdc_spark.functions.text import (
     UNICODE_WORD,
     UNICODE_WORD_NUM,
@@ -1867,18 +1868,8 @@ rl AS (SELECT doc_id, n_toks, score,
               row_number() OVER (ORDER BY score, doc_id) AS r_q
        FROM d),
 b AS (SELECT doc_id, n_toks,
-             CASE WHEN r_len <= (n.n % {_GRID_K}) * (n.n // {_GRID_K} + 1)
-                  THEN (r_len - 1) // (n.n // {_GRID_K} + 1) + 1
-                  ELSE (n.n % {_GRID_K})
-                       + (r_len - (n.n % {_GRID_K}) * (n.n // {_GRID_K} + 1) - 1)
-                         // (n.n // {_GRID_K}) + 1
-             END AS len_bucket,
-             CASE WHEN r_q <= (n.n % {_GRID_K}) * (n.n // {_GRID_K} + 1)
-                  THEN (r_q - 1) // (n.n // {_GRID_K} + 1) + 1
-                  ELSE (n.n % {_GRID_K})
-                       + (r_q - (n.n % {_GRID_K}) * (n.n // {_GRID_K} + 1) - 1)
-                         // (n.n // {_GRID_K}) + 1
-             END AS q_bucket
+             {ntile_fill_sql('r_len', 'n.n', _GRID_K)} AS len_bucket,
+             {ntile_fill_sql('r_q', 'n.n', _GRID_K)} AS q_bucket
       FROM rl, n)
 SELECT len_bucket, q_bucket,
        CAST(count(*) AS BIGINT) AS n_docs,

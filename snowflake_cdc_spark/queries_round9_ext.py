@@ -35,6 +35,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from snowflake_cdc_spark.functions.text import UNICODE_WORD
+from snowflake_cdc_spark.operators.histogram import ntile_fill_sql
 from snowflake_cdc_spark.queries import _t, register
 
 # --------------------------------------------------------------------------
@@ -280,17 +281,18 @@ k AS (SELECT CAST(floor(ln(CAST(d1 AS DOUBLE) / CAST(d0 AS DOUBLE))
              CAST(floor(ln(CAST(n0 + v AS DOUBLE) / CAST(n1 + v AS DOUBLE))
                         * 1000000.0 + 0.5) AS BIGINT) AS unseen
       FROM cls CROSS JOIN nv),
+tdocs AS (SELECT doc_id, pos FROM s WHERE split = 'test'),
 te AS (SELECT doc_id, pos, unnest(ws) AS w FROM s WHERE split = 'test'),
 tc AS (SELECT doc_id, pos, w, CAST(count(*) AS BIGINT) AS c
        FROM te GROUP BY 1, 2, 3),
-sc AS (SELECT tc.doc_id, tc.pos,
+sc AS (SELECT tc.doc_id,
               CAST(sum(tc.c * coalesce(lr.llr, k.unseen)) AS BIGINT) AS wsum
        FROM tc LEFT JOIN lr USING (w) CROSS JOIN k
-       GROUP BY 1, 2),
-pred AS (SELECT sc.doc_id, sc.pos,
-                (sc.wsum + k.prior) AS score_unat,
-                (sc.wsum + k.prior) > 0 AS pred_pos
-         FROM sc CROSS JOIN k)
+       GROUP BY 1),
+pred AS (SELECT td.doc_id, td.pos,
+                (coalesce(sc.wsum, 0) + k.prior) AS score_unat,
+                (coalesce(sc.wsum, 0) + k.prior) > 0 AS pred_pos
+         FROM tdocs td LEFT JOIN sc USING (doc_id) CROSS JOIN k)
 """
 
 _NB_ORACLE = _NB_CTES + """
@@ -385,12 +387,7 @@ rr AS (SELECT pos, score_unat,
               row_number() OVER (ORDER BY score_unat, doc_id) AS rn
        FROM pred),
 b AS (SELECT pos,
-             CASE WHEN rn <= (tot.nt % {_PR_BANDS}) * (tot.nt // {_PR_BANDS} + 1)
-                  THEN (rn - 1) // (tot.nt // {_PR_BANDS} + 1) + 1
-                  ELSE (tot.nt % {_PR_BANDS})
-                       + (rn - (tot.nt % {_PR_BANDS}) * (tot.nt // {_PR_BANDS} + 1) - 1)
-                         // (tot.nt // {_PR_BANDS}) + 1
-             END AS band
+             {ntile_fill_sql('rn', 'tot.nt', _PR_BANDS)} AS band
       FROM rr, tot),
 pb AS (SELECT band,
               CAST(count(*) AS BIGINT) AS n_docs,
@@ -568,12 +565,7 @@ rr AS (SELECT pos, prob_ppm,
               row_number() OVER (ORDER BY score_unat, doc_id) AS rn
        FROM pp),
 b AS (SELECT pos, prob_ppm,
-             CASE WHEN rn <= (tot.nt % {_PR_BANDS}) * (tot.nt // {_PR_BANDS} + 1)
-                  THEN (rn - 1) // (tot.nt // {_PR_BANDS} + 1) + 1
-                  ELSE (tot.nt % {_PR_BANDS})
-                       + (rn - (tot.nt % {_PR_BANDS}) * (tot.nt // {_PR_BANDS} + 1) - 1)
-                         // (tot.nt // {_PR_BANDS}) + 1
-             END AS band
+             {ntile_fill_sql('rn', 'tot.nt', _PR_BANDS)} AS band
       FROM rr, tot)
 SELECT CAST(band AS BIGINT) AS band,
        CAST(count(*) AS BIGINT) AS n_docs,

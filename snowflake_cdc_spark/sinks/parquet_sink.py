@@ -136,7 +136,19 @@ class ParquetSnapshotSink:
         claimed by exclusive create (two publishers racing to the same
         generation number produce exactly one winner), and the pointer
         flip CAS-checks ``expected_generation`` (default: the
-        generation as of now) so a losing publisher fails loudly."""
+        generation as of now) so a losing publisher fails loudly.
+
+        Crash recovery: a publisher dying between the claim and the
+        pointer flip leaves an ORPHANED manifest (gen=N.json exists,
+        pointer at N-1). An orphan is distinguishable from a live
+        racer's claim by the pointer: a committed generation's file is
+        never at pointer+1. On a claim conflict with the pointer still
+        behind, the orphan is replaced and the claim retried ONCE — in
+        the (already-lost-update-prone) window where a LIVE racer holds
+        the claim, the replacement resolves the race as one publisher's
+        lost update, the same outcome class as ConcurrentWriteError,
+        never a torn manifest (both candidate manifests are internally
+        consistent snapshots of per-table pointers)."""
         import json
 
         if versions is None:
@@ -146,14 +158,22 @@ class ParquetSnapshotSink:
         g = expected_generation + 1
         os.makedirs(self._gen_dir(), exist_ok=True)
         path = os.path.join(self._gen_dir(), f"gen={g}.json")
-        try:
-            with open(path, "x") as fh:  # exclusive create = atomic claim
-                json.dump(versions, fh, sort_keys=True)
-        except FileExistsError as e:
-            raise ConcurrentWriteError(
-                f"generation {g} already claimed by another publisher; "
-                "re-read the store and retry"
-            ) from e
+        for attempt in (0, 1):
+            try:
+                with open(path, "x") as fh:  # exclusive create = atomic claim
+                    json.dump(versions, fh, sort_keys=True)
+                break
+            except FileExistsError as e:
+                if attempt == 0 and self.current_generation() < g:
+                    # orphaned claim from a dead mid-publish writer (a
+                    # COMMITTED gen=N file always has pointer >= N):
+                    # replace it and retry the claim once
+                    os.remove(path)
+                    continue
+                raise ConcurrentWriteError(
+                    f"generation {g} already claimed by another publisher; "
+                    "re-read the store and retry"
+                ) from e
         if self.current_generation() != expected_generation:
             os.remove(path)
             raise ConcurrentWriteError(

@@ -140,6 +140,10 @@ class ConvergenceMonitor:
         as the per-batch ``record``."""
         m_from = self.sink.manifest(g_from)
         m_to = self.sink.manifest(g_to)
+        if not m_from and not m_to:
+            return spark.createDataFrame(
+                [], "table_name string, metric string, n bigint"
+            )
 
         def _cols(spec, table):
             return spec[table] if isinstance(spec, dict) else spec

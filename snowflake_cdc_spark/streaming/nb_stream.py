@@ -121,12 +121,21 @@ class NbClassifierMaintainer:
         from the one-shot batch counts — same micro-nat quantization,
         same Laplace smoothing, so maintained-state models and batch
         models are interchangeable (test-pinned)."""
-        from snowflake_cdc_spark.operators.nb import _LLR_EXPR
+        from snowflake_cdc_spark.operators.nb import (
+            _LLR_EXPR,
+            _PRIOR_EXPR,
+            _UNSEEN_EXPR,
+            check_two_classes,
+        )
 
         st = self.state(spark)
         wc = st.filter(F.col("w") != _DOC_KEY)
         cls = st.filter(F.col("w") == _DOC_KEY).select(
             F.col("c1").alias("d1"), F.col("c0").alias("d0")
+        )
+        row = cls.first()
+        check_two_classes(
+            (row["d1"] if row else 0) or 0, (row["d0"] if row else 0) or 0
         )
         nv = wc.agg(
             F.sum("c1").cast("bigint").alias("n1"),
@@ -137,14 +146,8 @@ class NbClassifierMaintainer:
             "w", F.expr(_LLR_EXPR).alias("llr")
         )
         k = cls.crossJoin(F.broadcast(nv)).select(
-            F.expr(
-                "CAST(floor(ln(CAST(d1 AS DOUBLE) / CAST(d0 AS DOUBLE))"
-                " * 1000000.0 + 0.5) AS BIGINT)"
-            ).alias("prior"),
-            F.expr(
-                "CAST(floor(ln(CAST(n0 + v AS DOUBLE) / CAST(n1 + v AS DOUBLE))"
-                " * 1000000.0 + 0.5) AS BIGINT)"
-            ).alias("unseen"),
+            F.expr(_PRIOR_EXPR).alias("prior"),
+            F.expr(_UNSEEN_EXPR).alias("unseen"),
         )
         return lr, k
 

@@ -120,7 +120,17 @@ class PqIndexMaintainer:
                 eager=True
             )
             g = len(self.versions) - 1
-            self.codes[g] = self.codes[g].unionByName(enc)
+            # a re-arriving id WITHIN the same generation would otherwise
+            # leave two equal-__gen rows whose row_number tie in search()/
+            # compact() breaks by partition layout — newest-wins must be
+            # deterministic, so re-delivered ids are anti-joined out of
+            # the accumulated codes before the union (the state-store
+            # maintainers' merge discipline: one row per key, O(state))
+            cur = self.current
+            kept = self.codes[g].join(
+                enc.select(cur.id_col), cur.id_col, "left_anti"
+            )
+            self.codes[g] = kept.unionByName(enc).localCheckpoint(eager=True)
 
     def run_stream(self, vectors: DataFrame, checkpoint: str):
         """availableNow foreachBatch runner for a streaming vector feed."""

@@ -174,3 +174,26 @@ def test_stream_publishes_generation_per_microbatch(spark, tmp_path):
     assert sink.manifest(g)["ORDERS"] == sink.current_version("ORDERS")
     snap = pipe.read_store_consistent()
     assert snap["ORDERS"].count() == sink.read(spark, "ORDERS").count()
+
+
+def test_orphaned_claim_recovery(spark, tmp_path):
+    """A publisher dying between the manifest claim and the pointer
+    flip must not wedge the store: the orphan (gen file present,
+    pointer behind) is replaced and the next publish succeeds."""
+    import os
+
+    sink = ParquetSnapshotSink(str(tmp_path / "store"))
+    ev = _events(spark)
+    _apply(sink, ev, "A", 5)
+    sink.publish_generation()  # gen 0 committed
+    # simulate a crash mid-publish of gen 1: claim exists, pointer at 0
+    os.makedirs(os.path.join(sink.root, "_generations"), exist_ok=True)
+    with open(os.path.join(sink.root, "_generations", "gen=1.json"), "w") as fh:
+        fh.write('{"A": 999}')
+    assert sink.current_generation() == 0
+    g = sink.publish_generation()  # recovers: replaces the orphan
+    assert g == 1
+    assert sink.manifest(1) == {"A": sink.current_version("A")}
+    # a COMMITTED generation's claim is still protected (pointer >= g)
+    with pytest.raises(ConcurrentWriteError):
+        sink.publish_generation(expected_generation=0)

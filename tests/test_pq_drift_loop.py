@@ -164,3 +164,33 @@ def test_compaction_collapses_generations(spark, data):
         f"compaction must not destroy recall: {recall_two_gen} -> "
         f"{recall_compacted}"
     )
+
+
+def test_same_generation_redelivery_is_newest_wins(spark):
+    """An id re-arriving WITHIN one codebook generation must
+    deterministically keep its newest vector — search() and compact()
+    see exactly one row per id (the equal-__gen row_number tie would
+    otherwise break by partition layout)."""
+    rng = np.random.RandomState(7)
+    base = spark.createDataFrame(_dist_a(rng, 64, 0), SCHEMA)
+    idx = build_pq(base, m=M, k=K)
+    maint = PqIndexMaintainer(idx, threshold_ratio=1e9)  # never trips
+
+    old_vec = [float(v) for v in np.linspace(0.1, 0.8, DIM)]
+    new_vec = [float(v) for v in -np.linspace(0.1, 0.8, DIM)]
+    maint.process_batch(spark.createDataFrame([(500, old_vec)], SCHEMA), 1)
+    maint.process_batch(spark.createDataFrame([(500, new_vec)], SCHEMA), 2)
+    assert len(maint.versions) == 1  # same generation throughout
+
+    rows = maint.codes[0].filter(F.col("vec_id") == 500).collect()
+    assert len(rows) == 1
+    assert list(rows[0]["embedding"]) == pytest.approx(new_vec)
+
+    q = spark.createDataFrame([(0, new_vec)], Q_SCHEMA)
+    hits = maint.search(q, k=1, shortlist=16).collect()
+    assert hits[0]["vec_id"] == 500 and hits[0]["sim"] == pytest.approx(1.0)
+
+    maint.compact()
+    rows = maint.codes[0].filter(F.col("vec_id") == 500).collect()
+    assert len(rows) == 1
+    assert list(rows[0]["embedding"]) == pytest.approx(new_vec)

@@ -189,3 +189,37 @@ def test_q238_calibration_invariants(spark):
     # predicted probability must be non-decreasing across bands
     preds = [r["mean_pred_ppm"] for r in sorted(cal, key=lambda r: r["band"])]
     assert preds == sorted(preds)
+
+
+def test_nb_score_keeps_zero_token_docs(spark):
+    """A doc with no tokens scores prior-only instead of vanishing
+    (the quality filter must keep-or-reject EVERY input row)."""
+    from snowflake_cdc_spark.operators.nb import nb_score, nb_train
+
+    train = spark.createDataFrame(
+        [(0, True, ["alpha", "beta"]), (1, False, ["omega", "kappa"]),
+         (2, True, ["alpha"]), (3, False, ["omega"])],
+        "doc_id int, pos boolean, ws array<string>",
+    )
+    lr, k = nb_train(train)
+    test = spark.createDataFrame(
+        [(10, ["alpha"]), (11, [])], "doc_id int, ws array<string>"
+    )
+    got = {r["doc_id"]: r for r in nb_score(test, lr, k).collect()}
+    assert set(got) == {10, 11}
+    prior = k.first()["prior"]
+    assert got[11]["score_unat"] == prior
+    assert got[11]["pred_pos"] == (prior > 0)
+
+
+def test_nb_train_rejects_single_class(spark):
+    import pytest
+
+    from snowflake_cdc_spark.operators.nb import nb_train
+
+    train = spark.createDataFrame(
+        [(0, True, ["alpha"]), (1, True, ["beta"])],
+        "doc_id int, pos boolean, ws array<string>",
+    )
+    with pytest.raises(ValueError, match="both classes"):
+        nb_train(train)
