@@ -399,7 +399,7 @@ cum AS (SELECT band, n_docs, n_pos,
         FROM pb)
 SELECT CAST(band AS BIGINT) AS band, n_docs, n_pos, cum_docs, cum_pos,
        CAST(cum_pos * 1000000 // cum_docs AS BIGINT) AS precision_ppm,
-       CAST(cum_pos * 1000000 // tot.np AS BIGINT) AS recall_ppm
+       CAST(cum_pos * 1000000 // NULLIF(tot.np, 0) AS BIGINT) AS recall_ppm
 FROM cum, tot ORDER BY band
 """
 
@@ -455,7 +455,12 @@ def q236(spark, sf_dir):
             F.expr("CAST(cum_pos * 1000000 DIV cum_docs AS BIGINT)").alias(
                 "precision_ppm"
             ),
-            F.expr("CAST(cum_pos * 1000000 DIV np AS BIGINT)").alias("recall_ppm"),
+            # NULLIF mirrored in the oracle (ADVICE r09): a zero-positive
+            # corpus must degrade identically in both engines (NULL recall),
+            # not as Spark-NULL vs DuckDB division-by-zero
+            F.expr("CAST(cum_pos * 1000000 DIV NULLIF(np, 0) AS BIGINT)").alias(
+                "recall_ppm"
+            ),
         )
         .orderBy("band")
     )

@@ -49,6 +49,14 @@ class ConcurrentWriteError(RuntimeError):
     discard the other writer's merge (lost update)."""
 
 
+class GenerationRetentionError(FileNotFoundError):
+    """The requested generation was committed once but its manifest has
+    since been pruned by the retention policy (``prune_generations`` /
+    ``MaintenancePolicy.keep_generations``). Distinct from a plain
+    FileNotFoundError so callers can tell "never existed" from
+    "existed, aged out of retention" (VERDICT r09 #2)."""
+
+
 class ParquetSnapshotSink:
     def __init__(self, root: str) -> None:
         self.root = root
@@ -89,102 +97,247 @@ class ParquetSnapshotSink:
             and os.path.exists(os.path.join(self.root, name, "_CURRENT"))
         )
 
-    # ---- cross-table generations (VERDICT r08 #3) -------------------------
+    # ---- cross-table generations (VERDICT r08 #3, protocol r10) -----------
     #
     # Per-table ``_CURRENT`` flips are atomic per TABLE, so a reader that
     # walks the store between two tables' merges sees a torn multi-table
     # state even when the writer applied a perfectly consistent cut
     # (operators/snapshot.py). A GENERATION is one manifest committing N
-    # table versions atomically: writers merge all tables, then flip ONE
-    # ``_GENERATION`` pointer; generation readers see all-old or all-new,
-    # never mixed — the multi-table analogue of the _CURRENT trick, and
-    # the filesystem-local shape of a lakehouse catalog commit.
+    # table versions atomically — the filesystem-local shape of a
+    # lakehouse catalog commit.
+    #
+    # Round-10 protocol (fixes the ADVICE r09 two-publisher races): the
+    # old claim-then-CAS-pointer-flip design had an unfixable TOCTOU —
+    # any "replace the orphan claim" delete races with a concurrent
+    # commit, so a pointer could end up referencing a deleted or swapped
+    # manifest. The fix removes every mutation of existing files:
+    #
+    #   * CLAIM   ``gen=N.json`` is created by ``os.link`` from a fully
+    #     written tmp file — atomic, exclusive, complete-content. A claim
+    #     is IMMUTABLE: never rewritten, replaced, or deleted (except by
+    #     retention pruning of long-committed generations).
+    #   * COMMIT  ``gen=N.COMMIT`` marker, created with ``open(..., "x")``
+    #     — atomic and exclusive, so there is EXACTLY ONE commit event
+    #     per generation number, ever. The marker's creation is the
+    #     linearization point; ``current_generation()`` is the max marker.
+    #   * RECOVER a publisher dying between claim and marker leaves an
+    #     uncommitted claim at the frontier. The next publisher ADOPTS it
+    #     (creates its marker — the lock-free "helping" move, committing
+    #     exactly what the dead writer staged, which is always a complete
+    #     internally consistent snapshot because claims are link-atomic)
+    #     and then retries at the next number.
+    #
+    # No file is ever deleted or replaced on a contended path, so a
+    # committed generation can never reference a missing or content-
+    # swapped manifest — both ADVICE r09 failure modes are impossible by
+    # construction rather than guarded by checks.
+
+    _GEN_ATTEMPTS = 16  # adoption advances the frontier every lap; backstop only
 
     def _gen_dir(self) -> str:
         return os.path.join(self.root, "_generations")
 
+    def _manifest_path(self, gen: int) -> str:
+        return os.path.join(self._gen_dir(), f"gen={gen}.json")
+
+    def _marker_path(self, gen: int) -> str:
+        return os.path.join(self._gen_dir(), f"gen={gen}.COMMIT")
+
+    def _gen_files(self) -> tuple[set[int], set[int]]:
+        """(claimed generation numbers, committed generation numbers)."""
+        d = self._gen_dir()
+        claims: set[int] = set()
+        markers: set[int] = set()
+        if os.path.isdir(d):
+            for name in os.listdir(d):
+                try:
+                    if name.startswith("gen=") and name.endswith(".json"):
+                        claims.add(int(name[4:-5]))
+                    elif name.startswith("gen=") and name.endswith(".COMMIT"):
+                        markers.add(int(name[4:-7]))
+                except ValueError:
+                    continue
+        return claims, markers
+
     def current_generation(self) -> int:
-        ptr = os.path.join(self.root, "_GENERATION")
-        if not os.path.exists(ptr):
-            return -1
-        with open(ptr) as fh:
-            return int(fh.read().strip())
+        """Newest committed generation: the max COMMIT marker. Markers
+        are created exclusively and only pruned from the old end, so
+        this is monotonic — no pointer file to regress or dangle."""
+        _, markers = self._gen_files()
+        return max(markers, default=-1)
+
+    def retained_generations(self) -> list[int]:
+        """Committed generations whose manifest is still retained —
+        the horizon ``read_generation`` / ``read_all_at_generation`` /
+        churn reports can serve."""
+        claims, markers = self._gen_files()
+        return sorted(claims & markers)
 
     def manifest(self, gen: int | None = None) -> dict[str, int]:
         """table -> version mapping committed by generation ``gen``
-        (default: the current generation)."""
+        (default: the current generation). Raises
+        ``GenerationRetentionError`` when ``gen`` was committed but its
+        manifest aged out of retention, a plain FileNotFoundError when
+        it never existed."""
         import json
 
         if gen is None:
             gen = self.current_generation()
         if gen < 0:
             raise FileNotFoundError(f"no generation committed under {self.root}")
-        path = os.path.join(self._gen_dir(), f"gen={gen}.json")
-        with open(path) as fh:
-            return {t: int(v) for t, v in json.load(fh).items()}
+        try:
+            with open(self._manifest_path(gen)) as fh:
+                data = json.load(fh)
+        except FileNotFoundError:
+            cur = self.current_generation()
+            if 0 <= gen <= cur:
+                raise GenerationRetentionError(
+                    f"generation {gen} was pruned by the retention policy "
+                    f"(prune_generations / MaintenancePolicy.keep_generations); "
+                    f"retained generations: {self.retained_generations()}"
+                ) from None
+            raise FileNotFoundError(
+                f"generation {gen} does not exist under {self.root} "
+                f"(current generation: {cur})"
+            ) from None
+        # "_publisher" is the claim-ownership nonce, not a table
+        return {t: int(v) for t, v in data.items() if not t.startswith("_")}
+
+    def _commit_marker(self, gen: int) -> bool:
+        """Create gen's COMMIT marker; True if this call created it."""
+        try:
+            with open(self._marker_path(gen), "x"):
+                pass
+            return True
+        except FileExistsError:
+            return False
 
     def publish_generation(
         self,
         versions: dict[str, int] | None = None,
         expected_generation: int | None = None,
     ) -> int:
-        """Atomically commit one cross-table generation.
+        """Atomically commit one cross-table generation; returns the
+        committed generation number.
 
         ``versions``: explicit table -> version map; default = the
-        current version of every table in the store. Same optimistic-
-        concurrency discipline as ``overwrite``: the manifest file is
-        claimed by exclusive create (two publishers racing to the same
-        generation number produce exactly one winner), and the pointer
-        flip CAS-checks ``expected_generation`` (default: the
-        generation as of now) so a losing publisher fails loudly.
+        current version of every table in the store, re-derived per
+        attempt.
 
-        Crash recovery: a publisher dying between the claim and the
-        pointer flip leaves an ORPHANED manifest (gen=N.json exists,
-        pointer at N-1). An orphan is distinguishable from a live
-        racer's claim by the pointer: a committed generation's file is
-        never at pointer+1. On a claim conflict with the pointer still
-        behind, the orphan is replaced and the claim retried ONCE — in
-        the (already-lost-update-prone) window where a LIVE racer holds
-        the claim, the replacement resolves the race as one publisher's
-        lost update, the same outcome class as ConcurrentWriteError,
-        never a torn manifest (both candidate manifests are internally
-        consistent snapshots of per-table pointers)."""
+        ``expected_generation``: strict CAS mode — commit exactly at
+        ``expected_generation + 1`` or raise ``ConcurrentWriteError``
+        (a publisher that derived its versions from a stale read must
+        fail loudly, not silently commit over a racer). With ``None``
+        (default), a claim conflict first ADOPTS the conflicting claim
+        (committing the dead-or-slow claimant's manifest — see the
+        protocol note above) and then retries this publish at the next
+        generation number, so crash recovery needs no operator action."""
         import json
+        import uuid
 
-        if versions is None:
-            versions = {t: self.current_version(t) for t in self.tables()}
-        if expected_generation is None:
-            expected_generation = self.current_generation()
-        g = expected_generation + 1
-        os.makedirs(self._gen_dir(), exist_ok=True)
-        path = os.path.join(self._gen_dir(), f"gen={g}.json")
-        for attempt in (0, 1):
-            try:
-                with open(path, "x") as fh:  # exclusive create = atomic claim
-                    json.dump(versions, fh, sort_keys=True)
-                break
-            except FileExistsError as e:
-                if attempt == 0 and self.current_generation() < g:
-                    # orphaned claim from a dead mid-publish writer (a
-                    # COMMITTED gen=N file always has pointer >= N):
-                    # replace it and retry the claim once
-                    os.remove(path)
-                    continue
-                raise ConcurrentWriteError(
-                    f"generation {g} already claimed by another publisher; "
-                    "re-read the store and retry"
-                ) from e
-        if self.current_generation() != expected_generation:
-            os.remove(path)
+        strict = expected_generation is not None
+        if strict and expected_generation != self.current_generation():
+            # CAS: a publisher holding a stale (or not-yet-real) view of
+            # the store must fail loudly before claiming a number —
+            # claiming past the frontier would commit a gapped sequence
             raise ConcurrentWriteError(
-                f"store advanced past generation {expected_generation} "
-                "while this publish was derived from it; retry"
+                f"store is at generation {self.current_generation()}, not "
+                f"{expected_generation}; re-read the store and retry"
             )
-        tmp = os.path.join(self.root, "_GENERATION.tmp")
-        with open(tmp, "w") as fh:
-            fh.write(str(g))
-        os.replace(tmp, os.path.join(self.root, "_GENERATION"))
-        return g
+        os.makedirs(self._gen_dir(), exist_ok=True)
+        for _ in range(self._GEN_ATTEMPTS):
+            expected = (
+                expected_generation if strict else self.current_generation()
+            )
+            g = expected + 1
+            vmap = (
+                versions
+                if versions is not None
+                else {t: self.current_version(t) for t in self.tables()}
+            )
+            nonce = uuid.uuid4().hex
+            payload = dict(vmap)
+            payload["_publisher"] = nonce
+            tmp = os.path.join(self._gen_dir(), f".gen={g}.{nonce}.tmp")
+            with open(tmp, "w") as fh:
+                json.dump(payload, fh, sort_keys=True)
+            try:
+                # atomic exclusive claim with COMPLETE content: the claim
+                # either exists fully formed or not at all — a crash can
+                # never leave a truncated manifest for adoption to commit
+                os.link(tmp, self._manifest_path(g))
+                claimed = True
+            except FileExistsError:
+                claimed = False
+            finally:
+                os.unlink(tmp)
+            if claimed:
+                # our immutable manifest is staged; the marker commits it.
+                # If a recovering racer adopted our claim first, the
+                # committed content is still EXACTLY ours — success.
+                self._commit_marker(g)
+                return g
+            if os.path.exists(self._marker_path(g)):
+                if strict:
+                    raise ConcurrentWriteError(
+                        f"generation {g} is already committed; re-read the "
+                        "store and retry"
+                    )
+                continue  # re-derive expected from the new frontier
+            # uncommitted claim at the frontier: a dead mid-publish
+            # writer's orphan, or a live racer one step ahead. Adopt it.
+            self._commit_marker(g)
+            if strict:
+                raise ConcurrentWriteError(
+                    f"generation {g} was claimed by another publisher (its "
+                    "claim is now committed by adoption); re-read the store "
+                    "and retry"
+                )
+        raise ConcurrentWriteError(
+            f"publish_generation made no progress after {self._GEN_ATTEMPTS} "
+            "attempts — a publisher storm is racing this store"
+        )
+
+    def prune_generations(self, keep_generations: int = 8) -> list[int]:
+        """Retention policy for generation manifests (VERDICT r09 #2):
+        keep the newest ``keep_generations`` COMMITTED generations
+        (always including the current one) plus any uncommitted frontier
+        claim; drop older manifests and their markers in lockstep, so
+        the vacuum pin set shrinks with retention instead of growing by
+        one manifest per micro-batch forever. ``manifest()`` /
+        ``read_generation`` on a pruned generation raise
+        ``GenerationRetentionError`` naming this policy. Returns the
+        pruned generation numbers."""
+        import time
+
+        if keep_generations < 1:
+            raise ValueError("keep_generations must be >= 1")
+        committed = self.retained_generations()
+        drop = committed[:-keep_generations]
+        for g in drop:
+            try:
+                os.remove(self._manifest_path(g))
+            except FileNotFoundError:
+                pass
+            try:
+                os.remove(self._marker_path(g))
+            except FileNotFoundError:
+                pass
+        # sweep tmp junk from crashed publishers (age-gated: a LIVE
+        # publisher's tmp exists only for the instant between write and
+        # link — an hour-old tmp is a crash artifact)
+        d = self._gen_dir()
+        if os.path.isdir(d):
+            now = time.time()
+            for name in os.listdir(d):
+                if name.startswith(".gen=") and name.endswith(".tmp"):
+                    p = os.path.join(d, name)
+                    try:
+                        if now - os.path.getmtime(p) > 3600:
+                            os.remove(p)
+                    except FileNotFoundError:
+                        pass
+        return drop
 
     def read_generation(
         self, spark: SparkSession, table: str, gen: int | None = None
@@ -233,20 +386,34 @@ class ParquetSnapshotSink:
             int(name[2:]) for name in os.listdir(d) if name.startswith("v=")
         )
 
+    def _generation_pinned(self, table: str) -> set[int]:
+        """Versions of ``table`` pinned by ANY retained generation
+        manifest — committed generations AND uncommitted frontier claims
+        (an in-flight publish's versions must survive until its adoption
+        or commit). Generation readers stay consistent across
+        maintenance for the whole retained horizon (VERDICT r09 #2)."""
+        claims, _ = self._gen_files()
+        pinned: set[int] = set()
+        for g in claims:
+            try:
+                v = self.manifest(g).get(table)
+            except (FileNotFoundError, ValueError):
+                continue  # pruned between listdir and read
+            if v is not None:
+                pinned.add(v)
+        return pinned
+
     def vacuum(self, table: str, keep_last: int = 2) -> list[int]:
-        """Drop all but the newest ``keep_last`` snapshot versions (never
-        the current pointer's target). Old versions are what give replay /
-        time travel; at scale they're also storage — same trade Delta's
-        VACUUM makes."""
+        """Drop all but the newest ``keep_last`` snapshot versions —
+        never the current pointer's target, and never a version any
+        RETAINED generation manifest pins (run ``prune_generations``
+        first to shrink that pin set; retention of manifests and of the
+        versions they pin move in lockstep). Old versions are what give
+        replay / time travel; at scale they're also storage — same
+        trade Delta's VACUUM makes."""
         import shutil
 
-        current = self.current_version(table)
-        pinned = {current}
-        # never drop the version the committed generation manifest pins —
-        # a generation reader must stay consistent across maintenance
-        g = self.current_generation()
-        if g >= 0:
-            pinned.add(self.manifest(g).get(table))
+        pinned = {self.current_version(table)} | self._generation_pinned(table)
         removable = [
             v for v in self.versions(table)[:-keep_last] if v not in pinned
         ]

@@ -98,16 +98,24 @@ def test_publish_concurrency_and_vacuum_pin(spark, tmp_path):
         # a publisher derived from a stale generation loses loudly
         sink.publish_generation(expected_generation=-1)
 
-    # vacuum never drops the generation-pinned version
+    # vacuum never drops a generation-pinned version — for EVERY
+    # retained manifest, not just the current one (VERDICT r09 #2)
     _apply(sink, ev, "A", 6)
     _apply(sink, ev, "A", 7)
-    _apply(sink, ev, "A", 8)  # versions 0..3, generation pins v0
+    _apply(sink, ev, "A", 8)  # versions 0..3, generation 0 pins v0
     removed = sink.vacuum("A", keep_last=1)
     assert 0 not in removed
     assert _max_seq(sink.read_generation(spark, "A")) == 5  # still readable
     sink.publish_generation()
+    # gen 0's manifest is still retained, so v0 stays pinned until the
+    # retention policy prunes it — manifests and versions in lockstep
     removed = sink.vacuum("A", keep_last=1)
-    assert 0 in removed  # unpinned once the generation moved on
+    assert 0 not in removed
+    assert _max_seq(sink.read_generation(spark, "A", gen=0)) == 5
+    pruned = sink.prune_generations(keep_generations=1)
+    assert pruned == [0]
+    removed = sink.vacuum("A", keep_last=1)
+    assert 0 in removed  # unpinned once retention moved on
 
 
 def test_pipeline_publishes_generation_per_batch(spark, tmp_path):
@@ -177,23 +185,129 @@ def test_stream_publishes_generation_per_microbatch(spark, tmp_path):
 
 
 def test_orphaned_claim_recovery(spark, tmp_path):
-    """A publisher dying between the manifest claim and the pointer
-    flip must not wedge the store: the orphan (gen file present,
-    pointer behind) is replaced and the next publish succeeds."""
+    """A publisher dying between the manifest claim and the commit
+    marker must not wedge the store: the next publisher ADOPTS the
+    orphan (commits exactly what the dead writer staged — claims are
+    link-atomic, so the content is always complete) and then commits
+    its own manifest at the next number. Nothing is ever deleted or
+    replaced, so no interleaving can leave a committed generation
+    pointing at a missing or swapped manifest (ADVICE r09)."""
     import os
 
     sink = ParquetSnapshotSink(str(tmp_path / "store"))
     ev = _events(spark)
     _apply(sink, ev, "A", 5)
     sink.publish_generation()  # gen 0 committed
-    # simulate a crash mid-publish of gen 1: claim exists, pointer at 0
+    # simulate a crash mid-publish of gen 1: claim staged, no marker
     os.makedirs(os.path.join(sink.root, "_generations"), exist_ok=True)
     with open(os.path.join(sink.root, "_generations", "gen=1.json"), "w") as fh:
-        fh.write('{"A": 999}')
+        fh.write('{"A": 0, "_publisher": "deadbeef"}')
     assert sink.current_generation() == 0
-    g = sink.publish_generation()  # recovers: replaces the orphan
-    assert g == 1
-    assert sink.manifest(1) == {"A": sink.current_version("A")}
-    # a COMMITTED generation's claim is still protected (pointer >= g)
+    g = sink.publish_generation()  # adopts the orphan, lands at 2
+    assert g == 2
+    assert sink.current_generation() == 2
+    assert sink.manifest(1) == {"A": 0}  # the orphan's content, verbatim
+    assert sink.manifest(2) == {"A": sink.current_version("A")}
+    # a publisher holding a stale view still loses loudly (strict CAS)
     with pytest.raises(ConcurrentWriteError):
         sink.publish_generation(expected_generation=0)
+
+
+def test_strict_cas_on_live_claim(spark, tmp_path):
+    """Strict mode (explicit expected_generation) on a claim conflict
+    adopts the conflicting claim and raises — the caller derived its
+    versions from a stale read and must re-derive."""
+    import os
+
+    sink = ParquetSnapshotSink(str(tmp_path / "store"))
+    ev = _events(spark)
+    _apply(sink, ev, "A", 5)
+    sink.publish_generation()
+    os.makedirs(os.path.join(sink.root, "_generations"), exist_ok=True)
+    with open(os.path.join(sink.root, "_generations", "gen=1.json"), "w") as fh:
+        fh.write('{"A": 0, "_publisher": "racer"}')
+    with pytest.raises(ConcurrentWriteError):
+        sink.publish_generation(expected_generation=0)
+    # the adoption committed the racer's manifest — never lost, never torn
+    assert sink.current_generation() == 1
+    assert sink.manifest(1) == {"A": 0}
+
+
+def test_generation_retention_contract(spark, tmp_path):
+    """VERDICT r09 #2 done-criterion: vacuum between three published
+    generations keeps churn over the retained horizon working, while a
+    pruned horizon raises a purpose-built error naming the retention
+    setting."""
+    from snowflake_cdc_spark.sinks.parquet_sink import GenerationRetentionError
+    from snowflake_cdc_spark.streaming.convergence import ConvergenceMonitor
+
+    sink = ParquetSnapshotSink(str(tmp_path / "store"))
+    ev = _events(spark)
+    gens = []
+    for hi in (3, 5, 8):
+        _apply(sink, ev, "A", hi)
+        _apply(sink, ev, "B", hi)
+        gens.append(sink.publish_generation())
+    assert gens == [0, 1, 2]
+
+    # maintenance: retain the last two generations, then vacuum
+    pruned = sink.prune_generations(keep_generations=2)
+    assert pruned == [0]
+    assert sink.retained_generations() == [1, 2]
+    for t in ("A", "B"):
+        sink.vacuum(t, keep_last=1)
+    # both retained generations stay fully readable post-vacuum
+    assert _max_seq(sink.read_generation(spark, "A", gen=1)) == 5
+    assert _max_seq(sink.read_generation(spark, "B", gen=2)) == 8
+
+    mon = ConvergenceMonitor(sink)
+    churn = {
+        (r["table_name"], r["metric"]): r["n"]
+        for r in mon.churn_between_generations(
+            spark, 1, 2, key_cols=["pk"], compare_cols=[]
+        ).collect()
+    }
+    assert churn[("A", "rows_added")] == 3  # seqs 6,7,8
+    assert churn[("B", "rows_added")] == 3
+
+    # the pruned horizon fails loudly, naming the retention policy
+    with pytest.raises(GenerationRetentionError, match="prune_generations"):
+        sink.read_generation(spark, "A", gen=0)
+    with pytest.raises(GenerationRetentionError, match="keep_generations"):
+        mon.churn_between_generations(spark, 0, 2, key_cols=["pk"])
+    # a generation that NEVER existed is a plain not-found, not retention
+    with pytest.raises(FileNotFoundError, match="does not exist"):
+        sink.manifest(99)
+
+
+def test_generation_view_facade(spark, tmp_path):
+    """VERDICT r09 #7 done-criterion: the consistent-cut read is one
+    user-facing call; a view taken mid-publish stays all-old."""
+    from snowflake_cdc_spark.engine import Engine
+
+    sink = ParquetSnapshotSink(str(tmp_path / "store"))
+    ev = _events(spark)
+    _apply(sink, ev, "A", 5)
+    _apply(sink, ev, "B", 5)
+    sink.publish_generation()
+
+    eng = Engine(spark)
+    view = eng.at_generation(sink)
+    _apply(sink, ev, "A", 8)  # mid-publish: A advanced, B not yet
+    # the frozen view stays all-old even though _CURRENT moved
+    assert _max_seq(view.table("A")) == 5
+    assert _max_seq(view.table("b")) == 5  # case-normalized lookup
+    assert view.tables() == ["A", "B"]
+    _apply(sink, ev, "B", 8)
+    sink.publish_generation()
+    assert _max_seq(view.table("A")) == 5  # still pinned to its gen
+    new = eng.at_generation(sink)
+    assert _max_seq(new.table("A")) == 8
+
+    # SQL surface: the cut is queryable through Engine.sql
+    eng.register_generation(sink, gen=view.generation, prefix="g0_")
+    assert (
+        spark.sql("SELECT max(seq) AS m FROM g0_A").first()["m"] == 5
+    )
+    with pytest.raises(KeyError):
+        view.table("NOPE")

@@ -44,6 +44,11 @@ def test_time_travel_and_vacuum(spark, tmp_path):
     assert v_insert_only.count() == 1500  # all inserts, nothing deleted yet
     assert current.count() == 1285  # after deletes
 
+    # every batch published a generation whose manifest pins its version
+    # (VERDICT r09 #2): vacuum alone removes nothing until retention
+    # prunes the old manifests — then the unpinned versions drop
+    assert sink.vacuum("ORDERS", keep_last=1) == []
+    sink.prune_generations(keep_generations=1)
     removed = sink.vacuum("ORDERS", keep_last=1)
     assert removed == versions[:-1]
     assert sink.versions("ORDERS") == [versions[-1]]
@@ -247,14 +252,18 @@ def test_auto_maintenance_bounds_small_file_decay(spark, tmp_path):
                 pipe.materialize_batch(events.filter(shard == b), batch_id=b)
             return pipe, sink
 
-        pol = MaintenancePolicy(every_n_batches=5, target_files=4, keep_versions=2)
+        pol = MaintenancePolicy(
+            every_n_batches=5, target_files=4, keep_versions=2, keep_generations=2
+        )
         pipe, sink = run("maint", pol)
         _, plain_sink = run("plain", None)
 
         # maintenance fired at batches 4, 9, 14, 19 (1-based counts 5/10/15/20)
         assert len(pipe.maintenance_events) == 4
-        # version history bounded (vacuum) — unmaintained run has ~20+
-        assert len(sink.versions("ORDERS")) <= 2
+        # version history bounded: keep_versions newest plus whatever the
+        # retained generation manifests still pin (merges since the last
+        # maintenance turn each published one generation)
+        assert len(sink.versions("ORDERS")) <= pol.keep_versions + pol.keep_generations + 1
         assert len(plain_sink.versions("ORDERS")) >= 20
         # current snapshot compacted to <= target_files parquet parts
         cur = sink.current_version("ORDERS")
