@@ -1,0 +1,151 @@
+"""End-to-end corpus-build lane (VERDICT r09 #1): the composed
+filter -> decontaminate -> dedup -> select -> pack pipeline behind
+q239/q240 — stage semantics on the planted fixture, and the
+batch/streaming parity seam where the NB maintainer's incrementally
+built model replaces the batch-trained one."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from snowflake_cdc_spark.queries_round10_ext import (
+    _CB_BUDGET,
+    _REPL_OFFSET,
+    _bpe_perdoc,
+    _corpus_stages,
+    _funnel_report,
+    _split,
+    _uwords,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_funnel_stage_semantics(spark):
+    stages = _corpus_stages(spark, SF_SMOKE)
+    perdoc = _bpe_perdoc(stages["f4"])
+    rows = {
+        r["stage"]: r
+        for r in _funnel_report(spark, stages, perdoc).collect()
+    }
+    assert [rows[i]["gate"] for i in (1, 2, 3, 4, 5)] == [
+        "nb_quality",
+        "decontaminate",
+        "exact_dedup",
+        "budget_select",
+        "bpe_pack",
+    ]
+    # the funnel is a real cascade: monotone, and every planted stage bites
+    for i in (1, 2, 3, 4):
+        assert rows[i]["n_out"] <= rows[i]["n_in"]
+        assert rows[i + 1]["n_in"] == rows[i]["n_out"]
+    assert rows[2]["n_out"] < rows[2]["n_in"]  # planted contamination dropped
+    assert rows[3]["n_out"] < rows[3]["n_in"]  # planted replicas collapsed
+    assert rows[4]["n_out"] < rows[4]["n_in"]  # budget bites
+    assert rows[4]["tokens_out"] <= _CB_BUDGET
+    # packing covers exactly the selected docs
+    assert rows[5]["n_in"] == rows[5]["n_out"] == rows[4]["n_out"]
+
+
+def test_decontaminated_set_shares_no_test_shingle(spark):
+    """No f2 survivor shares a normalized 5-gram with the (planted)
+    test split — the decontamination guarantee, checked directly."""
+    from snowflake_cdc_spark.queries_round10_ext import _PLANT, _norm_grams
+
+    stages = _corpus_stages(spark, SF_SMOKE)
+    s = _split(spark, SF_SMOKE)
+    test_g = (
+        _norm_grams(
+            s.filter(F.col("split") == "test").select(
+                "doc_id",
+                F.concat(F.col("text"), F.lit(" " + _PLANT)).alias("text"),
+            )
+        )
+        .select("gram")
+        .distinct()
+    )
+    leaked = _norm_grams(stages["f2"]).join(test_g, "gram").count()
+    assert leaked == 0
+    # and no planted-contamination candidate survived
+    assert (
+        stages["f2"]
+        .filter((F.col("doc_id") % _REPL_OFFSET) % 11 == 0)
+        .count()
+        == 0
+    )
+
+
+def test_dedup_collapses_replicas_deterministically(spark):
+    """Every doc_id%5 replica pair entering dedup leaves exactly one
+    member, and the survivor is the md5-smallest of its group."""
+    stages = _corpus_stages(spark, SF_SMOKE)
+    f2, f3 = stages["f2"], stages["f3"]
+    # no duplicate fingerprints in the output
+    fps = f3.select(F.md5(F.lower(F.col("text"))).alias("fp"))
+    assert fps.count() == fps.distinct().count()
+    # attrition equals the number of collapsed members
+    groups = (
+        f2.select("doc_id", F.md5(F.lower(F.col("text"))).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    extra = groups.agg(F.sum(F.col("n") - 1)).first()[0] or 0
+    assert f2.count() - f3.count() == extra
+    assert extra > 0  # the plant guarantees real work
+    # survivor choice: min (md5(id), id) within each fingerprint group
+    w_min = (
+        f2.select(
+            "doc_id", "h", F.md5(F.lower(F.col("text"))).alias("fp")
+        )
+        .groupBy("fp")
+        .agg(F.min_by("doc_id", F.struct("h", "doc_id")).alias("want"))
+    )
+    got = f3.select(
+        F.md5(F.lower(F.col("text"))).alias("fp"), F.col("doc_id").alias("got")
+    )
+    assert w_min.join(got, "fp").filter("want <> got").count() == 0
+
+
+def test_streaming_nb_model_drives_the_same_build(spark, tmp_path):
+    """VERDICT r09 #1 done-criterion: the corpus build re-run with the
+    NB maintainer's incrementally-maintained model in place of the
+    batch-trained one selects the IDENTICAL corpus — the seed split
+    arrives as two micro-batches through the streaming maintainer, and
+    every downstream stage (and the final packing manifest) matches."""
+    from snowflake_cdc_spark.operators.packing import packing_stats
+    from snowflake_cdc_spark.queries_round10_ext import (
+        _CB_BUCKETS,
+        _CB_CAPACITY,
+    )
+    from snowflake_cdc_spark.streaming.nb_stream import NbClassifierMaintainer
+
+    seed = (
+        _split(spark, SF_SMOKE)
+        .filter(F.col("split") == "val")
+        .select("doc_id", "pos", "text")
+    )
+    maint = NbClassifierMaintainer(str(tmp_path / "state"))
+    # two arbitrary micro-batches (exact mergeable counts — any split)
+    maint.process_batch(seed.filter(F.col("doc_id") % 2 == 0), batch_id=0)
+    maint.process_batch(seed.filter(F.col("doc_id") % 2 == 1), batch_id=1)
+    lr, k = maint.model(spark)
+
+    batch = _corpus_stages(spark, SF_SMOKE)
+    stream = _corpus_stages(spark, SF_SMOKE, lr=lr, k=k)
+    for st in ("f1", "f4"):
+        a = {r["doc_id"] for r in batch[st].select("doc_id").collect()}
+        b = {r["doc_id"] for r in stream[st].select("doc_id").collect()}
+        assert a == b, f"stage {st} diverged under the maintained model"
+
+    mk = lambda stages: sorted(  # noqa: E731
+        map(
+            tuple,
+            packing_stats(
+                _bpe_perdoc(stages["f4"]),
+                "doc_id",
+                "n_bpe",
+                capacity=_CB_CAPACITY,
+                n_buckets=_CB_BUCKETS,
+            ).collect(),
+        )
+    )
+    assert mk(batch) == mk(stream)
