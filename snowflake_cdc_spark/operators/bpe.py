@@ -61,12 +61,13 @@ def word_frequencies(
     )
 
 
-def _pairs(words: DataFrame) -> DataFrame:
+def _pairs(words: DataFrame, sym_pattern: str = "[a-z]+") -> DataFrame:
     """(w: marker-wrapped symbol string, cnt) -> (l, r, pair_count)
     over every adjacent symbol position."""
-    # symbols are [a-z]+ by the word_frequencies contract — extract them
+    # symbols match ``sym_pattern`` by the lane's contract ([a-z]+ for
+    # the character lane, [0-9a-f]+ for the byte lane) — extract them
     # directly rather than splitting around markers
-    syms = F.regexp_extract_all(F.col("w"), F.lit("[a-z]+"), 0)
+    syms = F.regexp_extract_all(F.col("w"), F.lit(sym_pattern), 0)
     adj = F.filter(
         F.transform(
             syms,
@@ -87,17 +88,25 @@ def train_bpe(words: DataFrame, rounds: int = 8) -> DataFrame:
     """Learn ``rounds`` merges from a (word, cnt) frequency table.
     Returns one row per learned merge:
     (merge_round, left_s, right_s, merged, pair_count)."""
-    spark = words.sparkSession
-    cur = words.select(
+    wrapped = words.select(
         F.regexp_replace(F.col("word"), "(.)", SO + "$1" + SC).alias("w"),
         F.col("cnt"),
-    ).persist()
+    )
+    return _train_loop(wrapped, rounds, "[a-z]+")
+
+
+def _train_loop(wrapped: DataFrame, rounds: int, sym_pattern: str) -> DataFrame:
+    """The shared merge-learning loop over a pre-wrapped (w, cnt)
+    relation — identical for the character and byte lanes; only the
+    initial wrapping and the symbol alphabet differ."""
+    spark = wrapped.sparkSession
+    cur = wrapped.persist()
     cur.count()
     merges: list[tuple] = []
     try:
         for r in range(1, rounds + 1):
             best = (
-                _pairs(cur)
+                _pairs(cur, sym_pattern)
                 .orderBy(F.desc("pair_count"), "l", "r")
                 .limit(1)
                 .collect()
@@ -189,6 +198,122 @@ def bpe_oracle_sql(rounds: int = 8, table: str = "documents") -> str:
     greedy rewrite per round) — token-for-token the same arithmetic and
     the same ``replace`` scan semantics as the Spark loop."""
     ctes = _bpe_chain_ctes(rounds, table)
+    union = " UNION ALL ".join(
+        f"SELECT merge_round, left_s, right_s, merged, pair_count FROM m{r}"
+        for r in range(1, rounds + 1)
+    )
+    return f"WITH {', '.join(ctes)} {union} ORDER BY merge_round"
+
+
+# --------------------------------------------------------------------------
+# Byte-level lane (round 10, VERDICT r09 #4): GPT-2-style bytes-as-symbols
+# --------------------------------------------------------------------------
+#
+# The character lane's [a-z]+ symbol contract silently DROPS every word
+# with no ASCII-letter content — a Cyrillic or CJK word contributes zero
+# tokens (functions/text.py ledger). The byte-level pre-tokenizer closes
+# that on its own terms: every word becomes its UTF-8 byte sequence, each
+# byte rendered as a lowercase hex pair ('d0', '9f', ...), and the SAME
+# marker algebra learns merges over the [0-9a-f]{2} alphabet. Byte
+# symbols can never collide with the \x1e/\x1f markers (hex digits
+# only), and merged symbols stay [0-9a-f]+ strings, so the wrap/replace
+# machinery ports unchanged — exactly the GPT-2 posture (any Unicode
+# text is representable; no unknown token exists).
+
+
+def byte_wrapped(col):
+    """word -> marker-wrapped lowercase-hex UTF-8 byte symbols."""
+    return F.regexp_replace(
+        F.lower(F.hex(F.encode(col, "UTF-8"))),
+        "([0-9a-f]{2})",
+        SO + "$1" + SC,
+    )
+
+
+def byte_word_frequencies(
+    docs: DataFrame, text_col: str = "text", pattern: str = r"[\p{L}\p{M}]+"
+) -> DataFrame:
+    """corpus -> (word, cnt) over UNICODE words — the byte lane's scale
+    reduction keeps every script (the character lane's [a-z]+ contract
+    is exactly what this lane exists to drop)."""
+    return (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(pattern), 0)
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def train_byte_bpe(words: DataFrame, rounds: int = 8) -> DataFrame:
+    """Byte-level BPE training: the _train_loop winner/replace algebra
+    over hex-pair byte symbols. Returns (merge_round, left_s, right_s,
+    merged, pair_count) with symbols as lowercase hex strings."""
+    wrapped = words.select(byte_wrapped(F.col("word")).alias("w"), F.col("cnt"))
+    return _train_loop(wrapped, rounds, "[0-9a-f]+")
+
+
+def apply_byte_bpe(
+    words: DataFrame, merges: list[tuple], word_col: str = "word"
+) -> DataFrame:
+    """Tokenize the vocabulary with learned byte merges (training-order
+    greedy replace, the apply_bpe discipline): (word, n_bpe_tokens)."""
+    w = byte_wrapped(F.col(word_col))
+    for m in merges:
+        l, rt = m[1], m[2]
+        w = F.call_function(
+            "replace", w, F.lit(SO + l + SC + SO + rt + SC), F.lit(SO + l + rt + SC)
+        )
+    return words.select(
+        F.col(word_col),
+        (F.size(F.split(w, SO)) - 1).cast("bigint").alias("n_bpe_tokens"),
+    )
+
+
+def _byte_bpe_chain_ctes(rounds: int, table: str) -> list[str]:
+    """DuckDB CTE chain for the byte lane: Unicode word frequencies ->
+    hex-pair wrapping -> the same p{r}/m{r}/w{r} winner/replace rounds
+    with the [0-9a-f]+ symbol alphabet. hex(encode(x)) is the UTF-8
+    byte sequence in both engines (lowercased for parity)."""
+    ctes = [
+        (
+            "words AS (SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt "
+            "FROM (SELECT unnest(regexp_extract_all(lower(text), "
+            f"'[\\p{{L}}\\p{{M}}]+')) AS w FROM {table}) GROUP BY 1)"
+        ),
+        (
+            "w0 AS (SELECT word, regexp_replace(lower(hex(encode(word))), "
+            "'([0-9a-f]{2})', chr(30)||'\\1'||chr(31), 'g') AS w, cnt "
+            "FROM words)"
+        ),
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"p{r} AS (SELECT pr[1] AS l, pr[2] AS r2, "
+            "CAST(sum(cnt) AS BIGINT) AS pair_count "
+            f"FROM (SELECT regexp_extract_all(w, '[0-9a-f]+') AS s, cnt FROM w{r-1}), "
+            "UNNEST(list_zip(s, s[2:])) AS u(pr) "
+            "WHERE pr[2] IS NOT NULL GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"m{r} AS (SELECT {r} AS merge_round, l AS left_s, r2 AS right_s, "
+            f"l||r2 AS merged, pair_count FROM p{r} "
+            "ORDER BY pair_count DESC, l, r2 LIMIT 1)"
+        )
+        ctes.append(
+            f"w{r} AS (SELECT word, replace(w, "
+            "chr(30)||left_s||chr(31)||chr(30)||right_s||chr(31), "
+            f"chr(30)||merged||chr(31)) AS w, cnt FROM w{r-1}, m{r})"
+        )
+    return ctes
+
+
+def byte_bpe_oracle_sql(rounds: int = 8, table: str = "documents") -> str:
+    """Complete DuckDB oracle for ``train_byte_bpe`` (the
+    bpe_oracle_sql shape over the byte chain)."""
+    ctes = _byte_bpe_chain_ctes(rounds, table)
     union = " UNION ALL ".join(
         f"SELECT merge_round, left_s, right_s, merged, pair_count FROM m{r}"
         for r in range(1, rounds + 1)

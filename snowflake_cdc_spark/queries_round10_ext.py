@@ -502,6 +502,383 @@ def q239(spark, sf_dir):
     return _funnel_report(spark, stages, perdoc)
 
 
+# --------------------------------------------------------------------------
+# Q241/Q242 — byte-level BPE (VERDICT r09 #4: the multilingual tokenizer)
+# --------------------------------------------------------------------------
+
+# Per-lang multilingual plant: Cyrillic + CJK on 'zh' rows, accented
+# Latin on 'fr'/'de'/'es' — gives the byte lane real multi-byte UTF-8
+# sequences and gives the character lane ([a-z]+) provable blind spots.
+_ML_PLANTS = {
+    "zh": " 模型 训练 数据 привет мир",
+    "fr": " déjà été générées",
+    "de": " übung größe",
+    "es": " señal año",
+}
+
+_ML_CASE_SQL = "CASE lang " + " ".join(
+    f"WHEN '{lang}' THEN '{plant}'" for lang, plant in _ML_PLANTS.items()
+) + " ELSE '' END"
+
+_ML_CORPUS_CTE = f"""
+ml AS (SELECT doc_id, lang, text || {_ML_CASE_SQL} AS text FROM documents)
+"""
+
+
+def _ml_corpus(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    plant = F.lit("")
+    for lang, p in _ML_PLANTS.items():
+        plant = F.when(F.col("lang") == lang, F.lit(p)).otherwise(plant)
+    return docs.select(
+        "doc_id", "lang", F.concat(F.col("text"), plant).alias("text")
+    )
+
+
+def _byte_train_oracle() -> str:
+    from snowflake_cdc_spark.operators.bpe import _byte_bpe_chain_ctes
+
+    ctes = [_ML_CORPUS_CTE.strip()] + _byte_bpe_chain_ctes(_CB_ROUNDS, "ml")
+    union = " UNION ALL ".join(
+        f"SELECT merge_round, left_s, right_s, merged, pair_count FROM m{r}"
+        for r in range(1, _CB_ROUNDS + 1)
+    )
+    return f"WITH {', '.join(ctes)} {union} ORDER BY merge_round"
+
+
+@register(
+    "q241_byte_bpe_train",
+    _byte_train_oracle(),
+    "BYTE-level BPE training (VERDICT r09 #4 — the multilingual path "
+    "the functions/text.py ledger names): GPT-2-style bytes-as-symbols "
+    "pre-tokenizer — every Unicode word becomes its UTF-8 byte "
+    "sequence (lowercase hex pairs), and the q145 marker algebra "
+    "learns 8 merges over the [0-9a-f]{2} alphabet unchanged (byte "
+    "symbols can never collide with the \\x1e/\\x1f markers). Trained "
+    "on the per-lang multilingual plant (Cyrillic+CJK on zh, accented "
+    "Latin on fr/de/es), so any representable script contributes "
+    "pairs — no unknown token exists. Same exact-integer winner order "
+    "(count DESC, l, r), same greedy non-overlapping replace; the "
+    "oracle re-derives all 8 rounds; hex(encode(w)) is the identical "
+    "UTF-8 byte sequence in both engines",
+)
+def q241(spark, sf_dir):
+    from snowflake_cdc_spark.operators.bpe import (
+        byte_word_frequencies,
+        train_byte_bpe,
+    )
+
+    words = byte_word_frequencies(_ml_corpus(spark, sf_dir))
+    return train_byte_bpe(words, rounds=_CB_ROUNDS)
+
+
+def _byte_coverage_oracle() -> str:
+    from snowflake_cdc_spark.operators.bpe import (
+        _bpe_chain_ctes,
+        _byte_bpe_chain_ctes,
+    )
+
+    import re
+
+    byte = _byte_bpe_chain_ctes(_CB_ROUNDS, "ml")
+    # namespace the ascii chain's relation names (words, w0..wN, p*, m*)
+    # so the two chains coexist in one WITH — token-level rewrite, so a
+    # stray un-renamed reference binds to NOTHING (loud binder error)
+    # rather than silently reading the byte chain's same-named CTE
+    fixed = [
+        re.sub(r"\b(words|[wpm]\d+)\b", r"a\1", c)
+        for c in _bpe_chain_ctes(_CB_ROUNDS, "ml")
+    ]
+    ctes = [_ML_CORPUS_CTE.strip()] + byte + fixed
+    ctes.append(
+        f"btok AS (SELECT word, CAST(len(string_split(w, chr(30))) - 1 AS BIGINT) "
+        f"AS n_tok FROM w{_CB_ROUNDS})"
+    )
+    ctes.append(
+        f"atok AS (SELECT word, CAST(len(string_split(w, chr(30))) - 1 AS BIGINT) "
+        f"AS n_tok FROM aw{_CB_ROUNDS})"
+    )
+    ctes.append(
+        "udw AS (SELECT lang, unnest(regexp_extract_all(lower(text), "
+        "'[\\p{L}\\p{M}]+')) AS word FROM ml)"
+    )
+    ctes.append(
+        "adw AS (SELECT lang, unnest(regexp_extract_all(lower(text), "
+        "'[a-z]+')) AS word FROM ml)"
+    )
+    ctes.append(
+        "ub AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_uwords, "
+        "CAST(sum(CASE WHEN NOT regexp_matches(word, '[a-z]') THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS dropped_uwords, "
+        "CAST(sum(btok.n_tok) AS BIGINT) AS tokens_byte "
+        "FROM udw JOIN btok USING (word) GROUP BY 1)"
+    )
+    ctes.append(
+        "ab AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_ascii_runs, "
+        "CAST(sum(atok.n_tok) AS BIGINT) AS tokens_ascii "
+        "FROM adw JOIN atok USING (word) GROUP BY 1)"
+    )
+    return (
+        f"WITH {', '.join(ctes)} "
+        "SELECT ub.lang, n_uwords, dropped_uwords, tokens_byte, "
+        "coalesce(n_ascii_runs, 0) AS n_ascii_runs, "
+        "coalesce(tokens_ascii, 0) AS tokens_ascii, "
+        "CAST(tokens_byte * 1000 // n_uwords AS BIGINT) AS fert_byte_milli "
+        "FROM ub LEFT JOIN ab USING (lang) ORDER BY ub.lang"
+    )
+
+
+@register(
+    "q242_byte_bpe_coverage",
+    _byte_coverage_oracle(),
+    "byte-BPE vs character-BPE coverage and fertility, per language "
+    "(VERDICT r09 #4's done-criterion: the lane that PROVES "
+    "operators/bpe.py's [a-z]+ contract drops tokens on non-Latin "
+    "text): both tokenizers trained side by side on the multilingual "
+    "plant corpus; per lang — Unicode word count, words with zero "
+    "[a-z] content (invisible to the character lane; > 0 for zh's "
+    "planted CJK/Cyrillic), total byte-BPE tokens (every word "
+    "tokenized — the no-unknown-token guarantee), ascii-run count and "
+    "char-BPE tokens (the q226 lane's view), and byte fertility in "
+    "milli-tokens/word — the q226 comparison at language granularity. "
+    "Scale shape: two vocab-sized training chains + two word-keyed "
+    "broadcast joins + one 5-row rollup",
+)
+def q242(spark, sf_dir):
+    from snowflake_cdc_spark.operators.bpe import (
+        apply_bpe,
+        apply_byte_bpe,
+        byte_word_frequencies,
+        train_bpe,
+        train_byte_bpe,
+        word_frequencies,
+    )
+
+    ml = _ml_corpus(spark, sf_dir).localCheckpoint(eager=False)
+    bwords = byte_word_frequencies(ml)
+    bmerges = [tuple(m) for m in train_byte_bpe(bwords, rounds=_CB_ROUNDS).collect()]
+    btok = apply_byte_bpe(bwords, bmerges)
+    awords = word_frequencies(ml)
+    amerges = [tuple(m) for m in train_bpe(awords, rounds=_CB_ROUNDS).collect()]
+    atok = apply_bpe(awords, amerges)
+
+    udw = ml.select(
+        "lang", F.explode(_uwords(F.col("text"))).alias("word")
+    )
+    adw = ml.select(
+        "lang",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+        ).alias("word"),
+    )
+    ub = (
+        udw.join(F.broadcast(btok), "word")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_uwords"),
+            F.sum(
+                (~F.col("word").rlike("[a-z]")).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("dropped_uwords"),
+            F.sum("n_bpe_tokens").cast("bigint").alias("tokens_byte"),
+        )
+    )
+    ab = (
+        adw.join(F.broadcast(atok), "word")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_ascii_runs"),
+            F.sum("n_bpe_tokens").cast("bigint").alias("tokens_ascii"),
+        )
+    )
+    return (
+        ub.join(ab, "lang", "left")
+        .select(
+            "lang",
+            "n_uwords",
+            "dropped_uwords",
+            "tokens_byte",
+            F.coalesce(F.col("n_ascii_runs"), F.lit(0))
+            .cast("bigint")
+            .alias("n_ascii_runs"),
+            F.coalesce(F.col("tokens_ascii"), F.lit(0))
+            .cast("bigint")
+            .alias("tokens_ascii"),
+            F.expr("CAST(tokens_byte * 1000 DIV n_uwords AS BIGINT)").alias(
+                "fert_byte_milli"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q243 — script-aware multilingual language-ID (VERDICT r09 #6)
+# --------------------------------------------------------------------------
+
+_CYR_PLANT = "привет мир это тестовое предложение для аудита"
+_CJK_PLANT = "模型 训练 数据 语料 评估 基准"
+
+# q29's stopword lists, shared verbatim (the legacy lane is reproduced
+# inside this query so the mislabel is visible in the output itself)
+_SW243 = {
+    "en": ["the", "a", "of", "and", "is"],
+    "es": ["el", "la", "de", "y", "es"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "de", "et", "est"],
+}
+
+
+def _script_lid_oracle() -> str:
+    sw = {
+        k: "[" + ", ".join(f"'{w}'" for w in v) + "]" for k, v in _SW243.items()
+    }
+    legacy = """CASE WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+                WHEN s_es > 0 AND s_es >= s_en AND s_es >= s_de AND s_es >= s_fr THEN 'es'
+                WHEN s_de > 0 AND s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                WHEN s_fr > 0 AND s_fr >= s_en AND s_fr >= s_es AND s_fr >= s_de THEN 'fr'
+                ELSE 'zh' END"""
+    return f"""
+WITH base AS (
+  SELECT doc_id, lang AS true_lang, text FROM documents
+  UNION ALL
+  SELECT doc_id + 20000000, 'ru', '{_CYR_PLANT}' FROM documents WHERE doc_id % 17 = 0
+  UNION ALL
+  SELECT doc_id + 30000000, 'zh', '{_CJK_PLANT}' FROM documents WHERE doc_id % 19 = 0),
+w AS (SELECT doc_id, true_lang, string_split(text, ' ') AS ws,
+             regexp_extract_all(lower(text), '[\\p{{L}}\\p{{M}}]+') AS uw
+      FROM base),
+sc AS (SELECT doc_id, true_lang,
+         CAST(len(list_filter(uw, t -> unicode(t) < 1024)) AS BIGINT) AS n_lat,
+         CAST(len(list_filter(uw, t -> unicode(t) >= 1024 AND unicode(t) < 1280))
+              AS BIGINT) AS n_cyr,
+         CAST(len(list_filter(uw, t -> unicode(t) >= 11904)) AS BIGINT) AS n_cjk,
+         len(list_filter(ws, x -> list_contains({sw['en']}, x))) AS s_en,
+         len(list_filter(ws, x -> list_contains({sw['es']}, x))) AS s_es,
+         len(list_filter(ws, x -> list_contains({sw['de']}, x))) AS s_de,
+         len(list_filter(ws, x -> list_contains({sw['fr']}, x))) AS s_fr
+       FROM w),
+p AS (SELECT doc_id, true_lang,
+        CASE WHEN n_cyr > 0 AND n_cyr >= n_cjk AND n_cyr >= n_lat THEN 'cyrillic'
+             WHEN n_cjk > 0 AND n_cjk >= n_lat THEN 'cjk'
+             ELSE 'latin' END AS script,
+        {legacy} AS legacy_lang,
+        s_en, s_es, s_de, s_fr
+      FROM sc),
+r AS (SELECT true_lang, script,
+        CASE WHEN script = 'cyrillic' THEN 'ru'
+             WHEN script = 'cjk' THEN 'zh'
+             WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+             WHEN s_es > 0 AND s_es >= s_en AND s_es >= s_de AND s_es >= s_fr THEN 'es'
+             WHEN s_de > 0 AND s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+             WHEN s_fr > 0 AND s_fr >= s_en AND s_fr >= s_es AND s_fr >= s_de THEN 'fr'
+             ELSE 'und' END AS predicted_lang,
+        legacy_lang
+      FROM p)
+SELECT true_lang, script, predicted_lang, legacy_lang,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM r GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4"""
+
+
+@register(
+    "q243_script_language_id",
+    _script_lid_oracle(),
+    "script-aware multilingual language-ID (VERDICT r09 #6): q29 "
+    "scores only Latin stopword sets and routes EVERY no-hit doc to "
+    "'zh' — planted Cyrillic rows prove the mislabel (the output "
+    "contains (true_lang='ru', legacy_lang='zh') rows with the legacy "
+    "lane reproduced verbatim alongside). The new router buckets by "
+    "dominant script FIRST (functions/text.py::script_of per Unicode "
+    "token: cyrillic -> 'ru', cjk -> 'zh'), then runs the stopword "
+    "argmax only on Latin-dominant docs, and says an honest 'und' "
+    "instead of a fake 'zh' when no evidence exists. Plants: pure "
+    "Cyrillic rows (true 'ru') on doc_id%17, pure CJK (true 'zh') on "
+    "doc_id%19. Output = (true_lang, script, predicted_lang, "
+    "legacy_lang, n_docs) — the router comparison as one rollup. "
+    "Shape: one scan, per-token script via a higher-order filter (no "
+    "explode), one small groupBy",
+)
+def q243(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    base = (
+        docs.select("doc_id", F.col("lang").alias("true_lang"), "text")
+        .unionByName(
+            docs.filter(F.col("doc_id") % 17 == 0).select(
+                (F.col("doc_id") + 20_000_000).alias("doc_id"),
+                F.lit("ru").alias("true_lang"),
+                F.lit(_CYR_PLANT).alias("text"),
+            )
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 19 == 0).select(
+                (F.col("doc_id") + 30_000_000).alias("doc_id"),
+                F.lit("zh").alias("true_lang"),
+                F.lit(_CJK_PLANT).alias("text"),
+            )
+        )
+    )
+    ws = F.split("text", " ")
+    uw = _uwords(F.col("text"))
+    # script counts via the script_of codepoint ranges (first char;
+    # Spark ascii == DuckDB unicode, probed) — higher-order filters,
+    # no per-token explode
+    n_lat = F.size(F.filter(uw, lambda t: F.ascii(t) < 1024)).cast("bigint")
+    n_cyr = F.size(
+        F.filter(uw, lambda t: (F.ascii(t) >= 1024) & (F.ascii(t) < 1280))
+    ).cast("bigint")
+    n_cjk = F.size(F.filter(uw, lambda t: F.ascii(t) >= 11904)).cast("bigint")
+    def _sw_score(sws):
+        arr = F.array(*[F.lit(s) for s in sws])
+        return F.size(F.filter(ws, lambda x: F.array_contains(arr, x)))
+
+    scores = {lang: _sw_score(sws) for lang, sws in _SW243.items()}
+    sc = base.select(
+        "true_lang",
+        n_lat.alias("n_lat"),
+        n_cyr.alias("n_cyr"),
+        n_cjk.alias("n_cjk"),
+        *[scores[lang].alias(f"s_{lang}") for lang in _SW243],
+    )
+    script = (
+        F.when(
+            (F.col("n_cyr") > 0)
+            & (F.col("n_cyr") >= F.col("n_cjk"))
+            & (F.col("n_cyr") >= F.col("n_lat")),
+            "cyrillic",
+        )
+        .when((F.col("n_cjk") > 0) & (F.col("n_cjk") >= F.col("n_lat")), "cjk")
+        .otherwise("latin")
+    )
+
+    def _argmax(default):
+        # q29's tie-ordered CASE cascade (en, es, de, fr) built inside-out
+        order = ["en", "es", "de", "fr"]
+        expr = F.lit(default)
+        for lang in reversed(order):
+            cond = F.col(f"s_{lang}") > 0
+            for o in order:
+                if o != lang:
+                    cond = cond & (F.col(f"s_{lang}") >= F.col(f"s_{o}"))
+            expr = F.when(cond, F.lit(lang)).otherwise(expr)
+        return expr
+
+    p = sc.withColumn("script", script).withColumn(
+        "legacy_lang", _argmax("zh")
+    )
+    predicted = (
+        F.when(F.col("script") == "cyrillic", "ru")
+        .when(F.col("script") == "cjk", "zh")
+        .otherwise(_argmax("und"))
+    )
+    return (
+        p.withColumn("predicted_lang", predicted)
+        .groupBy("true_lang", "script", "predicted_lang", "legacy_lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .orderBy("true_lang", "script", "predicted_lang", "legacy_lang")
+    )
+
+
 @register(
     "q240_corpus_build_manifest",
     _MANIFEST_ORACLE,
