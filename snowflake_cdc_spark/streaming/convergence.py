@@ -137,7 +137,15 @@ class ConvergenceMonitor:
         list. A table present in only one manifest diffs against the
         empty relation. Output: (table_name, metric, n) — one
         full-outer join + one aggregation per table, same cost class
-        as the per-batch ``record``."""
+        as the per-batch ``record``.
+
+        Retention horizon (round 10): both generations must still be
+        retained — after ``prune_generations`` (or the
+        ``MaintenancePolicy.keep_generations`` maintenance turn) drops
+        a generation, reading it raises ``GenerationRetentionError``
+        naming the policy, and vacuum may have dropped the versions it
+        pinned. Size ``keep_generations`` to the widest churn window
+        you report over."""
         m_from = self.sink.manifest(g_from)
         m_to = self.sink.manifest(g_to)
         if not m_from and not m_to:

@@ -73,7 +73,11 @@ def test_pipeline_from_config_runs_end_to_end(spark, tmp_path):
         "sink": {"root": str(tmp_path / "wh")},
         "fail_on_write_error": False,
         "quarantine_dir": str(tmp_path / "q"),
-        "maintenance": {"every_n_batches": 1, "target_files": 4},
+        "maintenance": {
+            "every_n_batches": 1,
+            "target_files": 4,
+            "keep_generations": 3,
+        },
     }
     # also exercise the file path form
     cfg_path = str(tmp_path / "pipeline.json")
@@ -90,6 +94,9 @@ def test_pipeline_from_config_runs_end_to_end(spark, tmp_path):
     assert snap.count() == oracle.count()
     # maintenance fired (every_n_batches=1) and compacted the snapshot
     assert pipe.maintenance_events
+    # the generation-retention knob reached the policy (round 10)
+    assert pipe.maintenance.keep_generations == 3
+    assert pipe.sink.retained_generations()  # publish + prune both ran
 
 
 def test_config_wires_convergence_monitor(spark, tmp_path):
