@@ -67,6 +67,7 @@ def semantic_dup_pairs(
     vec_col: str = "embedding",
     dim: int | None = None,
     cell_cap: int | None = 4096,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """(cell, vec_a, vec_b, dot) for every within-cell pair (a < b) with
     integer cosine ≥ t_num/t_den on the signed grid. ``dot`` is the
@@ -85,8 +86,16 @@ def semantic_dup_pairs(
     oracle mirrors it with a HAVING-count filter on the same cell
     relation. ``None`` disables. A dropped cell loses ALL its pairs —
     at 100 TB scale raise ``k`` with the corpus (the IVF discipline)
-    so cells stay under the cap instead of leaning on the drop."""
-    _, assigned = kmeans_fit(emb, k=k, rounds=rounds)
+    so cells stay under the cap instead of leaning on the drop.
+
+    ``assigned``: a pre-computed (id, cell) relation replacing the
+    internal fixed-k fit — the corpus-scaled path (round 10): pass
+    ``relational_kmeans_fit(emb, k=ceil(sqrt(N)))``'s assignment so
+    per-cell population stays ~sqrt(N) and the cap never bites on
+    structured data (q244; plan-literal centroids blow the codegen
+    budget at corpus-sized k — the q192b lesson)."""
+    if assigned is None:
+        _, assigned = kmeans_fit(emb, k=k, rounds=rounds)
     sg = _signed_grid(emb, grid, id_col, vec_col)
     mem = assigned.select(F.col(id_col), "cell").join(sg, id_col)
     if cell_cap is not None:

@@ -879,6 +879,83 @@ def q243(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# Q244 — SemDeDup with corpus-scaled cluster count (the 100-TB shape)
+# --------------------------------------------------------------------------
+
+
+def _semdedup_scaled_oracle(
+    rounds: int = 2, grid: int = 1000, t_num: int = 9, t_den: int = 20,
+    cell_cap: int = 4096,
+) -> str:
+    from snowflake_cdc_spark.queries_round9_ext import _kmeans_chain_dyn
+
+    return _kmeans_chain_dyn(rounds) + f""",
+sg AS (SELECT vec_id,
+              list_transform(embedding,
+                x -> CAST(floor(CAST(x AS DOUBLE) * {grid}.0 + 0.5) AS BIGINT)) AS qc
+       FROM embeddings),
+sgn AS (SELECT vec_id, qc,
+               CAST(list_sum(list_transform(qc, x -> x * x)) AS BIGINT) AS n2
+        FROM sg),
+hot AS (SELECT cell FROM a{rounds} GROUP BY cell HAVING count(*) > {cell_cap}),
+mem AS (SELECT a.vec_id, a.cell, s.qc, s.n2
+        FROM a{rounds} a JOIN sgn s USING (vec_id)
+        WHERE a.cell NOT IN (SELECT cell FROM hot)),
+pr AS (SELECT x.cell, x.vec_id AS vec_a, y.vec_id AS vec_b,
+              CAST(list_sum(list_transform(list_zip(x.qc, y.qc),
+                     p -> p[1] * p[2])) AS BIGINT) AS dot,
+              x.n2 AS na2, y.n2 AS nb2
+       FROM mem x JOIN mem y
+         ON x.cell = y.cell AND x.vec_id < y.vec_id)
+SELECT cell, vec_a, vec_b, dot
+FROM pr
+WHERE dot > 0 AND dot * dot * {t_den * t_den} >= {t_num * t_num} * na2 * nb2
+ORDER BY vec_a, vec_b
+"""
+
+
+@register(
+    "q244_semdedup_scaled",
+    _semdedup_scaled_oracle(),
+    "SemDeDup with a CORPUS-SIZED cluster count (round 10 — the named "
+    "fix the two-decade probe demanded): q200 runs the paper's "
+    "cluster-then-compare at FIXED k=8, and the 100x probe showed "
+    "exactly the documented failure mode — at 200k vectors every cell "
+    "blows past cell_cap=4096 and the hot-cell guard drops ALL pairs "
+    "(bounded cost, zero recall). This lane scales k_cells = max(8, "
+    "ceil(sqrt(N))) via operators/ivf_relational.py (broadcast "
+    "DataFrame centroids — the q192b discipline; plan-literal "
+    "centroids blow the codegen budget at corpus-sized k), so "
+    "per-cell population stays ~sqrt(N), Sigma|cell|^2 ~ N^1.5 "
+    "candidate pairs, and the cap protects the anti-regime instead of "
+    "firing on structured data. Same signed-grid integer cosine and "
+    "BIGINT threshold predicate as q200; the oracle re-derives the "
+    "dynamic-k k-means chain (scalar-subquery k, IEEE-exact "
+    "ceil(sqrt)), the cap filter, and every surviving pair",
+)
+def q244(spark, sf_dir):
+    import math
+
+    from snowflake_cdc_spark.operators.ivf_relational import (
+        relational_kmeans_fit,
+    )
+    from snowflake_cdc_spark.operators.semdedup import semantic_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    n = emb.count()
+    k_cells = max(8, math.ceil(math.sqrt(n)))
+    _, assigned = relational_kmeans_fit(emb, k=k_cells, rounds=2)
+    return semantic_dup_pairs(
+        emb,
+        t_num=9,
+        t_den=20,
+        dim=64,
+        cell_cap=4096,
+        assigned=assigned.select("vec_id", "cell"),
+    ).orderBy("vec_a", "vec_b")
+
+
 @register(
     "q240_corpus_build_manifest",
     _MANIFEST_ORACLE,

@@ -112,6 +112,29 @@ class TestSemDeDup:
         assert got == _brute_pairs(vecs, cells, 9, 10)
 
 
+def test_external_assignment_matches_internal_fit(spark):
+    """Round 10: semantic_dup_pairs(assigned=...) with the SAME cell
+    relation the internal kmeans_fit would build returns identical
+    pairs — the seam q244 uses to swap in corpus-scaled relational
+    k-means."""
+    import random
+
+    from snowflake_cdc_spark.operators.kmeans_exact import kmeans_fit
+    from snowflake_cdc_spark.operators.semdedup import semantic_dup_pairs
+
+    rng = random.Random(11)
+    rows = [(i, _unit(rng)) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    _, assigned = kmeans_fit(emb, k=4, rounds=2)
+    internal = semantic_dup_pairs(emb, t_num=1, t_den=4, k=4, rounds=2)
+    external = semantic_dup_pairs(
+        emb, t_num=1, t_den=4, assigned=assigned.select("vec_id", "cell")
+    )
+    assert sorted(map(tuple, internal.collect())) == sorted(
+        map(tuple, external.collect())
+    )
+
+
 def test_dim_mismatch_fails_fast(spark):
     """ADVICE r06: a wrong ``dim`` must fail loudly, not silently NULL
     the unrolled dot/distance and corrupt the ranking. The guard lives
