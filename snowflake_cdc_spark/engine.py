@@ -97,7 +97,33 @@ class GenerationView:
                 f"table {name!r} is not part of generation "
                 f"{self.generation} (tables: {self.tables()})"
             )
-        return self.sink.read_version(self.spark, key, self._manifest[key])
+        # the manifest is frozen at construction, so the retention check
+        # must happen per READ: once prune_generations drops this
+        # generation the documented contract is GenerationRetentionError
+        # — not the bare version-not-found a vacuumed snapshot raises
+        from snowflake_cdc_spark.sinks.parquet_sink import (
+            GenerationRetentionError,
+        )
+
+        if self.generation not in self.sink.retained_generations():
+            raise GenerationRetentionError(
+                f"generation {self.generation} was pruned by the retention "
+                f"policy (prune_generations / MaintenancePolicy."
+                f"keep_generations) after this view was taken; retained "
+                f"generations: {self.sink.retained_generations()}"
+            )
+        try:
+            return self.sink.read_version(self.spark, key, self._manifest[key])
+        except FileNotFoundError as e:
+            if isinstance(e, GenerationRetentionError):
+                raise
+            raise GenerationRetentionError(
+                f"version {self._manifest[key]} of {key!r} (pinned by "
+                f"generation {self.generation}) is no longer on disk — "
+                f"vacuumed outside the retention contract (vacuum must "
+                f"run after prune_generations, from the writer's "
+                f"maintenance turn)"
+            ) from e
 
     def to_dict(self) -> dict[str, DataFrame]:
         return {t: self.table(t) for t in self.tables()}

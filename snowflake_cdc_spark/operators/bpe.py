@@ -145,6 +145,16 @@ def apply_bpe(words: DataFrame, merges: list[tuple], word_col: str = "word") -> 
     is vocab-level tokenization + a broadcast join back to the corpus
     (see q146), never re-scanning documents per merge."""
     w = F.regexp_replace(F.col(word_col), "(.)", SO + "$1" + SC)
+    return _apply_merges(words, w, merges, word_col)
+
+
+def _apply_merges(
+    words: DataFrame, wrapped, merges: list[tuple], word_col: str
+) -> DataFrame:
+    """Shared apply loop (character + byte lanes): compose the learned
+    merges in training order over a pre-wrapped column and count the
+    resulting symbols."""
+    w = wrapped
     for m in merges:
         l, rt = m[1], m[2]
         w = F.call_function(
@@ -184,10 +194,17 @@ def _bpe_chain_ctes(rounds: int, table: str) -> list[str]:
             f"l||r2 AS merged, pair_count FROM p{r} "
             "ORDER BY pair_count DESC, l, r2 LIMIT 1)"
         )
+        # LEFT JOIN ON TRUE, not a cross join: when a round's pair table
+        # is EMPTY (vocabulary fully merged before ``rounds`` rounds) the
+        # word survives unchanged — mirroring the Spark loop's early
+        # break — instead of every later w{r} collapsing to the empty
+        # relation and silently zeroing downstream tokenizations
         ctes.append(
-            f"w{r} AS (SELECT word, replace(w, "
-            "chr(30)||left_s||chr(31)||chr(30)||right_s||chr(31), "
-            f"chr(30)||merged||chr(31)) AS w, cnt FROM w{r-1}, m{r})"
+            f"w{r} AS (SELECT word, "
+            "CASE WHEN m.left_s IS NULL THEN w ELSE replace(w, "
+            "chr(30)||m.left_s||chr(31)||chr(30)||m.right_s||chr(31), "
+            "chr(30)||m.merged||chr(31)) END AS w, cnt "
+            f"FROM w{r-1} LEFT JOIN m{r} m ON TRUE)"
         )
     return ctes
 
@@ -235,16 +252,9 @@ def byte_word_frequencies(
 ) -> DataFrame:
     """corpus -> (word, cnt) over UNICODE words — the byte lane's scale
     reduction keeps every script (the character lane's [a-z]+ contract
-    is exactly what this lane exists to drop)."""
-    return (
-        docs.select(
-            F.explode(
-                F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(pattern), 0)
-            ).alias("word")
-        )
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-    )
+    is exactly what this lane exists to drop). Same reduction as
+    ``word_frequencies``, different default token class."""
+    return word_frequencies(docs, text_col, pattern)
 
 
 def train_byte_bpe(words: DataFrame, rounds: int = 8) -> DataFrame:
@@ -259,17 +269,9 @@ def apply_byte_bpe(
     words: DataFrame, merges: list[tuple], word_col: str = "word"
 ) -> DataFrame:
     """Tokenize the vocabulary with learned byte merges (training-order
-    greedy replace, the apply_bpe discipline): (word, n_bpe_tokens)."""
-    w = byte_wrapped(F.col(word_col))
-    for m in merges:
-        l, rt = m[1], m[2]
-        w = F.call_function(
-            "replace", w, F.lit(SO + l + SC + SO + rt + SC), F.lit(SO + l + rt + SC)
-        )
-    return words.select(
-        F.col(word_col),
-        (F.size(F.split(w, SO)) - 1).cast("bigint").alias("n_bpe_tokens"),
-    )
+    greedy replace — the shared ``_apply_merges`` loop over the byte
+    wrapping): (word, n_bpe_tokens)."""
+    return _apply_merges(words, byte_wrapped(F.col(word_col)), merges, word_col)
 
 
 def _byte_bpe_chain_ctes(rounds: int, table: str) -> list[str]:
@@ -302,10 +304,13 @@ def _byte_bpe_chain_ctes(rounds: int, table: str) -> list[str]:
             f"l||r2 AS merged, pair_count FROM p{r} "
             "ORDER BY pair_count DESC, l, r2 LIMIT 1)"
         )
+        # same empty-round guard as _bpe_chain_ctes (Spark breaks early)
         ctes.append(
-            f"w{r} AS (SELECT word, replace(w, "
-            "chr(30)||left_s||chr(31)||chr(30)||right_s||chr(31), "
-            f"chr(30)||merged||chr(31)) AS w, cnt FROM w{r-1}, m{r})"
+            f"w{r} AS (SELECT word, "
+            "CASE WHEN m.left_s IS NULL THEN w ELSE replace(w, "
+            "chr(30)||m.left_s||chr(31)||chr(30)||m.right_s||chr(31), "
+            "chr(30)||m.merged||chr(31)) END AS w, cnt "
+            f"FROM w{r-1} LEFT JOIN m{r} m ON TRUE)"
         )
     return ctes
 

@@ -41,7 +41,6 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from snowflake_cdc_spark.functions.text import UNICODE_WORD
 from snowflake_cdc_spark.queries import _t, register
 
 # --------------------------------------------------------------------------
@@ -264,8 +263,9 @@ def _split(spark, sf_dir):
     )
 
 
-def _uwords(col):
-    return F.regexp_extract_all(F.lower(col), F.lit(UNICODE_WORD), F.lit(0))
+# the shared multilingual tokenization (functions/text.py) under the
+# short local name the lanes and tests use
+from snowflake_cdc_spark.functions.text import unicode_words as _uwords  # noqa: E402
 
 
 def _norm_grams(df, text_col="text"):
@@ -818,16 +818,20 @@ def q243(spark, sf_dir):
             )
         )
     )
+    from snowflake_cdc_spark.functions.text import script_of
+
     ws = F.split("text", " ")
     uw = _uwords(F.col("text"))
-    # script counts via the script_of codepoint ranges (first char;
-    # Spark ascii == DuckDB unicode, probed) — higher-order filters,
-    # no per-token explode
-    n_lat = F.size(F.filter(uw, lambda t: F.ascii(t) < 1024)).cast("bigint")
-    n_cyr = F.size(
-        F.filter(uw, lambda t: (F.ascii(t) >= 1024) & (F.ascii(t) < 1280))
+    # per-token script via the SHARED functions/text.py::script_of
+    # ranges (first char; Spark ascii == DuckDB unicode, probed) —
+    # higher-order filters, no per-token explode
+    n_lat = F.size(
+        F.filter(uw, lambda t: script_of(t).isin("latin", "latin_ext"))
     ).cast("bigint")
-    n_cjk = F.size(F.filter(uw, lambda t: F.ascii(t) >= 11904)).cast("bigint")
+    n_cyr = F.size(
+        F.filter(uw, lambda t: script_of(t) == "cyrillic")
+    ).cast("bigint")
+    n_cjk = F.size(F.filter(uw, lambda t: script_of(t) == "cjk")).cast("bigint")
     def _sw_score(sws):
         arr = F.array(*[F.lit(s) for s in sws])
         return F.size(F.filter(ws, lambda x: F.array_contains(arr, x)))

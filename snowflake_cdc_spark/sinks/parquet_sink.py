@@ -231,7 +231,20 @@ class ParquetSnapshotSink:
         (default), a claim conflict first ADOPTS the conflicting claim
         (committing the dead-or-slow claimant's manifest — see the
         protocol note above) and then retries this publish at the next
-        generation number, so crash recovery needs no operator action."""
+        generation number, so crash recovery needs no operator action.
+
+        Concurrency scope: MANIFESTS are race-free against anything
+        (the protocol note above). The DATA FILES a manifest pins are
+        protected by ``vacuum``'s pin set, which is a point-in-time
+        read — so vacuum running CONCURRENTLY with a publisher could
+        drop a version the in-flight publish is about to pin. The
+        version-existence check below fails such a stale publish fast,
+        and ``vacuum`` re-reads the pin set immediately before each
+        delete, but the remaining window is closed by contract, not by
+        the filesystem: run vacuum/prune from the writer's maintenance
+        turn (``CdcPipeline._run_maintenance`` — between stream
+        commits, no publisher in flight), never from a side process
+        racing live publishers."""
         import json
         import uuid
 
@@ -255,6 +268,17 @@ class ParquetSnapshotSink:
                 if versions is not None
                 else {t: self.current_version(t) for t in self.tables()}
             )
+            # fail a stale publish FAST: a version that is already gone
+            # (vacuumed since this publisher derived its map) must not
+            # enter a manifest — committed manifests are immutable, so
+            # a dangling pin would be permanent
+            for t, v in vmap.items():
+                if not os.path.isdir(os.path.join(self._table_dir(t), f"v={v}")):
+                    raise ConcurrentWriteError(
+                        f"cannot publish generation {g}: {t} v={v} is no "
+                        "longer on disk (vacuumed since this publish was "
+                        "derived); re-read the store and retry"
+                    )
             nonce = uuid.uuid4().hex
             payload = dict(vmap)
             payload["_publisher"] = nonce
@@ -417,6 +441,16 @@ class ParquetSnapshotSink:
         removable = [
             v for v in self.versions(table)[:-keep_last] if v not in pinned
         ]
+        if removable:
+            # re-read the pin set immediately before deleting: a claim
+            # linked between the first snapshot and now must keep its
+            # versions (narrows the maintenance/publisher window; the
+            # residue is closed by the quiescence contract — see
+            # ``publish_generation``)
+            pinned = {self.current_version(table)} | self._generation_pinned(
+                table
+            )
+            removable = [v for v in removable if v not in pinned]
         for v in removable:
             shutil.rmtree(os.path.join(self._table_dir(table), f"v={v}"))
         return removable

@@ -82,6 +82,42 @@ def test_byte_merges_learn_multibyte_sequences(spark):
     assert after["мир"] <= 3
 
 
+def test_exhausted_vocab_keeps_oracle_and_spark_aligned(spark):
+    """A corpus whose pair table runs dry before ``rounds`` rounds:
+    Spark breaks the training loop early and applies the shorter merge
+    list; the oracle chain's LEFT-JOIN guard must keep later w{r}
+    rounds as identity passes instead of collapsing the vocabulary to
+    the empty relation (the round-10 review finding)."""
+    import duckdb
+
+    from snowflake_cdc_spark.operators.bpe import (
+        _byte_bpe_chain_ctes,
+        byte_bpe_oracle_sql,
+    )
+
+    rows = [("aa aa aa",)]  # one word, one byte pair -> dry by round 2
+    docs = spark.createDataFrame(rows, "text string")
+    words = byte_word_frequencies(docs)
+    merges = [tuple(m) for m in train_byte_bpe(words, rounds=6).collect()]
+    assert len(merges) < 6  # the loop really broke early
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs AS SELECT 'aa aa aa' AS text")
+    want = con.execute(byte_bpe_oracle_sql(rounds=6, table="docs")).fetchall()
+    assert [tuple(m) for m in merges] == [tuple(w) for w in want]
+    # the tokenization read off the FINAL w{rounds} must survive the
+    # dry rounds: 'aa' fully merged -> exactly 1 token in both engines
+    got = {
+        r["word"]: r["n_bpe_tokens"]
+        for r in apply_byte_bpe(words, merges).collect()
+    }
+    ctes = _byte_bpe_chain_ctes(6, "docs")
+    w6 = con.execute(
+        f"WITH {', '.join(ctes)} SELECT word, "
+        "CAST(len(string_split(w, chr(30))) - 1 AS BIGINT) FROM w6"
+    ).fetchall()
+    assert dict(w6) == got == {"aa": 1}
+
+
 def test_training_equals_oracle_chain(spark):
     """train_byte_bpe == the DuckDB byte CTE chain on a planted corpus
     (the q241 parity, pinned at unit scale)."""

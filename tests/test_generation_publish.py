@@ -311,3 +311,27 @@ def test_generation_view_facade(spark, tmp_path):
     )
     with pytest.raises(KeyError):
         view.table("NOPE")
+
+
+def test_generation_view_raises_retention_error_after_prune(spark, tmp_path):
+    """The documented error contract (round-10 review finding): a view
+    whose generation is pruned raises GenerationRetentionError on every
+    read — never a bare version-not-found, never a silent success."""
+    from snowflake_cdc_spark.engine import Engine
+    from snowflake_cdc_spark.sinks.parquet_sink import GenerationRetentionError
+
+    sink = ParquetSnapshotSink(str(tmp_path / "store"))
+    ev = _events(spark)
+    _apply(sink, ev, "A", 5)
+    sink.publish_generation()
+    view = Engine(spark).at_generation(sink)
+    _apply(sink, ev, "A", 8)
+    sink.publish_generation()
+    sink.prune_generations(keep_generations=1)  # drops the view's gen
+    with pytest.raises(GenerationRetentionError, match="pruned"):
+        view.table("A")
+    sink.vacuum("A", keep_last=1)
+    with pytest.raises(GenerationRetentionError):
+        view.table("A")
+    # a live view still reads fine after maintenance
+    assert _max_seq(Engine(spark).at_generation(sink).table("A")) == 8

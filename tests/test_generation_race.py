@@ -23,11 +23,16 @@ def _publisher(root: str, pid: int, n_pub: int, out: mp.Queue) -> None:
     sink = ParquetSnapshotSink(root)
     results = []
     for i in range(n_pub):
+        v = pid * 1000 + i
+        # stage the version dir the manifest will pin — publish's
+        # stale-version fast-fail (round 10) rejects pins of versions
+        # that are not on disk
+        os.makedirs(os.path.join(root, "T", f"v={v}"), exist_ok=True)
         try:
-            g = sink.publish_generation({"T": pid * 1000 + i})
-            results.append(("ok", g, pid * 1000 + i))
+            g = sink.publish_generation({"T": v})
+            results.append(("ok", g, v))
         except ConcurrentWriteError:
-            results.append(("lost", None, pid * 1000 + i))
+            results.append(("lost", None, v))
     out.put((pid, results))
 
 
