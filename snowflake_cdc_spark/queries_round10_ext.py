@@ -232,10 +232,15 @@ FROM p GROUP BY bucket ORDER BY bucket"""
 )
 
 
-def _split(spark, sf_dir):
+def _split(spark, sf_dir, docs=None):
     """q210's deterministic stratified split with the corpus columns the
-    build needs; checkpointed once — seed/candidates/test all read it."""
-    docs = _t(spark, sf_dir, "documents")
+    build needs; checkpointed once — seed/candidates/test all read it.
+    ``docs``: any (doc_id, source, lang, text) relation replacing the
+    driver parquet — e.g. a ParquetSnapshotSink generation view, so the
+    curation consumes the SAME consistent cut the CDC pipeline
+    committed (test_corpus_build.py wires that seam)."""
+    if docs is None:
+        docs = _t(spark, sf_dir, "documents")
     d = docs.select(
         "doc_id",
         "source",
@@ -326,14 +331,15 @@ def _budget_select(sc_df, budget: int):
     )
 
 
-def _corpus_stages(spark, sf_dir, lr=None, k=None):
+def _corpus_stages(spark, sf_dir, lr=None, k=None, docs=None):
     """Run the composed pipeline; returns the per-stage DataFrames
     {candt, f1, f2, f3, f4}. ``lr``/``k``: an externally maintained NB
     model (the streaming maintainer's) replacing the batch-trained one —
-    the batch/streaming parity seam."""
+    the batch/streaming parity seam. ``docs``: an alternative corpus
+    relation (see ``_split``) — the store-integration seam."""
     from snowflake_cdc_spark.operators.nb import nb_score, nb_train
 
-    s = _split(spark, sf_dir)
+    s = _split(spark, sf_dir, docs=docs)
     if lr is None:
         seed = s.filter(F.col("split") == "val").select(
             "doc_id", "pos", _uwords(F.col("text")).alias("ws")

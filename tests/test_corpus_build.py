@@ -155,6 +155,46 @@ def test_shipped_artifact_publishes_as_one_generation(spark, tmp_path):
     assert new.table("CORPUS").count() == n_docs  # deterministic rebuild
 
 
+def test_build_consumes_the_store_generation_view(spark, tmp_path):
+    """The ingestion-to-curation seam: documents merged into a
+    ParquetSnapshotSink and committed as a generation feed the SAME
+    corpus build through the generation view — identical stages to the
+    raw-parquet run, and the view pins the build's input even while
+    the store keeps merging (no mid-build corpus drift)."""
+    from snowflake_cdc_spark.engine import Engine
+    from snowflake_cdc_spark.queries import _t
+    from snowflake_cdc_spark.sinks.parquet_sink import ParquetSnapshotSink
+
+    docs = _t(spark, SF_SMOKE, "documents")
+    sink = ParquetSnapshotSink(str(tmp_path / "store"))
+    sink.merge(
+        docs.withColumn("seq", F.col("doc_id"))
+        .withColumn("is_delete", F.lit(False)),
+        "DOCS",
+        key_cols=["doc_id"],
+    )
+    sink.publish_generation()
+    view = Engine(spark).at_generation(sink)
+    store_docs = view.table("DOCS").select("doc_id", "source", "lang", "text")
+
+    # the store keeps moving after the view is taken (a later batch
+    # deletes half the corpus) — the pinned build must not see it
+    sink.merge(
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .withColumn("seq", F.col("doc_id") + 1_000_000)
+        .withColumn("is_delete", F.lit(True)),
+        "DOCS",
+        key_cols=["doc_id"],
+    )
+
+    from_store = _corpus_stages(spark, SF_SMOKE, docs=store_docs)
+    from_parquet = _corpus_stages(spark, SF_SMOKE)
+    for st in ("candt", "f1", "f2", "f3", "f4"):
+        a = {r["doc_id"] for r in from_store[st].select("doc_id").collect()}
+        b = {r["doc_id"] for r in from_parquet[st].select("doc_id").collect()}
+        assert a == b, f"stage {st} diverged reading through the store"
+
+
 def test_streaming_nb_model_drives_the_same_build(spark, tmp_path):
     """VERDICT r09 #1 done-criterion: the corpus build re-run with the
     NB maintainer's incrementally-maintained model in place of the
