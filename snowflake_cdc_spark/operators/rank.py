@@ -49,7 +49,68 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["rangebucket_rank", "skewed_count_rank"]
+__all__ = ["grouped_hash_rank", "rangebucket_rank", "skewed_count_rank"]
+
+
+def grouped_hash_rank(
+    df: DataFrame,
+    group_cols: list[str],
+    hash_col: str,
+    tie_col: str,
+    buckets: int = 256,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Append ``rank_col`` = ``row_number() OVER (PARTITION BY group
+    ORDER BY hash, tie)`` with NO per-group total sort — the stratified-
+    split rank (VERDICT r10 #2): ``Window.partitionBy("source")`` puts
+    each source's ENTIRE corpus in one window partition, fine with many
+    sources, a single-partition cliff when a 100-TB corpus has a
+    handful of sources.
+
+    Contract: ``hash_col`` is a non-null lowercase HEX digest string
+    (md5 here). Its first ``ceil(log16(buckets))`` hex chars give
+    uniform PREFIX buckets that are MONOTONE in the hash's
+    lexicographic order — every row of bucket b sorts before every row
+    of bucket b+1 (a modulo bucket would destroy this; only a prefix
+    preserves order) — so bucketing preserves the exact ``(hash, tie)``
+    total order per group: intra-rank = ``row_number`` over
+    ``(group…, bucket)`` (the only sorted region is one group x one
+    bucket, ~1/buckets of the group), and the offset = rows of the same
+    group in smaller buckets, a running-sum window over <= ``buckets``
+    rows PER GROUP regardless of data size. ``buckets`` is rounded up
+    to the next power of 16. Identical output to the single-window rank
+    (asserted in tests/test_rank.py against the window form)."""
+    hexchars = 1
+    while 16**hexchars < buckets:
+        hexchars += 1
+    keyed = df.withColumn(
+        "__hb",
+        F.conv(F.substring(F.col(hash_col), 1, hexchars), 16, 10).cast("long"),
+    )
+    gcols = [F.col(c) for c in group_cols]
+    w_intra = Window.partitionBy(*gcols, F.col("__hb")).orderBy(
+        F.col(hash_col).asc(), F.col(tie_col).asc()
+    )
+    ranked = keyed.withColumn("__intra", F.row_number().over(w_intra))
+    counts = keyed.groupBy(*gcols, F.col("__hb")).agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    # <= ``buckets`` rows per group — constant-bounded running sum
+    offsets = counts.select(
+        *gcols,
+        "__hb",
+        (
+            F.sum("__cnt").over(
+                Window.partitionBy(*gcols).orderBy("__hb")
+            )
+            - F.col("__cnt")
+        ).alias("__off"),
+    )
+    return (
+        ranked.join(F.broadcast(offsets), [*group_cols, "__hb"])
+        .withColumn(rank_col, F.col("__off") + F.col("__intra"))
+        .drop("__hb", "__intra", "__off")
+    )
 
 
 def rangebucket_rank(

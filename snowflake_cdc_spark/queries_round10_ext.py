@@ -248,22 +248,11 @@ def _split(spark, sf_dir, docs=None):
         "text",
         F.md5(F.col("doc_id").cast("string")).alias("h"),
     )
-    w_rk = Window.partitionBy("source").orderBy("h", "doc_id")
-    w_n = Window.partitionBy("source")
+    from snowflake_cdc_spark.operators.splits import stratified_split
+
     return (
-        d.withColumn("rk", F.row_number().over(w_rk))
-        .withColumn("n", F.count(F.lit(1)).over(w_n))
-        .select(
-            "doc_id",
-            "source",
-            "pos",
-            "text",
-            "h",
-            F.when(F.expr("rk <= (8 * n) DIV 10"), "train")
-            .when(F.expr("rk <= (9 * n) DIV 10"), "val")
-            .otherwise("test")
-            .alias("split"),
-        )
+        stratified_split(d)
+        .select("doc_id", "source", "pos", "text", "h", "split")
         .localCheckpoint(eager=False)
     )
 

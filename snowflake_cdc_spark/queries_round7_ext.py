@@ -192,7 +192,7 @@ FROM s GROUP BY source, split ORDER BY source, split
     "doc/token totals",
 )
 def q210(spark, sf_dir):
-    from pyspark.sql import Window
+    from snowflake_cdc_spark.operators.splits import stratified_split
 
     docs = _t(spark, sf_dir, "documents")
     d = docs.select(
@@ -205,18 +205,9 @@ def q210(spark, sf_dir):
         .alias("n_toks"),
         F.md5(F.col("doc_id").cast("string")).alias("h"),
     )
-    w = Window.partitionBy("source").orderBy("h", "doc_id")
-    wn = Window.partitionBy("source")
-    r = d.withColumn("rk", F.row_number().over(w)).withColumn(
-        "n", F.count(F.lit(1)).over(wn)
-    )
-    split = (
-        F.when(F.col("rk") <= F.expr("(8 * n) DIV 10"), "train")
-        .when(F.col("rk") <= F.expr("(9 * n) DIV 10"), "val")
-        .otherwise("test")
-    )
     return (
-        r.groupBy("source", split.alias("split"))
+        stratified_split(d)
+        .groupBy("source", "split")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
             F.sum("n_toks").cast("bigint").alias("n_tokens"),
@@ -506,7 +497,7 @@ FROM per ORDER BY doc_id
     "split, both shingle sets, and every per-doc count",
 )
 def q214(spark, sf_dir):
-    from pyspark.sql import Window
+    from snowflake_cdc_spark.operators.splits import stratified_split
 
     docs = _t(spark, sf_dir, "documents")
     ws = F.regexp_extract_all(F.lower(F.col("text")), F.lit(UNICODE_WORD), 0)
@@ -516,20 +507,9 @@ def q214(spark, sf_dir):
         ws.alias("ws"),
         F.md5(F.col("doc_id").cast("string")).alias("h"),
     )
-    w = Window.partitionBy("source").orderBy("h", "doc_id")
-    wn = Window.partitionBy("source")
-    r = d.withColumn("rk", F.row_number().over(w)).withColumn(
-        "n", F.count(F.lit(1)).over(wn)
+    s = stratified_split(d).select("doc_id", "source", "ws", "split").filter(
+        F.size("ws") >= 5
     )
-    s = r.select(
-        "doc_id",
-        "source",
-        "ws",
-        F.when(F.col("rk") <= F.expr("(8 * n) DIV 10"), "train")
-        .when(F.col("rk") <= F.expr("(9 * n) DIV 10"), "val")
-        .otherwise("test")
-        .alias("split"),
-    ).filter(F.size("ws") >= 5)
     g = s.select(
         "split",
         "doc_id",
@@ -748,7 +728,7 @@ GROUP BY te.source ORDER BY te.source
     "The oracle re-derives split, hashes, and counts",
 )
 def q217(spark, sf_dir):
-    from pyspark.sql import Window
+    from snowflake_cdc_spark.operators.splits import stratified_split
 
     docs = _t(spark, sf_dir, "documents")
     d = docs.select(
@@ -757,19 +737,8 @@ def q217(spark, sf_dir):
         F.md5("text").alias("h"),
         F.md5(F.col("doc_id").cast("string")).alias("sh"),
     )
-    w = Window.partitionBy("source").orderBy("sh", "doc_id")
-    wn = Window.partitionBy("source")
-    r = d.withColumn("rk", F.row_number().over(w)).withColumn(
-        "n", F.count(F.lit(1)).over(wn)
-    )
-    s = r.select(
-        "doc_id",
-        "source",
-        "h",
-        F.when(F.col("rk") <= F.expr("(8 * n) DIV 10"), "train")
-        .when(F.col("rk") <= F.expr("(9 * n) DIV 10"), "val")
-        .otherwise("test")
-        .alias("split"),
+    s = stratified_split(d, hash_col="sh").select(
+        "doc_id", "source", "h", "split"
     )
     tr = s.filter("split = 'train'").select("h").distinct()
     te = s.filter("split = 'test'").select("doc_id", "source", "h")
@@ -921,7 +890,7 @@ ORDER BY w
     "with split-filtered counts, broadcast totals",
 )
 def q219(spark, sf_dir):
-    from pyspark.sql import Window
+    from snowflake_cdc_spark.operators.splits import stratified_split
 
     docs = _t(spark, sf_dir, "documents")
     d = docs.select(
@@ -930,18 +899,7 @@ def q219(spark, sf_dir):
         "text",
         F.md5(F.col("doc_id").cast("string")).alias("h"),
     )
-    w = Window.partitionBy("source").orderBy("h", "doc_id")
-    wn = Window.partitionBy("source")
-    r = d.withColumn("rk", F.row_number().over(w)).withColumn(
-        "n", F.count(F.lit(1)).over(wn)
-    )
-    s = r.select(
-        "text",
-        F.when(F.col("rk") <= F.expr("(8 * n) DIV 10"), "train")
-        .when(F.col("rk") <= F.expr("(9 * n) DIV 10"), "val")
-        .otherwise("test")
-        .alias("split"),
-    ).filter("split <> 'val'")
+    s = stratified_split(d).select("text", "split").filter("split <> 'val'")
     toks = s.select(
         "split",
         F.explode(

@@ -657,7 +657,7 @@ FROM pr JOIN pn USING (doc_id, source) ORDER BY pr.doc_id
     "instead of one",
 )
 def q223(spark, sf_dir):
-    from pyspark.sql import Window
+    from snowflake_cdc_spark.operators.splits import stratified_split
 
     docs = _t(spark, sf_dir, "documents")
     d = docs.select(
@@ -666,19 +666,8 @@ def q223(spark, sf_dir):
         "text",
         F.md5(F.col("doc_id").cast("string")).alias("h"),
     )
-    w = Window.partitionBy("source").orderBy("h", "doc_id")
-    wn = Window.partitionBy("source")
-    r = d.withColumn("rk", F.row_number().over(w)).withColumn(
-        "n", F.count(F.lit(1)).over(wn)
-    )
-    s = r.select(
-        "doc_id",
-        "source",
-        "text",
-        F.when(F.col("rk") <= F.expr("(8 * n) DIV 10"), "train")
-        .when(F.col("rk") <= F.expr("(9 * n) DIV 10"), "val")
-        .otherwise("test")
-        .alias("split"),
+    s = stratified_split(d).select(
+        "doc_id", "source", "text", "split"
     ).filter("split <> 'val'")
     aug = s.select(
         "doc_id",
@@ -890,7 +879,7 @@ GROUP BY tr.source ORDER BY tr.source
     "gram-keyed, never doc x doc",
 )
 def q225(spark, sf_dir):
-    from pyspark.sql import Window
+    from snowflake_cdc_spark.operators.splits import stratified_split
 
     docs = _t(spark, sf_dir, "documents")
     d = docs.select(
@@ -899,19 +888,8 @@ def q225(spark, sf_dir):
         "text",
         F.md5(F.col("doc_id").cast("string")).alias("h"),
     )
-    w = Window.partitionBy("source").orderBy("h", "doc_id")
-    wn = Window.partitionBy("source")
-    r = d.withColumn("rk", F.row_number().over(w)).withColumn(
-        "n", F.count(F.lit(1)).over(wn)
-    )
-    s = r.select(
-        "doc_id",
-        "source",
-        "text",
-        F.when(F.col("rk") <= F.expr("(8 * n) DIV 10"), "train")
-        .when(F.col("rk") <= F.expr("(9 * n) DIV 10"), "val")
-        .otherwise("test")
-        .alias("split"),
+    s = stratified_split(d).select(
+        "doc_id", "source", "text", "split"
     ).filter("split <> 'val'")
     aug = s.select(
         "doc_id",

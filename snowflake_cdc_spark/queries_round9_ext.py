@@ -318,20 +318,11 @@ def _nb_test_scores(spark, sf_dir):
         F.regexp_extract_all(F.lower(F.col("text")), F.lit(UNICODE_WORD), F.lit(0)).alias("ws"),
         F.md5(F.col("doc_id").cast("string")).alias("h"),
     )
-    w_rk = Window.partitionBy("source").orderBy("h", "doc_id")
-    w_n = Window.partitionBy("source")
+    from snowflake_cdc_spark.operators.splits import stratified_split
+
     s = (
-        d.withColumn("rk", F.row_number().over(w_rk))
-        .withColumn("n", F.count(F.lit(1)).over(w_n))
-        .select(
-            "doc_id",
-            "pos",
-            "ws",
-            F.when(F.expr("rk <= (8 * n) DIV 10"), "train")
-            .when(F.expr("rk <= (9 * n) DIV 10"), "val")
-            .otherwise("test")
-            .alias("split"),
-        )
+        stratified_split(d)
+        .select("doc_id", "pos", "ws", "split")
         .localCheckpoint(eager=False)  # train and test branches share the split
     )
     lr, k = nb_train(s.filter(F.col("split") == "train").select("doc_id", "pos", "ws"))

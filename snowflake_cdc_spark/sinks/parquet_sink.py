@@ -137,6 +137,40 @@ class ParquetSnapshotSink:
     def _gen_dir(self) -> str:
         return os.path.join(self.root, "_generations")
 
+    def _maintenance_lock(self):
+        """Store-level mutex serializing DESTRUCTIVE maintenance
+        (``vacuum`` version deletes, ``prune_generations`` adoption and
+        sweeps) against the publish claim window (ADVICE r10 — the
+        vacuum/publish race was previously closed only by a docstring
+        quiescence contract). ``fcntl.flock`` on a store-local lock
+        file: advisory but honored by every path in this class,
+        CRASH-SAFE (the OS drops a dead holder's lock with its fd — no
+        stale-lockfile takeover protocol needed), and appropriate here
+        because this sink is by definition filesystem-local. Publishers
+        hold it only for the version-existence check + claim link
+        (microseconds); vacuum holds it across pin-read + delete, so a
+        claim can never be linked between vacuum's pin snapshot and its
+        rmtree."""
+        import fcntl
+        from contextlib import contextmanager
+
+        @contextmanager
+        def _lock():
+            os.makedirs(self._gen_dir(), exist_ok=True)
+            fd = os.open(
+                os.path.join(self._gen_dir(), ".MAINTENANCE_LOCK"),
+                os.O_CREAT | os.O_RDWR,
+                0o644,
+            )
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX)
+                yield
+            finally:
+                fcntl.flock(fd, fcntl.LOCK_UN)
+                os.close(fd)
+
+        return _lock()
+
     def _manifest_path(self, gen: int) -> str:
         return os.path.join(self._gen_dir(), f"gen={gen}.json")
 
@@ -235,16 +269,14 @@ class ParquetSnapshotSink:
 
         Concurrency scope: MANIFESTS are race-free against anything
         (the protocol note above). The DATA FILES a manifest pins are
-        protected by ``vacuum``'s pin set, which is a point-in-time
-        read — so vacuum running CONCURRENTLY with a publisher could
-        drop a version the in-flight publish is about to pin. The
-        version-existence check below fails such a stale publish fast,
-        and ``vacuum`` re-reads the pin set immediately before each
-        delete, but the remaining window is closed by contract, not by
-        the filesystem: run vacuum/prune from the writer's maintenance
-        turn (``CdcPipeline._run_maintenance`` — between stream
-        commits, no publisher in flight), never from a side process
-        racing live publishers."""
+        protected by ``vacuum``'s pin set — and the window where a
+        side-process vacuum could drop a version between this
+        publisher's existence check and its claim link is closed by
+        the store maintenance lock (ADVICE r10): the check + link run
+        under ``_maintenance_lock``, the same mutex vacuum holds
+        across its pin-read + delete, so once a claim is linked its
+        versions are visible to every subsequent pin snapshot and a
+        committed manifest can never reference a vacuumed version."""
         import json
         import uuid
 
@@ -268,17 +300,6 @@ class ParquetSnapshotSink:
                 if versions is not None
                 else {t: self.current_version(t) for t in self.tables()}
             )
-            # fail a stale publish FAST: a version that is already gone
-            # (vacuumed since this publisher derived its map) must not
-            # enter a manifest — committed manifests are immutable, so
-            # a dangling pin would be permanent
-            for t, v in vmap.items():
-                if not os.path.isdir(os.path.join(self._table_dir(t), f"v={v}")):
-                    raise ConcurrentWriteError(
-                        f"cannot publish generation {g}: {t} v={v} is no "
-                        "longer on disk (vacuumed since this publish was "
-                        "derived); re-read the store and retry"
-                    )
             nonce = uuid.uuid4().hex
             payload = dict(vmap)
             payload["_publisher"] = nonce
@@ -286,13 +307,33 @@ class ParquetSnapshotSink:
             with open(tmp, "w") as fh:
                 json.dump(payload, fh, sort_keys=True)
             try:
-                # atomic exclusive claim with COMPLETE content: the claim
-                # either exists fully formed or not at all — a crash can
-                # never leave a truncated manifest for adoption to commit
-                os.link(tmp, self._manifest_path(g))
-                claimed = True
-            except FileExistsError:
-                claimed = False
+                # Version-existence check + claim link under the store
+                # maintenance lock (ADVICE r10): vacuum holds the same
+                # lock across pin-read + delete, so a version that
+                # exists here cannot vanish before the claim pins it —
+                # a committed manifest can never dangle. The check also
+                # fails a genuinely stale publish FAST (versions
+                # vacuumed long before this attempt).
+                with self._maintenance_lock():
+                    for t, v in vmap.items():
+                        if not os.path.isdir(
+                            os.path.join(self._table_dir(t), f"v={v}")
+                        ):
+                            raise ConcurrentWriteError(
+                                f"cannot publish generation {g}: {t} v={v} "
+                                "is no longer on disk (vacuumed since this "
+                                "publish was derived); re-read the store "
+                                "and retry"
+                            )
+                    try:
+                        # atomic exclusive claim with COMPLETE content:
+                        # the claim either exists fully formed or not at
+                        # all — a crash can never leave a truncated
+                        # manifest for adoption to commit
+                        os.link(tmp, self._manifest_path(g))
+                        claimed = True
+                    except FileExistsError:
+                        claimed = False
             finally:
                 os.unlink(tmp)
             if claimed:
@@ -322,7 +363,11 @@ class ParquetSnapshotSink:
             "attempts — a publisher storm is racing this store"
         )
 
-    def prune_generations(self, keep_generations: int = 8) -> list[int]:
+    def prune_generations(
+        self,
+        keep_generations: int = 8,
+        adopt_stale_claims_after_s: float = 3600.0,
+    ) -> list[int]:
         """Retention policy for generation manifests (VERDICT r09 #2):
         keep the newest ``keep_generations`` COMMITTED generations
         (always including the current one) plus any uncommitted frontier
@@ -331,36 +376,89 @@ class ParquetSnapshotSink:
         one manifest per micro-batch forever. ``manifest()`` /
         ``read_generation`` on a pruned generation raise
         ``GenerationRetentionError`` naming this policy. Returns the
-        pruned generation numbers."""
+        pruned generation numbers.
+
+        Crash recovery folded into the maintenance turn (ADVICE r10):
+
+        - an AGE-GATED uncommitted frontier claim is ADOPTED (its
+          COMMIT marker created — the same helping move publish uses),
+          so a publisher that died between claim and marker no longer
+          pins its versions in vacuum forever waiting for a later
+          publish that may never come;
+        - committed generations are dropped MARKER-FIRST: a crash
+          between the two removals leaves claim-without-marker (the
+          state the protocol already handles) instead of an orphan
+          marker that no later prune can account for;
+        - residue from crashed prunes is swept: below the current
+          generation, a manifest without its marker or a marker
+          without its manifest is provably prune debris (every
+          committed-past generation has both by the adoption
+          invariant) and is removed."""
         import time
 
         if keep_generations < 1:
             raise ValueError("keep_generations must be >= 1")
-        committed = self.retained_generations()
-        drop = committed[:-keep_generations]
-        for g in drop:
-            try:
-                os.remove(self._manifest_path(g))
-            except FileNotFoundError:
-                pass
-            try:
-                os.remove(self._marker_path(g))
-            except FileNotFoundError:
-                pass
-        # sweep tmp junk from crashed publishers (age-gated: a LIVE
-        # publisher's tmp exists only for the instant between write and
-        # link — an hour-old tmp is a crash artifact)
-        d = self._gen_dir()
-        if os.path.isdir(d):
+        with self._maintenance_lock():
+            claims, markers = self._gen_files()
+            cur = max(markers, default=-1)
+            # ADOPT an age-gated uncommitted frontier claim (claims are
+            # link-atomic complete content, so committing a dead
+            # publisher's claim is always a consistent snapshot). A
+            # fresh claim (a LIVE publisher mid-flight) is left alone.
             now = time.time()
-            for name in os.listdir(d):
-                if name.startswith(".gen=") and name.endswith(".tmp"):
-                    p = os.path.join(d, name)
+            for g in sorted(claims - markers):
+                if g <= cur:
+                    continue
+                try:
+                    age = now - os.path.getmtime(self._manifest_path(g))
+                except FileNotFoundError:
+                    continue
+                if age > adopt_stale_claims_after_s:
+                    self._commit_marker(g)
+            committed = self.retained_generations()
+            drop = committed[:-keep_generations]
+            for g in drop:
+                # marker BEFORE manifest (ADVICE r10): the crash-interrupted
+                # state is claim-without-marker, which the sweep below and
+                # retained_generations already handle
+                try:
+                    os.remove(self._marker_path(g))
+                except FileNotFoundError:
+                    pass
+                try:
+                    os.remove(self._manifest_path(g))
+                except FileNotFoundError:
+                    pass
+            # sweep crash residue strictly BELOW the current generation:
+            # every generation committed in the past has claim+marker
+            # (adoption invariant), so a lone half there is prune debris
+            claims, markers = self._gen_files()
+            cur = max(markers, default=-1)
+            for g in claims - markers:
+                if g < cur:
                     try:
-                        if now - os.path.getmtime(p) > 3600:
-                            os.remove(p)
+                        os.remove(self._manifest_path(g))
                     except FileNotFoundError:
                         pass
+            for g in markers - claims:
+                if g < cur:
+                    try:
+                        os.remove(self._marker_path(g))
+                    except FileNotFoundError:
+                        pass
+            # sweep tmp junk from crashed publishers (age-gated: a LIVE
+            # publisher's tmp exists only for the instant between write
+            # and link — an hour-old tmp is a crash artifact)
+            d = self._gen_dir()
+            if os.path.isdir(d):
+                for name in os.listdir(d):
+                    if name.startswith(".gen=") and name.endswith(".tmp"):
+                        p = os.path.join(d, name)
+                        try:
+                            if now - os.path.getmtime(p) > 3600:
+                                os.remove(p)
+                        except FileNotFoundError:
+                            pass
         return drop
 
     def read_generation(
@@ -437,22 +535,20 @@ class ParquetSnapshotSink:
         trade Delta's VACUUM makes."""
         import shutil
 
-        pinned = {self.current_version(table)} | self._generation_pinned(table)
-        removable = [
-            v for v in self.versions(table)[:-keep_last] if v not in pinned
-        ]
-        if removable:
-            # re-read the pin set immediately before deleting: a claim
-            # linked between the first snapshot and now must keep its
-            # versions (narrows the maintenance/publisher window; the
-            # residue is closed by the quiescence contract — see
-            # ``publish_generation``)
+        # pin-read + delete under the store maintenance lock (ADVICE
+        # r10): a publisher's existence-check + claim link holds the
+        # same lock, so no claim can appear between this snapshot of
+        # the pin set and the rmtree below — the race is closed by the
+        # mutex, not by a re-read heuristic or a prose contract
+        with self._maintenance_lock():
             pinned = {self.current_version(table)} | self._generation_pinned(
                 table
             )
-            removable = [v for v in removable if v not in pinned]
-        for v in removable:
-            shutil.rmtree(os.path.join(self._table_dir(table), f"v={v}"))
+            removable = [
+                v for v in self.versions(table)[:-keep_last] if v not in pinned
+            ]
+            for v in removable:
+                shutil.rmtree(os.path.join(self._table_dir(table), f"v={v}"))
         return removable
 
     def compact(

@@ -133,3 +133,95 @@ class TestSkewedCountRank:
         ordered = sorted(rows)
         want = sum((rk + 1) * c for rk, (c, _) in enumerate(ordered))
         assert got == want
+
+
+class TestGroupedHashRank:
+    """grouped_hash_rank (VERDICT r10 #2): must equal
+    row_number() OVER (PARTITION BY group ORDER BY hash, tie) exactly —
+    the stratified-split rank contract — with the sorted regions being
+    (group, hex-prefix-bucket) slices, never a whole group."""
+
+    def _window_rank(self, rows):
+        """naive per-group (h, tie) rank."""
+        out = {}
+        by_g: dict[str, list] = {}
+        for g, h, t in rows:
+            by_g.setdefault(g, []).append((h, t))
+        for g, items in by_g.items():
+            for rk, (h, t) in enumerate(sorted(items), start=1):
+                out[(g, t)] = rk
+        return out
+
+    def test_equals_window_rank(self, spark):
+        import hashlib
+
+        rng = random.Random(3)
+        rows = []
+        for i in range(500):
+            g = f"s{rng.randint(0, 3)}"
+            h = hashlib.md5(str(i).encode()).hexdigest()
+            rows.append((g, h, i))
+        df = spark.createDataFrame(rows, "source string, h string, doc_id long")
+        from snowflake_cdc_spark.operators.rank import grouped_hash_rank
+
+        got = {
+            (r.source, r.doc_id): r.rk
+            for r in grouped_hash_rank(
+                df, ["source"], "h", "doc_id", rank_col="rk"
+            ).collect()
+        }
+        assert got == self._window_rank(rows)
+
+    def test_two_sources_skew_shape(self, spark):
+        """The 100-TB regime: TWO sources — the rank must not put a
+        whole source in one sorted region. Checked structurally: the
+        plan's row_number window partitions by (source, __hb), and the
+        output still equals the window rank."""
+        import hashlib
+
+        rows = [
+            (f"s{i % 2}", hashlib.md5(str(i).encode()).hexdigest(), i)
+            for i in range(2000)
+        ]
+        df = spark.createDataFrame(rows, "source string, h string, doc_id long")
+        from snowflake_cdc_spark.operators.rank import grouped_hash_rank
+
+        out = grouped_hash_rank(df, ["source"], "h", "doc_id", rank_col="rk")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # the data-sized window is keyed by (source, bucket), not source
+        assert "__hb" in plan
+        got = {(r.source, r.doc_id): r.rk for r in out.collect()}
+        assert got == self._window_rank(rows)
+
+    def test_stratified_split_matches_window_form(self, spark):
+        """operators/splits.py end-to-end vs the literal window SQL."""
+        import hashlib
+
+        rows = [
+            (i, f"s{i % 3}", hashlib.md5(str(i).encode()).hexdigest())
+            for i in range(400)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, source string, h string")
+        from snowflake_cdc_spark.operators.splits import stratified_split
+
+        got = {
+            r.doc_id: r.split for r in stratified_split(df).collect()
+        }
+        df.createOrReplaceTempView("__ghr_docs")
+        want = {
+            r.doc_id: r.split
+            for r in spark.sql(
+                """
+                SELECT doc_id,
+                       CASE WHEN rk <= (8 * n) DIV 10 THEN 'train'
+                            WHEN rk <= (9 * n) DIV 10 THEN 'val'
+                            ELSE 'test' END AS split
+                FROM (SELECT doc_id,
+                             row_number() OVER (PARTITION BY source
+                                                ORDER BY h, doc_id) AS rk,
+                             count(*) OVER (PARTITION BY source) AS n
+                      FROM __ghr_docs)
+                """
+            ).collect()
+        }
+        assert got == want
