@@ -205,16 +205,25 @@ def unicode_words(col: Column | str) -> Column:
 
 def script_of(token: Column | str) -> Column:
     """Coarse script bucket from the token's LEADING codepoint (Spark
-    ``ascii`` ≡ DuckDB ``unicode`` — probed identical): latin < 128 <=
-    latin_ext < 0x0400 <= cyrillic < 0x0500, cjk >= 0x2E80. First-char
-    heuristic by design: `\\p{L}+` runs are script-homogeneous except
-    for deliberately mixed-script tokens, and the O(1) probe avoids a
-    per-character explode; the thorough form is a max-codepoint scan."""
+    ``ascii`` ≡ DuckDB ``unicode`` — probed identical): latin < 128,
+    greek U+0370-03FF (carved out of latin_ext — VERDICT r10 #5),
+    latin_ext < 0x0400, cyrillic < 0x0500, arabic U+0600-06FF,
+    devanagari U+0900-097F, hangul U+1100-11FF jamo + U+AC00-D7AF
+    syllables (carved out of the >= 0x2E80 cjk block), cjk >= 0x2E80.
+    First-char heuristic by design: `\\p{L}+` runs are
+    script-homogeneous except for deliberately mixed-script tokens,
+    and the O(1) probe avoids a per-character explode; the thorough
+    form is a max-codepoint scan."""
     cp = F.ascii(_c(token))
     return (
         F.when(cp < 128, F.lit("latin"))
+        .when((cp >= 0x0370) & (cp <= 0x03FF), F.lit("greek"))
         .when(cp < 0x0400, F.lit("latin_ext"))
         .when(cp < 0x0500, F.lit("cyrillic"))
+        .when((cp >= 0x0600) & (cp <= 0x06FF), F.lit("arabic"))
+        .when((cp >= 0x0900) & (cp <= 0x097F), F.lit("devanagari"))
+        .when((cp >= 0x1100) & (cp <= 0x11FF), F.lit("hangul"))
+        .when((cp >= 0xAC00) & (cp <= 0xD7AF), F.lit("hangul"))
         .when(cp >= 0x2E80, F.lit("cjk"))
         .otherwise(F.lit("other"))
     )

@@ -663,3 +663,4 @@ def _load_extended() -> None:
     import snowflake_cdc_spark.queries_round8_ext  # noqa: F401
     import snowflake_cdc_spark.queries_round9_ext  # noqa: F401
     import snowflake_cdc_spark.queries_round10_ext  # noqa: F401
+    import snowflake_cdc_spark.queries_round11_ext  # noqa: F401

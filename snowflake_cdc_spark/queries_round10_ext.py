@@ -820,13 +820,20 @@ def q243(spark, sf_dir):
     # per-token script via the SHARED functions/text.py::script_of
     # ranges (first char; Spark ascii == DuckDB unicode, probed) —
     # higher-order filters, no per-token explode
+    # q243's published algebra is the THREE-way census (oracle ranges
+    # n_lat < 0x400, n_cyr < 0x500, n_cjk >= 0x2E80); script_of has
+    # since carved greek out of latin_ext and hangul out of cjk
+    # (round 11), so the union sets keep this lane token-identical —
+    # the EXTENDED router with its own per-script buckets is q245
     n_lat = F.size(
-        F.filter(uw, lambda t: script_of(t).isin("latin", "latin_ext"))
+        F.filter(uw, lambda t: script_of(t).isin("latin", "latin_ext", "greek"))
     ).cast("bigint")
     n_cyr = F.size(
         F.filter(uw, lambda t: script_of(t) == "cyrillic")
     ).cast("bigint")
-    n_cjk = F.size(F.filter(uw, lambda t: script_of(t) == "cjk")).cast("bigint")
+    n_cjk = F.size(
+        F.filter(uw, lambda t: script_of(t).isin("cjk", "hangul"))
+    ).cast("bigint")
     def _sw_score(sws):
         arr = F.array(*[F.lit(s) for s in sws])
         return F.size(F.filter(ws, lambda x: F.array_contains(arr, x)))

@@ -81,8 +81,13 @@ toks AS (SELECT unnest(regexp_extract_all(t, '[\\p{{L}}\\p{{M}}]+')) AS w
          FROM aug),
 sc AS (SELECT w,
               CASE WHEN unicode(w) < 128 THEN 'latin'
+                   WHEN unicode(w) BETWEEN 880 AND 1023 THEN 'greek'
                    WHEN unicode(w) < 1024 THEN 'latin_ext'
                    WHEN unicode(w) < 1280 THEN 'cyrillic'
+                   WHEN unicode(w) BETWEEN 1536 AND 1791 THEN 'arabic'
+                   WHEN unicode(w) BETWEEN 2304 AND 2431 THEN 'devanagari'
+                   WHEN unicode(w) BETWEEN 4352 AND 4607 THEN 'hangul'
+                   WHEN unicode(w) BETWEEN 44032 AND 55215 THEN 'hangul'
                    WHEN unicode(w) >= 11904 THEN 'cjk'
                    ELSE 'other' END AS script
        FROM toks)

@@ -239,3 +239,174 @@ def test_streaming_nb_model_drives_the_same_build(spark, tmp_path):
         )
     )
     assert mk(batch) == mk(stream)
+
+
+def test_cdc_stream_to_corpus_build_end_to_end(spark, tmp_path):
+    """The product's flagship composition (VERDICT r10 #6), one drive:
+    CDC envelope events --availableNow stream--> upsert snapshot
+    --per-batch generation publish--> generation view --corpus build
+    (NB maintainer's model)--> shard manifest, equal to the batch
+    build's manifest from the raw parquet.
+
+    The CDC leg is REAL work, not a pass-through: stale earlier
+    versions of doc_id%7 documents arrive in the same replay (the
+    seq-guarded merge must resolve them away before curation reads the
+    store) and a junk document is inserted then hard-deleted (the
+    tombstone must keep it out of the generation view)."""
+    from snowflake_cdc_spark.engine import Engine
+    from snowflake_cdc_spark.operators.packing import packing_stats
+    from snowflake_cdc_spark.plans.spec import DeleteStrategy, PipelineSpec
+    from snowflake_cdc_spark.queries import _t
+    from snowflake_cdc_spark.queries_round10_ext import (
+        _CB_BUCKETS,
+        _CB_CAPACITY,
+    )
+    from snowflake_cdc_spark.sinks.parquet_sink import ParquetSnapshotSink
+    from snowflake_cdc_spark.streaming.nb_stream import NbClassifierMaintainer
+    from snowflake_cdc_spark.streaming.pipeline import CdcPipeline
+
+    docs = _t(spark, SF_SMOKE, "documents").select(
+        "doc_id", "source", "lang", "text"
+    )
+
+    def envelope(df, seq, is_delete=False):
+        row = F.struct("doc_id", "source", "lang", "text")
+        return df.select(
+            F.struct(
+                F.lit("corpus").alias("database_name"),
+                F.lit("documents").alias("table_name"),
+                F.lit("corpus.documents").alias("full_table_name"),
+                F.col("doc_id").cast("string").alias("primary_key"),
+                F.when(F.lit(not is_delete), row).alias("row"),
+                # deletes carry the before-image (the pipeline's key
+                # fallback reads data.old_row.<key>); inserts carry none
+                F.when(F.lit(is_delete), row).alias("old_row"),
+                F.struct(F.lit(is_delete).alias("is_delete")).alias(
+                    "metadata"
+                ),
+            ).alias("data"),
+            seq.cast("bigint").alias("seq"),
+        )
+
+    final = envelope(docs, seq=F.col("doc_id") * 2)
+    stale = envelope(
+        docs.filter(F.col("doc_id") % 7 == 0).withColumn(
+            "text", F.concat(F.lit("STALE DRAFT "), F.col("text"))
+        ),
+        seq=F.col("doc_id") * 2 - 1,
+    )
+    junk = docs.limit(3).select(
+        (F.col("doc_id") + 5_000_000).alias("doc_id"),
+        "source",
+        "lang",
+        F.lit("junk to be deleted").alias("text"),
+    )
+    events = (
+        final.unionByName(envelope(junk, seq=F.lit(1)))
+        .unionByName(stale)
+        .unionByName(envelope(junk, seq=F.lit(10_000_000), is_delete=True))
+    )
+    raw = str(tmp_path / "raw_zone")
+    events.withColumn("__c", F.col("seq") % 3).repartition(3, "__c").drop(
+        "__c"
+    ).write.mode("overwrite").parquet(raw)
+
+    sink = ParquetSnapshotSink(str(tmp_path / "store"))
+    pipe = CdcPipeline(
+        spark,
+        [
+            PipelineSpec(
+                full_table_name="corpus.documents",
+                key_columns=["doc_id"],
+                delete_strategy=DeleteStrategy.HARD,
+            )
+        ],
+        sink,
+    )
+    q = pipe.start_stream(
+        raw,
+        checkpoint=str(tmp_path / "ckpt"),
+        available_now=True,
+        max_files_per_trigger=1,  # force several micro-batches
+    )
+    q.awaitTermination(300)
+    assert sink.current_generation() >= 1  # one publish per micro-batch
+
+    view = Engine(spark).at_generation(sink)
+    store_docs = view.table("DOCUMENTS").select(
+        "doc_id", "source", "lang", "text"
+    )
+    # the upsert resolved the CDC races before curation reads the cut
+    assert store_docs.filter(F.col("text").startswith("STALE DRAFT")).count() == 0
+    assert store_docs.filter(F.col("doc_id") >= 5_000_000).count() == 0
+    assert store_docs.count() == docs.count()
+
+    # NB maintainer fed from the SAME consistent cut, in micro-batches
+    seed = (
+        _split(spark, SF_SMOKE, docs=store_docs)
+        .filter(F.col("split") == "val")
+        .select("doc_id", "pos", "text")
+    )
+    maint = NbClassifierMaintainer(str(tmp_path / "nb_state"))
+    maint.process_batch(seed.filter(F.col("doc_id") % 2 == 0), batch_id=0)
+    maint.process_batch(seed.filter(F.col("doc_id") % 2 == 1), batch_id=1)
+    lr, k = maint.model(spark)
+
+    def manifest(stages):
+        return sorted(
+            map(
+                tuple,
+                packing_stats(
+                    _bpe_perdoc(stages["f4"]),
+                    "doc_id",
+                    "n_bpe",
+                    capacity=_CB_CAPACITY,
+                    n_buckets=_CB_BUCKETS,
+                ).collect(),
+            )
+        )
+
+    through_cdc = manifest(
+        _corpus_stages(spark, SF_SMOKE, lr=lr, k=k, docs=store_docs)
+    )
+    batch = manifest(_corpus_stages(spark, SF_SMOKE))
+    assert through_cdc == batch
+
+
+def test_reject_ledger_reconciles_with_funnel(spark):
+    """VERDICT r10 #7 done-criterion: q246's per-stage reject counts
+    equal q239's n_in - n_out EXACTLY, reason strings are the typed
+    vocabulary, and stage 5 (which rejects nothing by construction)
+    has no ledger rows."""
+    from snowflake_cdc_spark.queries import queries
+
+    qs = queries()
+    funnel = {
+        r["stage"]: r
+        for r in qs["q239_corpus_build_funnel"](spark, SF_SMOKE).collect()
+    }
+    ledger = qs["q246_corpus_reject_ledger"](spark, SF_SMOKE).collect()
+    by_stage: dict[int, list] = {}
+    for r in ledger:
+        by_stage.setdefault(r["stage"], []).append(r)
+    for stage in (1, 2, 3, 4):
+        want = funnel[stage]["n_in"] - funnel[stage]["n_out"]
+        got = len(by_stage.get(stage, []))
+        assert got == want, f"stage {stage}: ledger {got} != funnel {want}"
+        # every ledger row names the funnel's gate for its stage
+        assert {r["gate"] for r in by_stage.get(stage, [])} <= {
+            funnel[stage]["gate"]
+        }
+    assert 5 not in by_stage
+    assert funnel[5]["n_in"] == funnel[5]["n_out"]
+    # the typed reason vocabulary, and no doc rejected twice in a stage
+    reasons = {r["reason"] for r in ledger}
+    assert reasons <= {
+        "nb_score_nonpositive",
+        "test_contamination",
+        "duplicate_fingerprint",
+        "zero_quality_score",
+        "over_token_budget",
+    }
+    keys = [(r["stage"], r["doc_id"]) for r in ledger]
+    assert len(keys) == len(set(keys))

@@ -95,3 +95,25 @@ def test_unicode_word_regex_is_shared_subset():
     assert "\\p{IsC" not in UNICODE_WORD  # Java-only script spelling
     assert "(?<" not in UNICODE_WORD  # no lookbehind
     assert UNICODE_WORD == r"[\p{L}\p{M}]+"
+
+
+def test_script_buckets_extended(spark):
+    """Round-11 script_of extension (VERDICT r10 #5): greek carved out
+    of latin_ext, hangul (jamo + syllables) carved out of cjk, arabic
+    and devanagari out of 'other'."""
+    rows = [
+        ("κείμενο", "greek"),
+        ("نص", "arabic"),
+        ("परीक्षण", "devanagari"),
+        ("테스트", "hangul"),   # syllables U+AC00-D7AF
+        ("한", "hangul"),      # jamo U+1100-11FF
+        ("你好", "cjk"),
+        ("привет", "cyrillic"),
+        ("öl", "latin_ext"),
+        ("hello", "latin"),
+    ]
+    df = spark.createDataFrame([(w,) for w, _ in rows], "w string").withColumn(
+        "script", script_of("w")
+    )
+    got = {r["w"]: r["script"] for r in df.collect()}
+    assert got == dict(rows)
