@@ -94,9 +94,21 @@ def relational_kmeans_fit(
     assignment, so driver state is O(sample), independent of N — see
     docs/PLANS.md round-9)."""
     spark = vectors.sparkSession
-    q = quantize_vectors(vectors.select(id_col, vec_col), vec_col).select(
-        F.col(id_col).alias("vec_id"), "qv"
-    ).persist()
+    # Spread the corpus across every core BEFORE the N x k expansion
+    # (round 11): the assignment join inherits the stream side's scan
+    # partitioning, and a corpus that fits one parquet split (a 100x
+    # probe fixture is ~50 MB = ONE partition) runs the entire
+    # N x k x d distance evaluation on a single thread — measured as
+    # the serial dominator of q244's 100x probe. One small shuffle of
+    # the quantized corpus (id + qv only) before the persist makes
+    # every subsequent assignment pass full-width; the exact algebra
+    # downstream (groupBy argmin, integer sums) is layout-invariant.
+    q = (
+        quantize_vectors(vectors.select(id_col, vec_col), vec_col)
+        .select(F.col(id_col).alias("vec_id"), "qv")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .persist()
+    )
     q.count()
     try:
         key = F.md5(F.col("vec_id").cast("string"))

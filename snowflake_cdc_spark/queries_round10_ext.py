@@ -34,6 +34,16 @@ skewed_count_rank + bucketed cumsum, packing is per-bucket prefix sums.
 The oracle re-derives the ENTIRE composition — split, model, every
 score, gram hits, dedup winners, the selection prefix, the BPE merges,
 and the packing sums — in one CTE chain.
+
+Checkpoint posture (r10 what's-wrong #5): the per-stage
+``localCheckpoint`` calls below materialize each stage once so the gate
+and the next stage share one computation — correct and cheap at driver
+SFs, but localCheckpoint storage is NON-REPLICATED executor-local
+state: on a real cluster an executor loss kills the query instead of
+recomputing the lineage. At production scale swap them for
+``spark.sparkContext.setCheckpointDir`` + reliable ``checkpoint()``
+(HDFS/S3-backed) or explicit ``persist(StorageLevel.MEMORY_AND_DISK_2)``
+— same plan shapes, fault-tolerant storage.
 """
 
 from __future__ import annotations
