@@ -326,3 +326,284 @@ def q246(spark, sf_dir):
         .unionByName(r4b)
         .orderBy("stage", "doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Q247 — embedding-space outlier screen (round 11 widening)
+# --------------------------------------------------------------------------
+#
+# The vector-quality pass the dedup/ANN battery was missing: corrupted
+# embeddings (broken normalization, truncated encoders, poisoned
+# inserts) sit FAR from every cluster center, and a training pipeline
+# prunes them before SemDeDup/ANN ever run. Screen = exact integer
+# distance-to-assigned-centroid vs the cell's mean distance: flag
+# ``dist * n_cell > 2 * sum_dist`` (dist > 2x the cell mean — pure
+# BIGINT cross-multiplication, no float, no sqrt). No window anywhere:
+# one corpus-scaled assignment (q244's relational fit), one
+# groupBy(cell), one broadcast join back, one filter.
+#
+# Plant: every vec_id % 53 == 0 vector is re-ingested at 3x magnitude
+# under vec_id + 10_000_000 (the broken-normalization failure mode) —
+# the output's ``planted`` column shows the screen catching them.
+
+_OUT_FACTOR = 2  # flag dist > _OUT_FACTOR x cell mean
+_OUT_PLANT_MOD = 53
+_OUT_PLANT_OFFSET = 10_000_000
+
+
+def _q247_oracle() -> str:
+    from snowflake_cdc_spark.queries_round9_ext import _kmeans_chain_dyn
+
+    chain = _kmeans_chain_dyn(rounds=2)
+    assert chain.count("FROM embeddings") == 1
+    base = f"""WITH base AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {_OUT_PLANT_OFFSET},
+         list_transform(embedding,
+           x -> CAST(CAST(x AS DOUBLE) * 3.0 AS FLOAT))
+  FROM embeddings WHERE vec_id % {_OUT_PLANT_MOD} = 0),
+"""
+    chain = chain.replace("WITH ", base, 1).replace(
+        "FROM embeddings)", "FROM base)"
+    )
+    return (
+        chain
+        + f""",
+st AS (SELECT cell, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(dist) AS BIGINT) AS s
+       FROM a2 GROUP BY 1)
+SELECT a.cell, a.vec_id, a.dist,
+       (a.vec_id >= {_OUT_PLANT_OFFSET}) AS planted
+FROM a2 a JOIN st USING (cell)
+WHERE a.dist * st.n > {_OUT_FACTOR} * st.s
+ORDER BY a.vec_id"""
+    )
+
+
+@register(
+    "q247_embedding_outliers",
+    _q247_oracle(),
+    "embedding-space outlier screen (round 11): corrupted vectors "
+    "(broken normalization, truncated encoders, poisoned inserts) sit "
+    "far from every cluster center — flag vectors whose exact integer "
+    "distance-to-assigned-centroid exceeds " + str(_OUT_FACTOR) + "x "
+    "their cell's mean (BIGINT cross-multiplication dist*n > f*sum, "
+    "no float, no sqrt, NO WINDOW — one corpus-scaled relational "
+    "k-means assignment, one groupBy(cell), one broadcast join back). "
+    "Planted 3x-magnitude copies of every vec_id%53 vector prove the "
+    "catch in the hash-checked output's `planted` column. The pass a "
+    "training pipeline runs BEFORE SemDeDup/ANN so junk vectors never "
+    "pollute cells or neighbor lists",
+)
+def q247(spark, sf_dir):
+    import math
+
+    from snowflake_cdc_spark.operators.ivf_relational import (
+        relational_kmeans_fit,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    plants = emb.filter(F.col("vec_id") % _OUT_PLANT_MOD == 0).select(
+        (F.col("vec_id") + _OUT_PLANT_OFFSET).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x.cast("double") * 3.0).cast("float")
+        ).alias("embedding"),
+    )
+    base = emb.unionByName(plants)
+    n = base.count()
+    k_cells = max(8, math.ceil(math.sqrt(n)))
+    _, assigned = relational_kmeans_fit(base, k=k_cells, rounds=2)
+    st = assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("dist").cast("bigint").alias("s"),
+    )
+    return (
+        assigned.join(F.broadcast(st), "cell")
+        .filter(F.col("dist") * F.col("n") > _OUT_FACTOR * F.col("s"))
+        .select(
+            "cell",
+            "vec_id",
+            "dist",
+            (F.col("vec_id") >= _OUT_PLANT_OFFSET).alias("planted"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q248 — embedding-space split leakage (semantic eval decontamination)
+# --------------------------------------------------------------------------
+#
+# Completes the contamination-audit family across modalities: q214
+# finds shingle overlap, q217 exact text duplicates, q223 normalized
+# matches — none of them catches a PARAPHRASED eval document whose
+# embedding sits at cosine ~1 to a training vector (the leakage mode
+# SemDeDup-style decontamination exists for). Screen = the q244
+# machinery pointed across the split boundary: deterministic md5
+# split of the vector corpus (test = md5 first hex char '0', ~1/16),
+# corpus-scaled cells, and a BIPARTITE within-cell pair stage
+# (train x test only, never train x train) with the exact signed-grid
+# integer-cosine threshold. Plant: every vec_id % 71 == 0 TRAIN
+# vector is re-ingested as a near-copy on the TEST side (+0.002 on
+# every coordinate — cosine ~0.9999), so the output's `planted`
+# column proves the catch. Same codegen discipline as q244: the dot
+# is evaluated once behind the Generate barrier inside
+# semantic_dup_pairs' algebra (re-expressed bipartite here).
+
+_LEAK_T_NUM, _LEAK_T_DEN = 19, 20
+_LEAK_GRID = 1000
+_LEAK_PLANT_MOD = 71
+_LEAK_PLANT_OFFSET = 20_000_000
+
+
+def _q248_oracle(rounds: int = 2) -> str:
+    from snowflake_cdc_spark.queries_round9_ext import _kmeans_chain_dyn
+
+    chain = _kmeans_chain_dyn(rounds=rounds)
+    assert chain.count("FROM embeddings") == 1
+    base = f"""WITH base AS (
+  SELECT vec_id, embedding,
+         (substring(md5(CAST(vec_id AS VARCHAR)), 1, 1) = '0') AS is_test
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + {_LEAK_PLANT_OFFSET},
+         list_transform(embedding,
+           x -> CAST(CAST(x AS DOUBLE) + 0.002 AS FLOAT)),
+         TRUE
+  FROM embeddings
+  WHERE vec_id % {_LEAK_PLANT_MOD} = 0
+    AND substring(md5(CAST(vec_id AS VARCHAR)), 1, 1) <> '0'),
+"""
+    chain = chain.replace("WITH ", base, 1).replace(
+        "FROM embeddings)", "FROM base)"
+    )
+    return (
+        chain
+        + f""",
+sg AS (SELECT b.vec_id, b.is_test,
+              list_transform(b.embedding,
+                x -> CAST(floor(CAST(x AS DOUBLE) * {_LEAK_GRID}.0 + 0.5)
+                          AS BIGINT)) AS qc
+       FROM base b),
+sgn AS (SELECT vec_id, is_test, qc,
+               CAST(list_sum(list_transform(qc, x -> x * x)) AS BIGINT) AS n2
+        FROM sg),
+mem AS (SELECT a.vec_id, a.cell, s.is_test, s.qc, s.n2
+        FROM a{rounds} a JOIN sgn s USING (vec_id)),
+pr AS (SELECT x.cell, x.vec_id AS train_vec, y.vec_id AS test_vec,
+              CAST(list_sum(list_transform(list_zip(x.qc, y.qc),
+                     p -> p[1] * p[2])) AS BIGINT) AS dot,
+              x.n2 AS na2, y.n2 AS nb2
+       FROM mem x JOIN mem y
+         ON x.cell = y.cell AND NOT x.is_test AND y.is_test)
+SELECT test_vec, train_vec, dot,
+       (test_vec >= {_LEAK_PLANT_OFFSET}) AS planted
+FROM pr
+WHERE dot > 0
+  AND dot * dot * {_LEAK_T_DEN * _LEAK_T_DEN}
+      >= {_LEAK_T_NUM * _LEAK_T_NUM} * na2 * nb2
+ORDER BY test_vec, train_vec"""
+    )
+
+
+@register(
+    "q248_embedding_split_leakage",
+    _q248_oracle(),
+    "embedding-space split leakage (round 11): the contamination "
+    "family's missing modality — q214/q217/q223 audit text overlap, "
+    "but a PARAPHRASED eval doc shares no shingle while its embedding "
+    "sits at cosine ~1 to a training vector. Deterministic md5 split "
+    "of the vector corpus (test = first hex char '0'), corpus-scaled "
+    "relational k-means cells over the union, then a BIPARTITE "
+    "within-cell pair stage (train x test only) with the exact "
+    "signed-grid integer-cosine threshold (19/20) and the q244 "
+    "Generate-barrier codegen discipline. Planted near-copies "
+    "(+0.002 per coordinate, cosine ~0.9999) of train vectors on the "
+    "test side prove the catch in the output's `planted` column. "
+    "Scale shape: one assignment, one shuffle on cell, never "
+    "all-pairs, never train x train",
+)
+def q248(spark, sf_dir):
+    import math
+
+    from snowflake_cdc_spark.operators.ivf_relational import (
+        relational_kmeans_fit,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    is_test = F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1) == "0"
+    tagged = emb.withColumn("is_test", is_test)
+    plants = tagged.filter(
+        (F.col("vec_id") % _LEAK_PLANT_MOD == 0) & ~F.col("is_test")
+    ).select(
+        (F.col("vec_id") + _LEAK_PLANT_OFFSET).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x.cast("double") + 0.002).cast("float")
+        ).alias("embedding"),
+        F.lit(True).alias("is_test"),
+    )
+    base = tagged.unionByName(plants)
+    n = base.count()
+    k_cells = max(8, math.ceil(math.sqrt(n)))
+    _, assigned = relational_kmeans_fit(
+        base.select("vec_id", "embedding"), k=k_cells, rounds=2
+    )
+    qc = F.transform(
+        "embedding",
+        lambda x: F.floor(
+            x.cast("double") * F.lit(float(_LEAK_GRID)) + F.lit(0.5)
+        ).cast("bigint"),
+    )
+    sg = base.select("vec_id", "is_test", qc.alias("qc")).withColumn(
+        "n2",
+        F.aggregate(
+            "qc", F.lit(0).cast("bigint"), lambda acc, x: acc + x * x
+        ),
+    )
+    mem = assigned.select("vec_id", "cell").join(sg, "vec_id")
+    a = mem.filter(~F.col("is_test")).select(
+        "cell",
+        F.col("vec_id").alias("train_vec"),
+        F.col("qc").alias("qa"),
+        F.col("n2").alias("na2"),
+    )
+    b = mem.filter(F.col("is_test")).select(
+        "cell",
+        F.col("vec_id").alias("test_vec"),
+        F.col("qc").alias("qb"),
+        F.col("n2").alias("nb2"),
+    )
+    dot = None
+    for i in range(1, 65):
+        term = F.element_at("qa", i) * F.element_at("qb", i)
+        dot = term if dot is None else dot + term
+    dot = dot.cast("bigint")
+    # the q244 Generate barrier: one dot per pair, never inlined into
+    # the join condition (the 64 KB codegen overflow)
+    return (
+        a.join(b, "cell")
+        .select(
+            "test_vec",
+            "train_vec",
+            "na2",
+            "nb2",
+            F.explode(F.array(dot)).alias("dot"),
+        )
+        .filter(
+            (F.col("dot") > 0)
+            & (
+                F.col("dot") * F.col("dot") * F.lit(_LEAK_T_DEN * _LEAK_T_DEN)
+                >= F.lit(_LEAK_T_NUM * _LEAK_T_NUM)
+                * F.col("na2")
+                * F.col("nb2")
+            )
+        )
+        .select(
+            "test_vec",
+            "train_vec",
+            "dot",
+            (F.col("test_vec") >= _LEAK_PLANT_OFFSET).alias("planted"),
+        )
+        .orderBy("test_vec", "train_vec")
+    )
