@@ -664,3 +664,4 @@ def _load_extended() -> None:
     import snowflake_cdc_spark.queries_round9_ext  # noqa: F401
     import snowflake_cdc_spark.queries_round10_ext  # noqa: F401
     import snowflake_cdc_spark.queries_round11_ext  # noqa: F401
+    import snowflake_cdc_spark.queries_round11b_ext  # noqa: F401

@@ -1,0 +1,75 @@
+"""Round-11b lane semantics: token accounting (q249), the packing
+capacity sweep (q250), and cluster-balanced diversity selection (q251)
+— the planning invariants beyond the oracle hash check."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from snowflake_cdc_spark.queries import queries
+from tests.conftest import SF_SMOKE
+
+
+def test_token_accounting_ledger_invariants(spark):
+    qs = queries()
+    rows = qs["q249_token_accounting"](spark, SF_SMOKE).collect()
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    total = docs.select(
+        F.sum(F.size(F.split("text", " "))).cast("bigint")
+    ).first()[0]
+    assert sum(r.u_tokens for r in rows) == total
+    for r in rows:
+        # diminishing returns never mint tokens
+        assert r.effective_tokens <= r.alloc_tokens
+        assert r.eff_epochs_ppm <= r.epochs_ppm
+        # under the 4x-corpus uniform budget every source repeats
+        if r.epochs_ppm > 1_000_000:
+            assert r.wasted_ppm > 0
+        # hyperbolic decay is bounded by 1 + R* extra epochs
+        assert r.eff_epochs_ppm < 1_000_000 + 15_400_000
+    # waste is monotone in repeats (floor jitter allowance of 5 ppm)
+    by_epochs = sorted(rows, key=lambda r: r.epochs_ppm)
+    for lo, hi in zip(by_epochs, by_epochs[1:]):
+        assert hi.wasted_ppm >= lo.wasted_ppm - 5
+
+
+def test_packing_sweep_monotone_and_q114_consistent(spark):
+    qs = queries()
+    rows = {r.capacity: r for r in qs["q250_packing_capacity_sweep"](
+        spark, SF_SMOKE
+    ).collect()}
+    caps = sorted(rows)
+    assert caps == [256, 512, 1024, 2048, 4096]
+    for lo, hi in zip(caps, caps[1:]):
+        # doubling capacities nest the boundary sets, so windows,
+        # boundary-split docs and truncation loss are all non-increasing
+        assert rows[hi].n_bins <= rows[lo].n_bins
+        assert rows[hi].n_split_docs <= rows[lo].n_split_docs
+        assert rows[hi].trunc_tokens <= rows[lo].trunc_tokens
+    # the 2048 arm is exactly q114's ledger summed over its 16 buckets
+    q114 = qs["q114_sequence_packing"](spark, SF_SMOKE).collect()
+    assert rows[2048].n_bins == sum(r.n_bins for r in q114)
+    assert rows[2048].n_split_docs == sum(r.n_split_docs for r in q114)
+    assert rows[2048].pad_tokens == sum(r.pad_tokens for r in q114)
+
+
+def test_diverse_selection_respects_quota_and_keeps_every_cell(spark):
+    qs = queries()
+    rows = qs["q251_diverse_selection"](spark, SF_SMOKE).collect()
+    n = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").count()
+    k = max(8, math.ceil(math.sqrt(n)))
+    quota = ((n // 4) + k - 1) // k
+    per_cell: dict[int, list[int]] = {}
+    for r in rows:
+        per_cell.setdefault(r.cell, []).append(r.rn)
+    for cell, rns in per_cell.items():
+        # contiguous ranks from 1, capped at the quota
+        assert sorted(rns) == list(range(1, len(rns) + 1))
+        assert max(rns) <= quota
+    # the budget is spread: selected total is near N/4, never above
+    # quota * live cells, and every selected vec_id is unique
+    assert len({r.vec_id for r in rows}) == len(rows)
+    assert len(rows) <= quota * len(per_cell)
+    assert len(rows) >= min(n // 4, len(per_cell))
