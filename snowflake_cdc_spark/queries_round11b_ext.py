@@ -362,3 +362,321 @@ def q251(spark, sf_dir):
         .select("cell", "vec_id", F.col("rn").cast("bigint").alias("rn"))
         .orderBy("cell", "rn")
     )
+
+
+# --------------------------------------------------------------------------
+# Q252/Q253 — unigram-LM tokenizer (SentencePiece-style), exact-integer
+# --------------------------------------------------------------------------
+#
+# The tokenizer family's third member beside char-BPE (q145) and
+# byte-BPE (q241): a unigram language-model tokenizer — vocabulary =
+# the corpus's most frequent substrings, segmentation = the Viterbi
+# path minimizing total piece cost (cost = -ln p(piece) in integer
+# micro-nats, the q235 NB quantization idiom: ONE libm ln per vocab
+# piece, quantized once, pure BIGINT after). Single-character pieces
+# are always in the vocabulary, so every [a-z]+ word is segmentable.
+#
+# The Viterbi DP runs as EXPRESSIONS, not Python: per distinct word,
+# best[i] = min over l<=4 of best[i-l] + cost(substr(w, i-l+1, l)),
+# encoded as one BIGINT comp = 32*cost + n_tokens (n_tokens <= 12 < 32,
+# so min(comp) is lexicographic (cost, n_tokens) and the decode is the
+# positive-operand comp//32 and comp%32 — no negative-division
+# cross-engine traps). Catalyst collapses adjacent projections and
+# would inline each DP level into the next (4^12 blowup), so a
+# Generate barrier (explode of a 1-element array — the q244 codegen
+# discipline) seals every 3 levels; DuckDB's CTE inliner gets the same
+# treatment via AS MATERIALIZED.
+#
+# Scale shape: word counts and piece counts are map-side-combined
+# groupBys; the vocab (top-512 + chars) broadcasts; the DP is a
+# per-row expression over the DISTINCT-WORD relation — never per
+# occurrence, never Python, never a global sort (the vocab rank rides
+# rangebucket_rank).
+
+_UNI_MAX_WLEN = 12
+_UNI_MAX_PLEN = 4
+_UNI_VOCAB = 512
+_UNI_INF = 10**12
+_UNI_SCALE = 32
+
+#: the synthetic corpus has only ~31 distinct [a-z]+ words at every SF
+#: — far too few to exercise a segmenter — so the word stream is
+#: augmented with one deterministic pseudo-word per document (md5 hex
+#: of doc_id transliterated to a-p, length 4 + doc_id % 9), giving the
+#: vocabulary corpus-sized substring statistics and the DP a
+#: corpus-sized distinct-word relation in both engines.
+_UNI_PLANT_SQL = (
+    "SELECT translate(substring(md5(CAST(doc_id AS VARCHAR)), 1,"
+    " 4 + CAST(doc_id % 9 AS INT)), '0123456789abcdef',"
+    " 'abcdefghijklmnop') AS w FROM documents"
+)
+
+_UNI_VOCAB_CTES = f"""wt AS MATERIALIZED (
+  SELECT w, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        FROM documents
+        UNION ALL
+        {_UNI_PLANT_SQL})
+  WHERE length(w) <= {_UNI_MAX_WLEN} GROUP BY w),
+pc AS MATERIALIZED (
+  SELECT substring(w, i, l) AS piece, CAST(sum(c) AS BIGINT) AS cnt
+  FROM wt,
+       unnest(generate_series(1, length(w))) t1(i),
+       unnest(generate_series(1, {_UNI_MAX_PLEN})) t2(l)
+  WHERE i + l - 1 <= length(w)
+  GROUP BY 1),
+vr AS (SELECT piece, cnt,
+              row_number() OVER (ORDER BY cnt DESC, piece) AS rn
+       FROM pc),
+vb AS (SELECT piece, cnt FROM vr
+       WHERE rn <= {_UNI_VOCAB} OR length(piece) = 1),
+tt AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vb),
+vc AS MATERIALIZED (
+  SELECT piece, cnt,
+         CAST(floor(ln(CAST(total AS DOUBLE) / CAST(cnt AS DOUBLE))
+                    * 1000000.0 + 0.5) AS BIGINT) AS cost
+  FROM vb, tt)"""
+
+
+def _uni_dp_sql() -> str:
+    """The chained-CTE Viterbi over dp0(w, c, m)."""
+    parts = []
+    for i in range(1, _UNI_MAX_WLEN + 1):
+        terms = []
+        for l in range(1, min(_UNI_MAX_PLEN, i) + 1):
+            prev = "CAST(0 AS BIGINT)" if i - l == 0 else f"c{i - l}"
+            terms.append(
+                f"{prev} + {_UNI_SCALE} * coalesce(list_extract("
+                f"map_extract(m, substring(w, {i - l + 1}, {l})), 1),"
+                f" {_UNI_INF}) + 1"
+            )
+        parts.append(
+            f"dp{i} AS MATERIALIZED (SELECT *, least({', '.join(terms)})"
+            f" AS c{i} FROM dp{i - 1})"
+        )
+    return ",\n".join(parts)
+
+
+def _q253_oracle() -> str:
+    return (
+        "WITH "
+        + _UNI_VOCAB_CTES
+        + "\nSELECT piece, cnt, cost FROM vc ORDER BY piece"
+    )
+
+
+def _q252_oracle() -> str:
+    comps = ", ".join(f"c{i}" for i in range(1, _UNI_MAX_WLEN + 1))
+    return (
+        "WITH "
+        + _UNI_VOCAB_CTES
+        + f""",
+pw AS (SELECT DISTINCT w, substring(w, i, l) AS piece
+       FROM wt,
+            unnest(generate_series(1, length(w))) t1(i),
+            unnest(generate_series(1, {_UNI_MAX_PLEN})) t2(l)
+       WHERE i + l - 1 <= length(w)),
+pm AS MATERIALIZED (
+  SELECT pw.w, map_from_entries(list({{k: pw.piece, v: vc.cost}})) AS m
+  FROM pw JOIN vc USING (piece) GROUP BY pw.w),
+dp0 AS MATERIALIZED (SELECT wt.w, wt.c, pm.m FROM wt JOIN pm USING (w)),
+"""
+        + _uni_dp_sql()
+        + f""",
+fin AS (SELECT w, c,
+               list_extract([{comps}], length(w)) AS comp
+        FROM dp{_UNI_MAX_WLEN})
+SELECT w AS word, c AS n_occurrences,
+       CAST(comp % {_UNI_SCALE} AS BIGINT) AS n_tokens,
+       CAST(comp // {_UNI_SCALE} AS BIGINT) AS cost_unats
+FROM fin ORDER BY word"""
+    )
+
+
+def _uni_vocab_df(spark, sf_dir):
+    """(wt, vc): distinct-word counts and the costed vocabulary —
+    the Spark side of _UNI_VOCAB_CTES, token-identical cost math."""
+    from snowflake_cdc_spark.operators.rank import rangebucket_rank
+
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.select(
+        F.translate(
+            F.md5(F.col("doc_id").cast("string")).substr(
+                F.lit(1), (F.lit(4) + F.col("doc_id") % 9).cast("int")
+            ),
+            "0123456789abcdef",
+            "abcdefghijklmnop",
+        ).alias("w")
+    )
+    wt = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)
+            ).alias("w")
+        )
+        .unionByName(planted)
+        .filter(F.length("w") <= _UNI_MAX_WLEN)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+
+    def _pieces_of(w):
+        # all substrings of length 1.._UNI_MAX_PLEN, duplicates kept
+        # (each occurrence weights the count, the SQL lateral-unnest)
+        return F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), F.length(w)),
+                lambda i: F.transform(
+                    F.sequence(
+                        F.lit(1),
+                        F.least(F.lit(_UNI_MAX_PLEN), F.length(w) - i + 1),
+                    ),
+                    lambda l: w.substr(i, l),
+                ),
+            )
+        )
+
+    pc = (
+        wt.select("c", F.explode(_pieces_of(F.col("w"))).alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("c").cast("bigint").alias("cnt"))
+    )
+    vr = rangebucket_rank(
+        pc.withColumn("neg", -F.col("cnt")), "neg", "piece"
+    )
+    vb = vr.filter(
+        (F.col("rn") <= _UNI_VOCAB) | (F.length("piece") == 1)
+    ).select("piece", "cnt")
+    # The vocabulary is a bounded MODEL ARTIFACT — <= V + |alphabet|
+    # rows, size fixed by the operator parameter, never by the data —
+    # so it is collected ONCE (the BPE-merge / k-seed control-plane
+    # discipline) and rebroadcast as a literal relation. Keeping it
+    # lazy would re-run the corpus-sized piece aggregation once per
+    # consumer (the total-sum AND the cost join each pull the subtree)
+    # and drag the rank's 64-row bucket-offsets window into every
+    # downstream plan.
+    import math
+
+    vrows = sorted(vb.collect(), key=lambda r: r.piece)
+    total = sum(r.cnt for r in vrows)
+    vc = spark.createDataFrame(
+        [
+            (
+                r.piece,
+                r.cnt,
+                int(math.floor(math.log(total / r.cnt) * 1000000.0 + 0.5)),
+            )
+            for r in vrows
+        ],
+        "piece string, cnt bigint, cost bigint",
+    )
+    return wt, vc, _pieces_of
+
+
+@register(
+    "q253_unigram_vocab",
+    _q253_oracle(),
+    "unigram-LM tokenizer vocabulary (round 11): the trained model "
+    "artifact of the q252 segmenter — the corpus's top-"
+    + str(_UNI_VOCAB)
+    + " substrings (length <= "
+    + str(_UNI_MAX_PLEN)
+    + ", occurrence-weighted counts, ties broken by piece) plus every "
+    "single character (the closure guaranteeing all [a-z]+ words "
+    "segment), each with its cost = -ln(cnt/total) quantized once to "
+    "integer micro-nats (the q235 NB idiom — one libm ln per piece, "
+    "pure BIGINT after). Scale shape: piece counts are map-side-"
+    "combined groupBys over the DISTINCT-word relation; the top-V "
+    "rank rides rangebucket_rank (no global sort); the ranked vocab "
+    "(<= V + alphabet rows, parameter-fixed) is collected once and "
+    "rebroadcast as a literal — the BPE-merge control-plane "
+    "discipline — so the corpus aggregation runs exactly once and "
+    "no window reaches the registry plan; the vocab is a "
+    "broadcast-sized relation at any corpus size",
+)
+def q253(spark, sf_dir):
+    _, vc, _ = _uni_vocab_df(spark, sf_dir)
+    return vc.orderBy("piece")
+
+
+def _uni_barrier(df):
+    # Generate barrier: Catalyst collapses adjacent Projects and would
+    # inline each DP level into the next (4^12 expression blowup); a
+    # 1-element explode seals the subtree (the q244 codegen discipline)
+    return df.select(F.explode(F.array(F.struct(*df.columns))).alias("s")).select(
+        "s.*"
+    )
+
+
+@register(
+    "q252_unigram_segmentation",
+    _q252_oracle(),
+    "unigram-LM Viterbi segmentation (round 11): SentencePiece-style "
+    "tokenization — per distinct word, the minimum-cost segmentation "
+    "into q253 vocabulary pieces (cost = -ln p in integer micro-nats), "
+    "computed as a pure-EXPRESSION dynamic program: best[i] = min over "
+    "piece lengths <= " + str(_UNI_MAX_PLEN) + " of best[i-l] + "
+    "cost(substr), encoded in one BIGINT comp = 32*cost + n_tokens so "
+    "the (cost, token-count) lexicographic optimum and its decode are "
+    "pure positive-integer arithmetic in both engines. A Generate "
+    "barrier seals every 3 DP levels against Catalyst's project-"
+    "collapse inlining (4^12 blowup); the oracle's chained CTEs get AS "
+    "MATERIALIZED for DuckDB's inliner. Scale shape: the DP runs over "
+    "the DISTINCT-word relation (never per occurrence), the vocab is "
+    "the q253 collected literal (bounded by parameter) consumed via a "
+    "broadcast join, the hot path is pure JVM expressions — zero "
+    "windows, zero global sorts",
+)
+def q252(spark, sf_dir):
+    wt, vc, pieces_of = _uni_vocab_df(spark, sf_dir)
+    pw = wt.select(
+        "w", F.explode(F.array_distinct(pieces_of(F.col("w")))).alias("piece")
+    )
+    pm = (
+        pw.join(F.broadcast(vc.select("piece", "cost")), "piece")
+        .groupBy("w")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("piece", "cost"))
+            ).alias("m")
+        )
+    )
+    d = wt.join(pm, "w")
+    for i in range(1, _UNI_MAX_WLEN + 1):
+        terms = []
+        for l in range(1, min(_UNI_MAX_PLEN, i) + 1):
+            prev = (
+                F.lit(0).cast("bigint")
+                if i - l == 0
+                else F.col(f"c{i - l}")
+            )
+            terms.append(
+                prev
+                + _UNI_SCALE
+                * F.coalesce(
+                    F.try_element_at(
+                        "m", F.col("w").substr(F.lit(i - l + 1), F.lit(l))
+                    ),
+                    F.lit(_UNI_INF),
+                )
+                + 1
+            )
+        d = d.withColumn(f"c{i}", F.least(*terms) if len(terms) > 1 else terms[0])
+        if i % 3 == 0:
+            d = _uni_barrier(d)
+    comp = F.element_at(
+        F.array(*[F.col(f"c{i}") for i in range(1, _UNI_MAX_WLEN + 1)]),
+        F.length("w").cast("int"),
+    )
+    return (
+        d.select("w", "c", comp.alias("comp"))
+        .select(
+            F.col("w").alias("word"),
+            F.col("c").alias("n_occurrences"),
+            F.expr(f"comp % {_UNI_SCALE}").cast("bigint").alias("n_tokens"),
+            F.expr(f"comp div {_UNI_SCALE}").cast("bigint").alias(
+                "cost_unats"
+            ),
+        )
+        .orderBy("word")
+    )

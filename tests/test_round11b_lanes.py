@@ -73,3 +73,47 @@ def test_diverse_selection_respects_quota_and_keeps_every_cell(spark):
     assert len({r.vec_id for r in rows}) == len(rows)
     assert len(rows) <= quota * len(per_cell)
     assert len(rows) >= min(n // 4, len(per_cell))
+
+
+def test_unigram_segmentation_matches_independent_python_dp(spark):
+    # third implementation: rebuild the Viterbi from q253's published
+    # vocab in plain Python and check every q252 row's (cost, tokens)
+    qs = queries()
+    vocab = {
+        r.piece: r.cost
+        for r in qs["q253_unigram_vocab"](spark, SF_SMOKE).collect()
+    }
+    rows = qs["q252_unigram_segmentation"](spark, SF_SMOKE).collect()
+    assert len(rows) > 100  # the planted pseudo-words make it corpus-sized
+    INF = 10**12
+    for r in rows:
+        w = r.word
+        best = [(0, 0)] + [(INF * 32, 0)] * len(w)
+        for i in range(1, len(w) + 1):
+            cands = []
+            for l in range(1, min(4, i) + 1):
+                c = vocab.get(w[i - l : i])
+                if c is None:
+                    c = INF
+                pc, pt = best[i - l]
+                cands.append((pc + c, pt + 1))
+            best[i] = min(cands)  # (cost, tokens) lexicographic
+        cost, ntok = best[len(w)]
+        assert (r.cost_unats, r.n_tokens) == (cost, ntok), w
+    # every word is segmentable (single-char closure)
+    assert all(r.cost_unats < 10**12 for r in rows)
+
+
+def test_unigram_vocab_contract(spark):
+    qs = queries()
+    rows = qs["q253_unigram_vocab"](spark, SF_SMOKE).collect()
+    pieces = {r.piece for r in rows}
+    # closure: every single character that appears in any piece is
+    # itself a vocab piece
+    assert {ch for p in pieces for ch in p} <= pieces
+    # costs are -ln(cnt/total) in micro-nats: monotone decreasing in cnt
+    by_cnt = sorted(rows, key=lambda r: r.cnt)
+    for lo, hi in zip(by_cnt, by_cnt[1:]):
+        assert hi.cost <= lo.cost
+    assert all(r.cost > 0 for r in rows)
+    assert all(1 <= len(r.piece) <= 4 for r in rows)
