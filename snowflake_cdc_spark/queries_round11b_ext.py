@@ -405,11 +405,24 @@ _UNI_SCALE = 32
 #: of doc_id transliterated to a-p, length 4 + doc_id % 9), giving the
 #: vocabulary corpus-sized substring statistics and the DP a
 #: corpus-sized distinct-word relation in both engines.
-_UNI_PLANT_SQL = (
-    "SELECT translate(substring(md5(CAST(doc_id AS VARCHAR)), 1,"
+_UNI_PLANT_EXPR = (
+    "translate(substring(md5(CAST(doc_id AS VARCHAR)), 1,"
     " 4 + CAST(doc_id % 9 AS INT)), '0123456789abcdef',"
-    " 'abcdefghijklmnop') AS w FROM documents"
+    " 'abcdefghijklmnop')"
 )
+_UNI_PLANT_SQL = f"SELECT {_UNI_PLANT_EXPR} AS w FROM documents"
+
+
+def _uni_plant_col():
+    """The Spark Column form of _UNI_PLANT_EXPR (DuckDB dialect uses
+    VARCHAR casts Spark's parser rejects)."""
+    return F.translate(
+        F.md5(F.col("doc_id").cast("string")).substr(
+            F.lit(1), (F.lit(4) + F.col("doc_id") % 9).cast("int")
+        ),
+        "0123456789abcdef",
+        "abcdefghijklmnop",
+    )
 
 _UNI_VOCAB_CTES = f"""wt AS MATERIALIZED (
   SELECT w, CAST(count(*) AS BIGINT) AS c
@@ -499,15 +512,7 @@ def _uni_vocab_df(spark, sf_dir):
     from snowflake_cdc_spark.operators.rank import rangebucket_rank
 
     docs = _t(spark, sf_dir, "documents")
-    planted = docs.select(
-        F.translate(
-            F.md5(F.col("doc_id").cast("string")).substr(
-                F.lit(1), (F.lit(4) + F.col("doc_id") % 9).cast("int")
-            ),
-            "0123456789abcdef",
-            "abcdefghijklmnop",
-        ).alias("w")
-    )
+    planted = docs.select(_uni_plant_col().alias("w"))
     wt = (
         docs.select(
             F.explode(
@@ -608,26 +613,9 @@ def _uni_barrier(df):
     )
 
 
-@register(
-    "q252_unigram_segmentation",
-    _q252_oracle(),
-    "unigram-LM Viterbi segmentation (round 11): SentencePiece-style "
-    "tokenization — per distinct word, the minimum-cost segmentation "
-    "into q253 vocabulary pieces (cost = -ln p in integer micro-nats), "
-    "computed as a pure-EXPRESSION dynamic program: best[i] = min over "
-    "piece lengths <= " + str(_UNI_MAX_PLEN) + " of best[i-l] + "
-    "cost(substr), encoded in one BIGINT comp = 32*cost + n_tokens so "
-    "the (cost, token-count) lexicographic optimum and its decode are "
-    "pure positive-integer arithmetic in both engines. A Generate "
-    "barrier seals every 3 DP levels against Catalyst's project-"
-    "collapse inlining (4^12 blowup); the oracle's chained CTEs get AS "
-    "MATERIALIZED for DuckDB's inliner. Scale shape: the DP runs over "
-    "the DISTINCT-word relation (never per occurrence), the vocab is "
-    "the q253 collected literal (bounded by parameter) consumed via a "
-    "broadcast join, the hot path is pure JVM expressions — zero "
-    "windows, zero global sorts",
-)
-def q252(spark, sf_dir):
+def _uni_segmented(spark, sf_dir):
+    """(w, c, comp): the expression-level Viterbi over the distinct-word
+    relation — comp = 32*min_cost + n_tokens, shared by q252/q254."""
     wt, vc, pieces_of = _uni_vocab_df(spark, sf_dir)
     pw = wt.select(
         "w", F.explode(F.array_distinct(pieces_of(F.col("w")))).alias("piece")
@@ -668,8 +656,31 @@ def q252(spark, sf_dir):
         F.array(*[F.col(f"c{i}") for i in range(1, _UNI_MAX_WLEN + 1)]),
         F.length("w").cast("int"),
     )
+    return d.select("w", "c", comp.alias("comp"))
+
+
+@register(
+    "q252_unigram_segmentation",
+    _q252_oracle(),
+    "unigram-LM Viterbi segmentation (round 11): SentencePiece-style "
+    "tokenization — per distinct word, the minimum-cost segmentation "
+    "into q253 vocabulary pieces (cost = -ln p in integer micro-nats), "
+    "computed as a pure-EXPRESSION dynamic program: best[i] = min over "
+    "piece lengths <= " + str(_UNI_MAX_PLEN) + " of best[i-l] + "
+    "cost(substr), encoded in one BIGINT comp = 32*cost + n_tokens so "
+    "the (cost, token-count) lexicographic optimum and its decode are "
+    "pure positive-integer arithmetic in both engines. A Generate "
+    "barrier seals every 3 DP levels against Catalyst's project-"
+    "collapse inlining (4^12 blowup); the oracle's chained CTEs get AS "
+    "MATERIALIZED for DuckDB's inliner. Scale shape: the DP runs over "
+    "the DISTINCT-word relation (never per occurrence), the vocab is "
+    "the q253 collected literal (bounded by parameter) consumed via a "
+    "broadcast join, the hot path is pure JVM expressions — zero "
+    "windows, zero global sorts",
+)
+def q252(spark, sf_dir):
     return (
-        d.select("w", "c", comp.alias("comp"))
+        _uni_segmented(spark, sf_dir)
         .select(
             F.col("w").alias("word"),
             F.col("c").alias("n_occurrences"),
@@ -679,4 +690,119 @@ def q252(spark, sf_dir):
             ),
         )
         .orderBy("word")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q254 — per-source unigram fertility (the tokenizer applied corpus-wide)
+# --------------------------------------------------------------------------
+#
+# The application lane completing the unigram family, parallel to the
+# other two tokenizers' q226 (char-BPE fertility curve) and q242
+# (byte-BPE per-language coverage): join the word-level Viterbi results
+# back to per-(source, word) occurrence counts and report each source's
+# token budget under the q253 vocabulary — total words, total tokens,
+# fertility (tokens per word, in ppm) and mean per-word encoding cost
+# (micro-nats). This is the number a pipeline owner multiplies a
+# source's document count by when sizing a training run (q249's input).
+#
+# Scale shape: the DP stays on the DISTINCT-word relation; the only new
+# work is a (source, word) map-side-combined groupBy and a hash join of
+# that against the word-level segmentation — all integer arithmetic,
+# no windows, no Python.
+
+
+def _q254_oracle() -> str:
+    comps = ", ".join(f"c{i}" for i in range(1, _UNI_MAX_WLEN + 1))
+    return (
+        "WITH "
+        + _UNI_VOCAB_CTES
+        + f""",
+pw AS (SELECT DISTINCT w, substring(w, i, l) AS piece
+       FROM wt,
+            unnest(generate_series(1, length(w))) t1(i),
+            unnest(generate_series(1, {_UNI_MAX_PLEN})) t2(l)
+       WHERE i + l - 1 <= length(w)),
+pm AS MATERIALIZED (
+  SELECT pw.w, map_from_entries(list({{k: pw.piece, v: vc.cost}})) AS m
+  FROM pw JOIN vc USING (piece) GROUP BY pw.w),
+dp0 AS MATERIALIZED (SELECT wt.w, wt.c, pm.m FROM wt JOIN pm USING (w)),
+"""
+        + _uni_dp_sql()
+        + f""",
+seg AS MATERIALIZED (
+  SELECT w,
+         CAST(list_extract([{comps}], length(w)) % {_UNI_SCALE} AS BIGINT)
+           AS nt,
+         CAST(list_extract([{comps}], length(w)) // {_UNI_SCALE} AS BIGINT)
+           AS cost
+  FROM dp{_UNI_MAX_WLEN}),
+sw AS MATERIALIZED (
+  SELECT source, w, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT source,
+               unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        FROM documents
+        UNION ALL
+        SELECT source, {_UNI_PLANT_EXPR} AS w FROM documents)
+  WHERE length(w) <= {_UNI_MAX_WLEN}
+  GROUP BY 1, 2)
+SELECT sw.source,
+       CAST(sum(sw.c) AS BIGINT) AS n_words,
+       CAST(sum(sw.c * seg.nt) AS BIGINT) AS n_tokens,
+       CAST(sum(sw.c * seg.nt) * 1000000 // sum(sw.c) AS BIGINT)
+         AS fertility_ppm,
+       CAST(sum(sw.c * seg.cost) // sum(sw.c) AS BIGINT)
+         AS mean_cost_unats
+FROM sw JOIN seg USING (w)
+GROUP BY 1 ORDER BY 1"""
+    )
+
+
+@register(
+    "q254_unigram_fertility",
+    _q254_oracle(),
+    "per-source unigram-tokenizer fertility (round 11): the q252 "
+    "segmenter applied corpus-wide — per source, total [a-z]+ words, "
+    "total tokens under the q253 vocabulary, fertility in tokens-per-"
+    "word ppm, and mean per-word encoding cost in micro-nats; the "
+    "capacity number q249's token ledger consumes. Scale shape: the "
+    "Viterbi DP stays on the DISTINCT-word relation; the per-(source, "
+    "word) counts are one map-side-combined groupBy hash-joined to the "
+    "word-level segmentation — pure BIGINT, no windows, no Python, no "
+    "global sorts",
+)
+def q254(spark, sf_dir):
+    seg = _uni_segmented(spark, sf_dir).select(
+        "w",
+        F.expr(f"comp % {_UNI_SCALE}").cast("bigint").alias("nt"),
+        F.expr(f"comp div {_UNI_SCALE}").cast("bigint").alias("cost"),
+    )
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "source",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)
+        ).alias("w"),
+    )
+    planted = docs.select("source", _uni_plant_col().alias("w"))
+    sw = (
+        words.unionByName(planted)
+        .filter(F.length("w") <= _UNI_MAX_WLEN)
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    return (
+        sw.join(seg, "w")
+        .groupBy("source")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_words"),
+            F.sum(F.col("c") * F.col("nt")).cast("bigint").alias("n_tokens"),
+            F.expr("CAST(sum(c * nt) * 1000000 div sum(c) AS BIGINT)").alias(
+                "fertility_ppm"
+            ),
+            F.expr("CAST(sum(c * cost) div sum(c) AS BIGINT)").alias(
+                "mean_cost_unats"
+            ),
+        )
+        .orderBy("source")
     )

@@ -117,3 +117,21 @@ def test_unigram_vocab_contract(spark):
         assert hi.cost <= lo.cost
     assert all(r.cost > 0 for r in rows)
     assert all(1 <= len(r.piece) <= 4 for r in rows)
+
+
+def test_unigram_fertility_reconciles_with_segmentation(spark):
+    # per-source word/token totals must reconcile exactly with the
+    # word-level segmentation: sum over sources == sum over words
+    qs = queries()
+    seg = qs["q252_unigram_segmentation"](spark, SF_SMOKE).collect()
+    fer = qs["q254_unigram_fertility"](spark, SF_SMOKE).collect()
+    assert sum(r.n_words for r in fer) == sum(r.n_occurrences for r in seg)
+    assert sum(r.n_tokens for r in fer) == sum(
+        r.n_occurrences * r.n_tokens for r in seg
+    )
+    for r in fer:
+        # at least one token per word, at most MAX_WLEN
+        assert 1_000_000 <= r.fertility_ppm <= 12_000_000
+        assert r.mean_cost_unats > 0
+        # integer-division consistency of the ppm ledger
+        assert r.fertility_ppm == r.n_tokens * 1_000_000 // r.n_words
