@@ -393,11 +393,13 @@ def q251(spark, sf_dir):
 # occurrence, never Python, never a global sort (the vocab rank rides
 # rangebucket_rank).
 
-_UNI_MAX_WLEN = 12
-_UNI_MAX_PLEN = 4
-_UNI_VOCAB = 512
-_UNI_INF = 10**12
-_UNI_SCALE = 32
+from snowflake_cdc_spark.operators.unigram import (  # noqa: E402
+    INF as _UNI_INF,
+    MAX_PLEN as _UNI_MAX_PLEN,
+    MAX_WLEN as _UNI_MAX_WLEN,
+    SCALE as _UNI_SCALE,
+    VOCAB_SIZE as _UNI_VOCAB,
+)
 
 #: the synthetic corpus has only ~31 distinct [a-z]+ words at every SF
 #: — far too few to exercise a segmenter — so the word stream is
@@ -508,8 +510,10 @@ FROM fin ORDER BY word"""
 
 def _uni_vocab_df(spark, sf_dir):
     """(wt, vc): distinct-word counts and the costed vocabulary —
-    the Spark side of _UNI_VOCAB_CTES, token-identical cost math."""
-    from snowflake_cdc_spark.operators.rank import rangebucket_rank
+    the Spark side of _UNI_VOCAB_CTES via operators/unigram.py
+    (token-identical cost math; the vocab is collected once as a
+    parameter-bounded model artifact, see costed_vocab)."""
+    from snowflake_cdc_spark.operators import unigram
 
     docs = _t(spark, sf_dir, "documents")
     planted = docs.select(_uni_plant_col().alias("w"))
@@ -524,58 +528,10 @@ def _uni_vocab_df(spark, sf_dir):
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )
-
-    def _pieces_of(w):
-        # all substrings of length 1.._UNI_MAX_PLEN, duplicates kept
-        # (each occurrence weights the count, the SQL lateral-unnest)
-        return F.flatten(
-            F.transform(
-                F.sequence(F.lit(1), F.length(w)),
-                lambda i: F.transform(
-                    F.sequence(
-                        F.lit(1),
-                        F.least(F.lit(_UNI_MAX_PLEN), F.length(w) - i + 1),
-                    ),
-                    lambda l: w.substr(i, l),
-                ),
-            )
-        )
-
-    pc = (
-        wt.select("c", F.explode(_pieces_of(F.col("w"))).alias("piece"))
-        .groupBy("piece")
-        .agg(F.sum("c").cast("bigint").alias("cnt"))
+    vc = unigram.costed_vocab(
+        spark, unigram.piece_counts(wt, _UNI_MAX_PLEN), _UNI_VOCAB
     )
-    vr = rangebucket_rank(
-        pc.withColumn("neg", -F.col("cnt")), "neg", "piece"
-    )
-    vb = vr.filter(
-        (F.col("rn") <= _UNI_VOCAB) | (F.length("piece") == 1)
-    ).select("piece", "cnt")
-    # The vocabulary is a bounded MODEL ARTIFACT — <= V + |alphabet|
-    # rows, size fixed by the operator parameter, never by the data —
-    # so it is collected ONCE (the BPE-merge / k-seed control-plane
-    # discipline) and rebroadcast as a literal relation. Keeping it
-    # lazy would re-run the corpus-sized piece aggregation once per
-    # consumer (the total-sum AND the cost join each pull the subtree)
-    # and drag the rank's 64-row bucket-offsets window into every
-    # downstream plan.
-    import math
-
-    vrows = sorted(vb.collect(), key=lambda r: r.piece)
-    total = sum(r.cnt for r in vrows)
-    vc = spark.createDataFrame(
-        [
-            (
-                r.piece,
-                r.cnt,
-                int(math.floor(math.log(total / r.cnt) * 1000000.0 + 0.5)),
-            )
-            for r in vrows
-        ],
-        "piece string, cnt bigint, cost bigint",
-    )
-    return wt, vc, _pieces_of
+    return wt, vc
 
 
 @register(
@@ -600,63 +556,17 @@ def _uni_vocab_df(spark, sf_dir):
     "broadcast-sized relation at any corpus size",
 )
 def q253(spark, sf_dir):
-    _, vc, _ = _uni_vocab_df(spark, sf_dir)
+    _, vc = _uni_vocab_df(spark, sf_dir)
     return vc.orderBy("piece")
-
-
-def _uni_barrier(df):
-    # Generate barrier: Catalyst collapses adjacent Projects and would
-    # inline each DP level into the next (4^12 expression blowup); a
-    # 1-element explode seals the subtree (the q244 codegen discipline)
-    return df.select(F.explode(F.array(F.struct(*df.columns))).alias("s")).select(
-        "s.*"
-    )
 
 
 def _uni_segmented(spark, sf_dir):
     """(w, c, comp): the expression-level Viterbi over the distinct-word
     relation — comp = 32*min_cost + n_tokens, shared by q252/q254."""
-    wt, vc, pieces_of = _uni_vocab_df(spark, sf_dir)
-    pw = wt.select(
-        "w", F.explode(F.array_distinct(pieces_of(F.col("w")))).alias("piece")
-    )
-    pm = (
-        pw.join(F.broadcast(vc.select("piece", "cost")), "piece")
-        .groupBy("w")
-        .agg(
-            F.map_from_entries(
-                F.collect_list(F.struct("piece", "cost"))
-            ).alias("m")
-        )
-    )
-    d = wt.join(pm, "w")
-    for i in range(1, _UNI_MAX_WLEN + 1):
-        terms = []
-        for l in range(1, min(_UNI_MAX_PLEN, i) + 1):
-            prev = (
-                F.lit(0).cast("bigint")
-                if i - l == 0
-                else F.col(f"c{i - l}")
-            )
-            terms.append(
-                prev
-                + _UNI_SCALE
-                * F.coalesce(
-                    F.try_element_at(
-                        "m", F.col("w").substr(F.lit(i - l + 1), F.lit(l))
-                    ),
-                    F.lit(_UNI_INF),
-                )
-                + 1
-            )
-        d = d.withColumn(f"c{i}", F.least(*terms) if len(terms) > 1 else terms[0])
-        if i % 3 == 0:
-            d = _uni_barrier(d)
-    comp = F.element_at(
-        F.array(*[F.col(f"c{i}") for i in range(1, _UNI_MAX_WLEN + 1)]),
-        F.length("w").cast("int"),
-    )
-    return d.select("w", "c", comp.alias("comp"))
+    from snowflake_cdc_spark.operators.unigram import viterbi_segment
+
+    wt, vc = _uni_vocab_df(spark, sf_dir)
+    return viterbi_segment(wt, vc, _UNI_MAX_WLEN, _UNI_MAX_PLEN)
 
 
 @register(
