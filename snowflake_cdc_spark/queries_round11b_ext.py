@@ -716,3 +716,137 @@ def q254(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Q255 — curriculum training schedule (quality-quartile phases)
+# --------------------------------------------------------------------------
+#
+# Curriculum learning over the corpus: documents are split into
+# equal-mass quality phases (equi-depth quartiles of vocabulary
+# richness — the q233 score axis) and trained highest-quality-first
+# (the data-curation curriculum: clean text anchors early training,
+# the noisy tail arrives once the loss is low). The deliverable is the
+# SCHEDULE a trainer consumes: per (train_order, source) the doc and
+# token mass, each source's share of its phase, and the cumulative
+# token count once the phase completes.
+#
+# Scale shape: one equidepth_assign (the sort-free exact-rank
+# composition — range buckets + broadcast offsets, whitelisted 64-row
+# window), one doc-keyed join back for (source, n_toks), one
+# (phase, source) rollup; the phase totals and cumulative schedule
+# live on a K-row relation handled with broadcast joins, not windows.
+
+_CURR_K = 4
+
+_CURR_ORACLE = None  # built below (needs ntile_fill_sql)
+
+
+def _curr_oracle() -> str:
+    from snowflake_cdc_spark.operators.histogram import ntile_fill_sql
+
+    return f"""
+WITH d AS (SELECT doc_id, source,
+                  CAST(len(regexp_extract_all(lower(text),
+                       '[\\p{{L}}\\p{{M}}]+')) AS BIGINT) AS n_toks,
+                  CAST(len(list_distinct(regexp_extract_all(lower(text),
+                       '[\\p{{L}}\\p{{M}}]+'))) AS BIGINT) AS score
+           FROM documents),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+r AS (SELECT doc_id, source, n_toks, score,
+             row_number() OVER (ORDER BY score, doc_id) AS rq FROM d),
+b AS (SELECT doc_id, source, n_toks,
+             {_CURR_K + 1} - ({ntile_fill_sql('rq', 'n.n', _CURR_K)})
+               AS train_order
+      FROM r, n),
+ps AS (SELECT train_order, source,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n_toks) AS BIGINT) AS tokens
+       FROM b GROUP BY 1, 2),
+pt AS (SELECT train_order, CAST(sum(tokens) AS BIGINT) AS phase_tokens
+       FROM ps GROUP BY 1),
+ct AS (SELECT a.train_order,
+              CAST(sum(b.phase_tokens) AS BIGINT) AS cum_tokens
+       FROM pt a JOIN pt b ON b.train_order <= a.train_order
+       GROUP BY 1)
+SELECT ps.train_order, ps.source, ps.n_docs, ps.tokens,
+       CAST(ps.tokens * 1000000 // pt.phase_tokens AS BIGINT) AS share_ppm,
+       ct.cum_tokens
+FROM ps JOIN pt USING (train_order) JOIN ct USING (train_order)
+ORDER BY train_order, source"""
+
+
+@register(
+    "q255_curriculum_schedule",
+    _curr_oracle(),
+    "curriculum training schedule (round 11): documents split into "
+    + str(_CURR_K)
+    + " equal-mass quality phases (equi-depth quartiles of distinct-"
+    "word vocabulary richness, the q233 score axis) trained highest-"
+    "quality-first; per (train_order, source) the doc/token mass, the "
+    "source's ppm share of its phase, and the cumulative tokens once "
+    "the phase completes — the schedule artifact a trainer consumes. "
+    "Scale shape: ONE sort-free equidepth_assign (range buckets + "
+    "broadcast offsets), a doc-keyed join, a (phase, source) rollup; "
+    "phase totals and the cumulative schedule are K-row broadcast "
+    "joins, never windows",
+)
+def q255(spark, sf_dir):
+    from snowflake_cdc_spark.functions.text import UNICODE_WORD
+    from snowflake_cdc_spark.operators.histogram import equidepth_assign
+
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.regexp_extract_all(F.lower("text"), F.lit(UNICODE_WORD), F.lit(0))
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.size(ws).cast("bigint").alias("n_toks"),
+        F.size(F.array_distinct(ws)).cast("bigint").alias("score"),
+    )
+    assigned = equidepth_assign(d, "score", "doc_id", k=_CURR_K).select(
+        "doc_id",
+        (F.lit(_CURR_K + 1) - F.col("bucket")).cast("bigint").alias(
+            "train_order"
+        ),
+    )
+    ps = (
+        d.join(assigned, "doc_id")
+        .groupBy("train_order", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("tokens"),
+        )
+    )
+    # The phase totals and the cumulative schedule are a K-row
+    # PARAMETER-bounded artifact: collect once and rebroadcast as a
+    # literal (the costed_vocab discipline). Kept lazy, the K-row tail
+    # would drag FOUR plan copies of the equidepth subtree (ps + pt +
+    # ct's self-join both sides) into the final plan.
+    prow = sorted(
+        ps.groupBy("train_order")
+        .agg(F.sum("tokens").cast("bigint").alias("phase_tokens"))
+        .collect(),
+        key=lambda r: r.train_order,
+    )
+    cum = 0
+    sched = []
+    for r in prow:
+        cum += r.phase_tokens
+        sched.append((r.train_order, r.phase_tokens, cum))
+    pt = spark.createDataFrame(
+        sched, "train_order bigint, phase_tokens bigint, cum_tokens bigint"
+    )
+    return (
+        ps.join(F.broadcast(pt), "train_order")
+        .select(
+            "train_order",
+            "source",
+            "n_docs",
+            "tokens",
+            F.expr("CAST(tokens * 1000000 div phase_tokens AS BIGINT)").alias(
+                "share_ppm"
+            ),
+            "cum_tokens",
+        )
+        .orderBy("train_order", "source")
+    )

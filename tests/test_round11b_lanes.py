@@ -135,3 +135,26 @@ def test_unigram_fertility_reconciles_with_segmentation(spark):
         assert r.mean_cost_unats > 0
         # integer-division consistency of the ppm ledger
         assert r.fertility_ppm == r.n_tokens * 1_000_000 // r.n_words
+
+
+def test_curriculum_schedule_contract(spark):
+    qs = queries()
+    rows = qs["q255_curriculum_schedule"](spark, SF_SMOKE).collect()
+    phases = sorted({r.train_order for r in rows})
+    assert phases == [1, 2, 3, 4]
+    # equal-mass phases: doc counts differ by at most 1 across phases
+    per_phase_docs = {
+        p: sum(r.n_docs for r in rows if r.train_order == p) for p in phases
+    }
+    assert max(per_phase_docs.values()) - min(per_phase_docs.values()) <= 1
+    # shares within a phase sum to ~1e6 (integer-floor rounding down)
+    for p in phases:
+        s = sum(r.share_ppm for r in rows if r.train_order == p)
+        n_src = sum(1 for r in rows if r.train_order == p)
+        assert 1_000_000 - n_src <= s <= 1_000_000
+    # cumulative schedule is monotone and ends at the corpus total
+    cums = [
+        max(r.cum_tokens for r in rows if r.train_order == p) for p in phases
+    ]
+    assert cums == sorted(cums)
+    assert cums[-1] == sum(r.tokens for r in rows)

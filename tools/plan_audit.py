@@ -81,6 +81,13 @@ WHITELIST: dict[str, tuple[int, str]] = {
         "rank.py bucket-offsets window: <= exact_max*256 + ~57 rows "
         "regardless of vocabulary size",
     ),
+    "q255_curriculum_schedule": (
+        1,
+        "equidepth_assign bucket-offsets window over <= 64 range-bucket "
+        "rows (operators/histogram.py — size fixed by parameter); the "
+        "K-row schedule tail is a collected literal, so the subtree "
+        "appears once",
+    ),
     "q187_woe_binning": (
         2,
         "two equidepth_assign bucket-offsets windows "
