@@ -174,3 +174,117 @@ def viterbi_segment(
         F.length("w").cast("int"),
     )
     return d.select("w", "c", comp.alias("comp"))
+
+
+# ---------------------------------------------------------------- paths
+
+CHOICE = 8  # piece-length slot: l <= MAX_PLEN < 8
+
+
+def viterbi_segment_paths(
+    wt: DataFrame,
+    vc: DataFrame,
+    max_wlen: int = MAX_WLEN,
+    max_plen: int = MAX_PLEN,
+) -> DataFrame:
+    """(w, c, core, segmentation): like ``viterbi_segment`` but with the
+    winning PIECE SEQUENCE reconstructed, not just its cost — the
+    tokenizer's user-facing output. The DP encodes the argmin choice in
+    the low bits (comp = CHOICE*(SCALE*cost + n_tokens) + l, so min is
+    lexicographic (cost, n_tokens, smallest piece length) and the
+    backtrack is pure positive-integer arithmetic), then an unrolled
+    walk from position length(w) down prepends each chosen piece to the
+    segmentation string. Everything stays JVM expressions over the
+    distinct-word relation; Generate barriers seal both the DP and the
+    backtrack against Catalyst's project-collapse inlining."""
+    pw = wt.select(
+        "w",
+        F.explode(F.array_distinct(pieces_of(F.col("w"), max_plen))).alias(
+            "piece"
+        ),
+    )
+    pm = (
+        pw.join(F.broadcast(vc.select("piece", "cost")), "piece")
+        .groupBy("w")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("piece", "cost"))
+            ).alias("m")
+        )
+    )
+    d = wt.join(pm, "w")
+    for i in range(1, max_wlen + 1):
+        terms = []
+        for l in range(1, min(max_plen, i) + 1):
+            prev_core = (
+                F.lit(0).cast("bigint")
+                if i - l == 0
+                else F.expr(f"c{i - l} div {CHOICE}")
+            )
+            terms.append(
+                (
+                    prev_core
+                    + SCALE
+                    * F.coalesce(
+                        F.try_element_at(
+                            "m",
+                            F.col("w").substr(F.lit(i - l + 1), F.lit(l)),
+                        ),
+                        F.lit(INF),
+                    )
+                    + 1
+                )
+                * CHOICE
+                + l
+            )
+        d = d.withColumn(
+            f"c{i}", F.least(*terms) if len(terms) > 1 else terms[0]
+        )
+        if i % 3 == 0:
+            d = _barrier(d)
+    d = d.select(
+        "w",
+        "c",
+        F.array(*[F.col(f"c{i}") for i in range(1, max_wlen + 1)]).alias(
+            "cs"
+        ),
+    ).withColumn(
+        "core",
+        F.expr(f"element_at(cs, CAST(length(w) AS INT)) div {CHOICE}"),
+    )
+    # backtrack: walk pos from length(w) to 0, prepending each chosen
+    # piece — left-to-right order falls out of the right-to-left walk
+    d = d.withColumn("pos", F.length("w").cast("bigint")).withColumn(
+        "seg", F.lit("")
+    )
+    for step in range(max_wlen):
+        d = (
+            d.withColumn(
+                "li",
+                F.when(
+                    F.col("pos") > 0,
+                    F.expr(
+                        f"element_at(cs, CAST(pos AS INT)) % {CHOICE}"
+                    ),
+                ).otherwise(F.lit(0).cast("bigint")),
+            )
+            .withColumn(
+                "seg",
+                F.when(
+                    F.col("pos") > 0,
+                    F.concat(
+                        F.expr("substring(w, CAST(pos - li + 1 AS INT),"
+                               " CAST(li AS INT))"),
+                        F.when(F.col("seg") == "", F.lit("")).otherwise(
+                            F.lit(" ")
+                        ),
+                        F.col("seg"),
+                    ),
+                ).otherwise(F.col("seg")),
+            )
+            .withColumn("pos", F.col("pos") - F.col("li"))
+            .drop("li")
+        )
+        if step % 3 == 2:
+            d = _barrier(d)
+    return d.select("w", "c", "core", F.col("seg").alias("segmentation"))

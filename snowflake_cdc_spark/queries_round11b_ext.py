@@ -850,3 +850,133 @@ def q255(spark, sf_dir):
         )
         .orderBy("train_order", "source")
     )
+
+
+# --------------------------------------------------------------------------
+# Q256 — unigram segmentation PIECES (Viterbi backtrack, hash-checked)
+# --------------------------------------------------------------------------
+#
+# q252 proves the optimum's (cost, token-count); this lane emits the
+# tokenizer's actual user-facing output — the winning piece sequence —
+# by recording the argmin choice in the low bits of the DP value
+# (comp = 8*(32*cost + n_tokens) + piece_len, min = lexicographic
+# (cost, n_tokens, smallest piece)) and walking back from position
+# length(w) with an unrolled prepend loop. Both engines reconstruct
+# the string independently and the driver hash-compares it verbatim —
+# the strongest cross-engine statement the tokenizer family makes.
+
+_CHOICE = 8
+
+
+def _uni_dp_paths_sql() -> str:
+    parts = []
+    for i in range(1, _UNI_MAX_WLEN + 1):
+        terms = []
+        for l in range(1, min(_UNI_MAX_PLEN, i) + 1):
+            prev = (
+                "CAST(0 AS BIGINT)"
+                if i - l == 0
+                else f"(c{i - l} // {_CHOICE})"
+            )
+            terms.append(
+                f"({prev} + {_UNI_SCALE} * coalesce(list_extract("
+                f"map_extract(m, substring(w, {i - l + 1}, {l})), 1),"
+                f" {_UNI_INF}) + 1) * {_CHOICE} + {l}"
+            )
+        parts.append(
+            f"dp{i} AS MATERIALIZED (SELECT *, least({', '.join(terms)})"
+            f" AS c{i} FROM dp{i - 1})"
+        )
+    return ",\n".join(parts)
+
+
+def _uni_backtrack_sql() -> str:
+    parts = []
+    for k in range(1, _UNI_MAX_WLEN + 1):
+        parts.append(
+            f"bta{k} AS MATERIALIZED (SELECT w, c, cs, core, pos, seg,\n"
+            f"  CASE WHEN pos > 0 THEN list_extract(cs, CAST(pos AS INT))"
+            f" % {_CHOICE}\n"
+            f"       ELSE CAST(0 AS BIGINT) END AS li\n"
+            f"  FROM bt{k - 1})"
+        )
+        parts.append(
+            f"bt{k} AS MATERIALIZED (SELECT w, c, cs, core,"
+            f" pos - li AS pos,\n"
+            f"  CASE WHEN pos > 0 THEN"
+            f" substring(w, CAST(pos - li + 1 AS INT), CAST(li AS INT))\n"
+            f"    || (CASE WHEN seg = '' THEN '' ELSE ' ' END) || seg\n"
+            f"  ELSE seg END AS seg\n"
+            f"  FROM bta{k})"
+        )
+    return ",\n".join(parts)
+
+
+def _q256_oracle() -> str:
+    comps = ", ".join(f"c{i}" for i in range(1, _UNI_MAX_WLEN + 1))
+    return (
+        "WITH "
+        + _UNI_VOCAB_CTES
+        + f""",
+pw AS (SELECT DISTINCT w, substring(w, i, l) AS piece
+       FROM wt,
+            unnest(generate_series(1, length(w))) t1(i),
+            unnest(generate_series(1, {_UNI_MAX_PLEN})) t2(l)
+       WHERE i + l - 1 <= length(w)),
+pm AS MATERIALIZED (
+  SELECT pw.w, map_from_entries(list({{k: pw.piece, v: vc.cost}})) AS m
+  FROM pw JOIN vc USING (piece) GROUP BY pw.w),
+dp0 AS MATERIALIZED (SELECT wt.w, wt.c, pm.m FROM wt JOIN pm USING (w)),
+"""
+        + _uni_dp_paths_sql()
+        + f""",
+fin AS MATERIALIZED (
+  SELECT w, c, [{comps}] AS cs,
+         CAST(list_extract([{comps}], length(w)) // {_CHOICE} AS BIGINT)
+           AS core
+  FROM dp{_UNI_MAX_WLEN}),
+bt0 AS (SELECT w, c, cs, core, CAST(length(w) AS BIGINT) AS pos,
+               '' AS seg
+        FROM fin),
+"""
+        + _uni_backtrack_sql()
+        + f"""
+SELECT w AS word, c AS n_occurrences,
+       CAST(core % {_UNI_SCALE} AS BIGINT) AS n_tokens,
+       CAST(core // {_UNI_SCALE} AS BIGINT) AS cost_unats,
+       seg AS segmentation
+FROM bt{_UNI_MAX_WLEN} ORDER BY word"""
+    )
+
+
+@register(
+    "q256_unigram_pieces",
+    _q256_oracle(),
+    "unigram segmentation pieces (round 11): the tokenizer's actual "
+    "output — per distinct word the winning piece SEQUENCE, "
+    "reconstructed by recording the argmin choice in the low bits of "
+    "the DP value (comp = 8*(32*cost + n_tokens) + piece_len, min = "
+    "lexicographic (cost, tokens, smallest piece)) and walking back "
+    "from length(w) with an unrolled prepend loop; both engines build "
+    "the string independently and it is hash-compared verbatim. Scale "
+    "shape: identical to q252 — pure expressions over the DISTINCT-"
+    "word relation, broadcast literal vocab, Generate barriers on the "
+    "DP and the backtrack, zero windows, zero Python",
+)
+def q256(spark, sf_dir):
+    from snowflake_cdc_spark.operators.unigram import viterbi_segment_paths
+
+    wt, vc = _uni_vocab_df(spark, sf_dir)
+    return (
+        viterbi_segment_paths(wt, vc, _UNI_MAX_WLEN, _UNI_MAX_PLEN)
+        .select(
+            F.col("w").alias("word"),
+            F.col("c").alias("n_occurrences"),
+            F.expr(f"core % {_UNI_SCALE}").cast("bigint").alias("n_tokens"),
+            F.expr(f"core div {_UNI_SCALE}").cast("bigint").alias(
+                "cost_unats"
+            ),
+            "segmentation",
+        )
+        .orderBy("word")
+    )

@@ -158,3 +158,25 @@ def test_curriculum_schedule_contract(spark):
     ]
     assert cums == sorted(cums)
     assert cums[-1] == sum(r.tokens for r in rows)
+
+
+def test_unigram_pieces_reconstruct_words_and_match_q252(spark):
+    qs = queries()
+    pieces = qs["q256_unigram_pieces"](spark, SF_SMOKE).collect()
+    seg = {
+        r.word: (r.cost_unats, r.n_tokens)
+        for r in qs["q252_unigram_segmentation"](spark, SF_SMOKE).collect()
+    }
+    vocab = {
+        r.piece for r in qs["q253_unigram_vocab"](spark, SF_SMOKE).collect()
+    }
+    assert len(pieces) == len(seg)
+    for r in pieces:
+        ps = r.segmentation.split(" ")
+        # the pieces concatenate back to the word, count matches, and
+        # every piece is in the vocabulary
+        assert "".join(ps) == r.word
+        assert len(ps) == r.n_tokens
+        assert set(ps) <= vocab
+        # the path's (cost, tokens) equals the q252 optimum
+        assert (r.cost_unats, r.n_tokens) == seg[r.word]
