@@ -980,3 +980,130 @@ def q256(spark, sf_dir):
         )
         .orderBy("word")
     )
+
+
+# --------------------------------------------------------------------------
+# Q257 — unigram hard-EM re-estimation round
+# --------------------------------------------------------------------------
+#
+# The training step that makes the unigram model a MODEL (Kudo 2018,
+# hard-EM/Viterbi variant): segment the corpus with the q253 costs,
+# count how often each vocabulary piece is actually USED along the
+# winning paths (occurrence-weighted), and re-estimate costs from the
+# usage distribution — pieces the segmenter never chooses fall out of
+# the model (kept = false), the rest get cost1 = -ln(used/total_used)
+# quantized once to micro-nats. One EM round; the output is the
+# re-estimated model card: (piece, cnt0, cost0, used, kept, cost1).
+#
+# Scale shape: the corpus-sized work is the q256 path DP (distinct
+# words) plus ONE piece-explode groupBy of the path strings; the
+# usage table is a subset of the vocabulary (<= V + alphabet rows,
+# parameter-bounded), so it is collected and the model card assembled
+# as a literal — the costed_vocab discipline end-to-end.
+
+
+def _q257_oracle() -> str:
+    comps = ", ".join(f"c{i}" for i in range(1, _UNI_MAX_WLEN + 1))
+    return (
+        "WITH "
+        + _UNI_VOCAB_CTES
+        + f""",
+pw AS (SELECT DISTINCT w, substring(w, i, l) AS piece
+       FROM wt,
+            unnest(generate_series(1, length(w))) t1(i),
+            unnest(generate_series(1, {_UNI_MAX_PLEN})) t2(l)
+       WHERE i + l - 1 <= length(w)),
+pm AS MATERIALIZED (
+  SELECT pw.w, map_from_entries(list({{k: pw.piece, v: vc.cost}})) AS m
+  FROM pw JOIN vc USING (piece) GROUP BY pw.w),
+dp0 AS MATERIALIZED (SELECT wt.w, wt.c, pm.m FROM wt JOIN pm USING (w)),
+"""
+        + _uni_dp_paths_sql()
+        + f""",
+fin AS MATERIALIZED (
+  SELECT w, c, [{comps}] AS cs,
+         CAST(list_extract([{comps}], length(w)) // {_CHOICE} AS BIGINT)
+           AS core
+  FROM dp{_UNI_MAX_WLEN}),
+bt0 AS (SELECT w, c, cs, core, CAST(length(w) AS BIGINT) AS pos,
+               '' AS seg
+        FROM fin),
+"""
+        + _uni_backtrack_sql()
+        + f""",
+used AS MATERIALIZED (
+  SELECT piece, CAST(sum(c) AS BIGINT) AS used
+  FROM bt{_UNI_MAX_WLEN}, unnest(string_split(seg, ' ')) t(piece)
+  GROUP BY 1),
+tu AS (SELECT CAST(sum(used) AS BIGINT) AS total_used FROM used)
+SELECT vc.piece,
+       vc.cnt AS cnt0,
+       vc.cost AS cost0,
+       CAST(coalesce(used.used, 0) AS BIGINT) AS used,
+       coalesce(used.used, 0) > 0 AS kept,
+       CASE WHEN coalesce(used.used, 0) > 0
+            THEN CAST(floor(ln(CAST(tu.total_used AS DOUBLE)
+                                / CAST(used.used AS DOUBLE))
+                            * 1000000.0 + 0.5) AS BIGINT)
+       END AS cost1
+FROM vc LEFT JOIN used USING (piece), tu
+ORDER BY vc.piece"""
+    )
+
+
+@register(
+    "q257_unigram_em_round",
+    _q257_oracle(),
+    "unigram hard-EM re-estimation round (round 11): segment the "
+    "corpus with the q253 costs (the q256 path DP), count occurrence-"
+    "weighted piece USAGE along the winning paths, and re-estimate — "
+    "pieces the segmenter never chooses leave the model (kept=false), "
+    "survivors get cost1 = -ln(used/total_used) in micro-nats; the "
+    "Kudo 2018 Viterbi-EM training step as one oracle-backed pass. "
+    "Scale shape: corpus work = the distinct-word path DP + ONE "
+    "piece-explode groupBy; the usage table is vocabulary-bounded "
+    "(parameter-fixed), collected, and the model card assembled as a "
+    "literal — the costed_vocab discipline end-to-end",
+)
+def q257(spark, sf_dir):
+    import math
+
+    from snowflake_cdc_spark.operators.unigram import viterbi_segment_paths
+
+    wt, vc = _uni_vocab_df(spark, sf_dir)
+    paths = viterbi_segment_paths(wt, vc, _UNI_MAX_WLEN, _UNI_MAX_PLEN)
+    used_rows = (
+        paths.select(
+            "c", F.explode(F.split("segmentation", " ")).alias("piece")
+        )
+        .groupBy("piece")
+        .agg(F.sum("c").cast("bigint").alias("used"))
+        .collect()
+    )
+    used = {r.piece: r.used for r in used_rows}
+    total_used = sum(used.values())
+    card = [
+        (
+            r.piece,
+            r.cnt,
+            r.cost,
+            used.get(r.piece, 0),
+            used.get(r.piece, 0) > 0,
+            (
+                int(
+                    math.floor(
+                        math.log(total_used / used[r.piece]) * 1000000.0
+                        + 0.5
+                    )
+                )
+                if r.piece in used
+                else None
+            ),
+        )
+        for r in sorted(vc.collect(), key=lambda r: r.piece)
+    ]
+    return spark.createDataFrame(
+        card,
+        "piece string, cnt0 bigint, cost0 bigint, used bigint,"
+        " kept boolean, cost1 bigint",
+    )

@@ -180,3 +180,23 @@ def test_unigram_pieces_reconstruct_words_and_match_q252(spark):
         assert set(ps) <= vocab
         # the path's (cost, tokens) equals the q252 optimum
         assert (r.cost_unats, r.n_tokens) == seg[r.word]
+
+
+def test_unigram_em_round_contract(spark):
+    qs = queries()
+    card = qs["q257_unigram_em_round"](spark, SF_SMOKE).collect()
+    seg = qs["q252_unigram_segmentation"](spark, SF_SMOKE).collect()
+    # usage reconciles with the segmentation: total piece uses ==
+    # occurrence-weighted token count
+    assert sum(r.used for r in card) == sum(
+        r.n_occurrences * r.n_tokens for r in seg
+    )
+    kept = [r for r in card if r.kept]
+    dropped = [r for r in card if not r.kept]
+    assert kept and dropped  # hard-EM genuinely prunes something
+    assert all(r.cost1 is not None and r.cost1 > 0 for r in kept)
+    assert all(r.cost1 is None and r.used == 0 for r in dropped)
+    # re-estimated costs are monotone in usage
+    by_used = sorted(kept, key=lambda r: r.used)
+    for lo, hi in zip(by_used, by_used[1:]):
+        assert hi.cost1 <= lo.cost1
