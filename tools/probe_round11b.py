@@ -47,6 +47,8 @@ LANES = {
     "q253": _lane("q253_unigram_vocab"),
     "q252": _lane("q252_unigram_segmentation"),
     "q254": _lane("q254_unigram_fertility"),
+    "q256": _lane("q256_unigram_pieces"),
+    "q257": _lane("q257_unigram_em_round"),
 }
 
 
