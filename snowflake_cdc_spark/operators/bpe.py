@@ -98,10 +98,20 @@ def train_bpe(words: DataFrame, rounds: int = 8) -> DataFrame:
 def _train_loop(wrapped: DataFrame, rounds: int, sym_pattern: str) -> DataFrame:
     """The shared merge-learning loop over a pre-wrapped (w, cnt)
     relation — identical for the character and byte lanes; only the
-    initial wrapping and the symbol alphabet differ."""
+    initial wrapping and the symbol alphabet differ.
+
+    One job per round (round 11): only the BASE wrapped relation is
+    persisted; each round's rewrite stays a LAZY ``replace`` projection
+    chained on top of it, so the per-round winner job (TakeOrdered over
+    the pair counts) is the only action. Catalyst collapses the chained
+    projections into one expression, so round ``r`` pays ``r`` nested
+    string replaces over the vocab-sized relation — O(rounds²) cheap
+    narrow work total, instead of a persist+count materialization pass
+    per round (2 jobs/round -> 1; the vocab relation is bounded by the
+    corpus VOCABULARY, never the corpus, so the recompute never grows
+    with data). Same winners, same algebra, hash-identical merges."""
     spark = wrapped.sparkSession
     cur = wrapped.persist()
-    cur.count()
     merges: list[tuple] = []
     try:
         for r in range(1, rounds + 1):
@@ -115,7 +125,7 @@ def _train_loop(wrapped: DataFrame, rounds: int, sym_pattern: str) -> DataFrame:
                 break
             l, rt, cnt = best[0]["l"], best[0]["r"], int(best[0]["pair_count"])
             merges.append((r, l, rt, l + rt, cnt))
-            nxt = cur.withColumn(
+            cur = cur.withColumn(
                 "w",
                 F.call_function(
                     "replace",
@@ -123,12 +133,9 @@ def _train_loop(wrapped: DataFrame, rounds: int, sym_pattern: str) -> DataFrame:
                     F.lit(SO + l + SC + SO + rt + SC),
                     F.lit(SO + l + rt + SC),
                 ),
-            ).persist()
-            nxt.count()
-            cur.unpersist()
-            cur = nxt
+            )
     finally:
-        cur.unpersist()
+        wrapped.unpersist()
     return spark.createDataFrame(
         merges,
         "merge_round int, left_s string, right_s string, "
