@@ -31,7 +31,11 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from snowflake_cdc_spark.functions.vectors import cosine_similarity
+from snowflake_cdc_spark.functions.vectors import (
+    cosine_similarity,
+    dot_product,
+    l2_norm,
+)
 
 
 @dataclass
@@ -192,15 +196,20 @@ def ivf_recall_check(
         .filter(F.col("__rn") <= nprobe)
         .select(query_id, "cell_id", F.lit(1).alias("__in_probe"))
     )
+    # norms pre-projected per side (round 11): one HOF (the dot) per
+    # pair instead of three — bit-identical sim (same IEEE op order)
     cand = (
-        index.corpus.crossJoin(F.broadcast(queries))
+        index.corpus.withColumn("__cn", l2_norm(index.vec_col))
+        .crossJoin(F.broadcast(queries.withColumn("__qn", l2_norm(query_vec))))
         .filter(F.col(index.id_col) != F.col(query_id))
         .join(F.broadcast(probes), [query_id, "cell_id"], "left")
         .select(
             query_id,
             index.id_col,
             F.round(
-                cosine_similarity(F.col(index.vec_col), F.col(query_vec)), 4
+                dot_product(F.col(index.vec_col), F.col(query_vec))
+                / (F.col("__cn") * F.col("__qn")),
+                4,
             ).alias("sim"),
             F.coalesce(F.col("__in_probe"), F.lit(0)).alias("__in_probe"),
         )
@@ -235,9 +244,12 @@ def ivf_search(
     """Top-k cosine neighbors probing each query's ``nprobe`` nearest
     cells. Output (query_id, <id_col>, sim)."""
     # 1. query → nprobe nearest cells (centroid table is tiny: broadcast)
-    scored_cells = queries.crossJoin(F.broadcast(index.centroids)).select(
+    scored_cells = queries.withColumn("__qn", l2_norm(query_vec)).crossJoin(
+        F.broadcast(index.centroids)
+    ).select(
         query_id,
         query_vec,
+        "__qn",
         "cell_id",
         cosine_similarity(F.col(query_vec), F.col("centroid")).alias("__csim"),
     )
@@ -245,17 +257,23 @@ def ivf_search(
     probes = (
         scored_cells.withColumn("__rn", F.row_number().over(w_cells))
         .filter(F.col("__rn") <= nprobe)
-        .select(query_id, query_vec, "cell_id")
+        .select(query_id, query_vec, "__qn", "cell_id")
     )
-    # 2. candidates: corpus ∩ probed cells (the pruned scan), exact cosine
-    cand = index.corpus.join(F.broadcast(probes), "cell_id")
+    # 2. candidates: corpus ∩ probed cells (the pruned scan), exact
+    # cosine with per-side pre-projected norms (round 11 — one HOF per
+    # pair instead of three; bit-identical sim)
+    cand = index.corpus.withColumn("__cn", l2_norm(index.vec_col)).join(
+        F.broadcast(probes), "cell_id"
+    )
     if exclude_self:
         cand = cand.filter(F.col(index.id_col) != F.col(query_id))
     scored = cand.select(
         query_id,
         index.id_col,
         F.round(
-            cosine_similarity(F.col(index.vec_col), F.col(query_vec)), 4
+            dot_product(F.col(index.vec_col), F.col(query_vec))
+            / (F.col("__cn") * F.col("__qn")),
+            4,
         ).alias("sim"),
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.col(index.id_col))

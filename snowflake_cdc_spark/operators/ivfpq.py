@@ -32,7 +32,11 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from snowflake_cdc_spark.functions.vectors import cosine_similarity
+from snowflake_cdc_spark.functions.vectors import (
+    cosine_similarity,
+    dot_product,
+    l2_norm,
+)
 from snowflake_cdc_spark.operators.ivf import IvfIndex, build_ivf
 from snowflake_cdc_spark.operators.pq import (
     PqIndex,
@@ -132,14 +136,19 @@ def ivfpq_search(
     # 3. exact re-rank of |queries| x shortlist survivors
     rescored = (
         shortlisted.join(
-            index.pq.codes.select(index.id_col, index.vec_col), index.id_col
+            index.pq.codes.select(
+                index.id_col, index.vec_col
+            ).withColumn("__cn", l2_norm(index.vec_col)),
+            index.id_col,
         )
-        .join(F.broadcast(queries), query_id)
+        .join(F.broadcast(queries.withColumn("__qn", l2_norm(query_vec))), query_id)
         .select(
             query_id,
             index.id_col,
             F.round(
-                cosine_similarity(F.col(index.vec_col), F.col(query_vec)), 4
+                dot_product(F.col(index.vec_col), F.col(query_vec))
+                / (F.col("__cn") * F.col("__qn")),
+                4,
             ).alias("sim"),
         )
     )
@@ -192,8 +201,11 @@ def ivfpq_recall_check(
         .select(query_id, "cell_id", F.lit(1).alias("__flag"))
     )
     adc = _adc_udf(index.pq, queries, query_id, query_vec)
+    # norms pre-projected per side (round 11): one HOF (the dot) per
+    # candidate pair instead of three — bit-identical sim
     cand = (
-        index.pq.codes.crossJoin(F.broadcast(queries))
+        index.pq.codes.withColumn("__cn", l2_norm(index.vec_col))
+        .crossJoin(F.broadcast(queries.withColumn("__qn", l2_norm(query_vec))))
         .filter(F.col(index.id_col) != F.col(query_id))
         .join(F.broadcast(probes), [query_id, "cell_id"], "left")
         .select(
@@ -201,7 +213,9 @@ def ivfpq_recall_check(
             index.id_col,
             adc(F.col("code"), F.col(query_id)).alias("__adc"),
             F.round(
-                cosine_similarity(F.col(index.vec_col), F.col(query_vec)), 4
+                dot_product(F.col(index.vec_col), F.col(query_vec))
+                / (F.col("__cn") * F.col("__qn")),
+                4,
             ).alias("sim"),
             F.coalesce(F.col("__flag"), F.lit(0)).alias("__in_probe"),
         )

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from snowflake_cdc_spark.functions.vectors import cosine_similarity
+from snowflake_cdc_spark.functions.vectors import dot_product, l2_norm
 
 
 def sign_bucket(vec: Column | str, dims: int = 16) -> Column:
@@ -44,13 +44,16 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Pairs with cosine ≥ threshold found via sign-bucket blocking.
     Output (a, b, sim), a < b."""
+    # per-row norm pre-projected before the self-join (round 11): one
+    # HOF (the dot) per pair instead of three — bit-identical sim
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
+        l2_norm(vec_col).alias("n"),
         sign_bucket(vec_col, dims).alias("bucket"),
     )
     x, y = base.alias("x"), base.alias("y")
-    sim = cosine_similarity(F.col("x.v"), F.col("y.v"))
+    sim = dot_product(F.col("x.v"), F.col("y.v")) / (F.col("x.n") * F.col("y.n"))
     if round_to is not None:
         sim = F.round(sim, round_to)
     return (
@@ -87,11 +90,13 @@ def cosine_topk_bucketed(
     c = corpus.select(
         F.col(corpus_id).alias(corpus_id),
         F.col(corpus_vec).alias("__cv"),
+        l2_norm(corpus_vec).alias("__cn"),
         sign_bucket(corpus_vec, dims).alias("__bucket"),
     )
     q = queries.select(
         F.col(query_id).alias(query_id),
         F.col(query_vec).alias("__qv"),
+        l2_norm(query_vec).alias("__qn"),
         sign_bucket(query_vec, dims).alias("__bucket"),
     )
     joined = c.join(q, "__bucket")
@@ -100,7 +105,11 @@ def cosine_topk_bucketed(
     scored = joined.select(
         query_id,
         corpus_id,
-        F.round(cosine_similarity(F.col("__cv"), F.col("__qv")), 4).alias("sim"),
+        F.round(
+            dot_product(F.col("__cv"), F.col("__qv"))
+            / (F.col("__cn") * F.col("__qn")),
+            4,
+        ).alias("sim"),
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.col(corpus_id))
     return (

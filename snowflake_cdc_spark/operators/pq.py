@@ -39,7 +39,10 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, DoubleType, IntegerType
 
-from snowflake_cdc_spark.functions.vectors import cosine_similarity
+from snowflake_cdc_spark.functions.vectors import (
+    dot_product,
+    l2_norm,
+)
 from snowflake_cdc_spark.operators.ivf import _train_centroids, bounded_md5_sample
 
 
@@ -323,14 +326,19 @@ def pq_search(
     # survivors only.
     rescored = (
         shortlisted.join(
-            index.codes.select(index.id_col, index.vec_col), index.id_col
+            index.codes.select(
+                index.id_col, index.vec_col
+            ).withColumn("__cn", l2_norm(index.vec_col)),
+            index.id_col,
         )
-        .join(F.broadcast(queries), query_id)
+        .join(F.broadcast(queries.withColumn("__qn", l2_norm(query_vec))), query_id)
         .select(
             query_id,
             index.id_col,
             F.round(
-                cosine_similarity(F.col(index.vec_col), F.col(query_vec)), 4
+                dot_product(F.col(index.vec_col), F.col(query_vec))
+                / (F.col("__cn") * F.col("__qn")),
+                4,
             ).alias("sim"),
         )
     )
@@ -358,15 +366,20 @@ def pq_recall_check(
     (row_number) and the ANN rank (running sum of the flag — exactly the
     rank ``pq_search``'s re-rank assigns, same (sim desc, id) order)."""
     adc = _adc_udf(index, queries, query_id, query_vec)
+    # norms pre-projected per side (round 11): one HOF (the dot) per
+    # candidate pair instead of three — bit-identical sim
     cand = (
-        index.codes.crossJoin(F.broadcast(queries))
+        index.codes.withColumn("__cn", l2_norm(index.vec_col))
+        .crossJoin(F.broadcast(queries.withColumn("__qn", l2_norm(query_vec))))
         .filter(F.col(index.id_col) != F.col(query_id))
         .select(
             query_id,
             index.id_col,
             adc(F.col("code"), F.col(query_id)).alias("__adc"),
             F.round(
-                cosine_similarity(F.col(index.vec_col), F.col(query_vec)), 4
+                dot_product(F.col(index.vec_col), F.col(query_vec))
+                / (F.col("__cn") * F.col("__qn")),
+                4,
             ).alias("sim"),
         )
     )
