@@ -63,7 +63,11 @@ def _dist(qcol, centroid: list[int]):
     # end-to-end). The lambda form stays compiled at any k; the
     # single-pair hot path uses the unrolled form instead
     # (ivf_exact._pair_dist).
-    arr = F.array(*[F.lit(int(v)).cast("bigint") for v in centroid])
+    # Round 11: build the centroid literal in ONE py4j call — the
+    # per-element F.lit loop cost ~d driver round-trips per centroid
+    # per plan reference (measured seconds of pure driver time per
+    # kmeans_fit round at d=64); same array values, same plan.
+    arr = F.lit([int(v) for v in centroid]).cast("array<bigint>")
     return F.aggregate(
         F.zip_with(qcol, arr, lambda x, y: (x - y) * (x - y)),
         F.lit(0).cast("bigint"),
@@ -126,6 +130,13 @@ def kmeans_fit(
                 ] = r["s"] // r["n"]  # non-negative by OFFSET: floor==trunc
             centroids = sorted((c, v) for c, v in by_cell.items())
             assigned = _assign(q, centroids)
+        # materialize the final assignment before releasing the cached
+        # quantized corpus (round 11, mirroring relational_kmeans_fit):
+        # the returned relation is consumed several times by every ANN
+        # lane (probe side, candidate side, label joins) and would
+        # otherwise re-run quantize + the k-way assignment expression
+        # from the parquet scan once PER consumer action
+        assigned = assigned.localCheckpoint(eager=True)
         return centroids, assigned
     finally:
         q.unpersist()

@@ -1094,7 +1094,7 @@ def q192(spark, sf_dir):
     nn = ivf_exact_search(
         centroids, assigned.select("vec_id", "qv", "cell"), queries,
         k=1, nprobe=4, dim=64,
-    )
+    ).localCheckpoint(eager=False)  # both self-join sides read it (r11)
     back = nn.select(
         F.col("query_id").alias("vec_id"), F.col("vec_id").alias("query_id")
     )
