@@ -63,6 +63,12 @@ def connected_components(
     if algorithm == "star":
         return connected_components_star(edges, src=src, dst=dst, max_iter=max_iter)
     if algorithm == "auto":
+        # materialize the edge subtree ONCE (round 11): the label-prop
+        # probe and the star fallback both consume it, and the detector
+        # feeding it (minhash/banding/verify in the dedup lanes) is the
+        # expensive part — without this a non-converging probe re-runs
+        # the whole detector when star restarts
+        edges = edges.localCheckpoint(eager=False)
         labels, converged = _label_prop(edges, src, dst, probe_iter)
         if converged:
             return labels
@@ -75,6 +81,14 @@ def _label_prop(
     edges: DataFrame, src: str, dst: str, max_iter: int
 ) -> tuple[DataFrame, bool]:
     """Min-label propagation; returns (labels, reached_fixpoint)."""
+    # Materialize the edge list once (round 11): the symmetrize union
+    # reads the input subtree TWICE (one branch per direction), and the
+    # near-dup callers feed an expensive pair-detector subtree here
+    # (minhash + banding + verify for q116/q230) — without this the
+    # whole detector runs twice before the loop even starts.
+    edges = edges.select(
+        F.col(src).alias(src), F.col(dst).alias(dst)
+    ).localCheckpoint(eager=False)
     # Symmetrize once and pre-hash-partition on the probe key: the cached
     # InMemoryTableScan reports its outputPartitioning, so the per-round
     # join re-shuffles only the (small) label side, never the edge list.

@@ -46,7 +46,10 @@ def orient_edges(undirected: DataFrame, a: str = "a", b: str = "b") -> DataFrame
 def triangle_count(undirected: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     """One row (n_triangles): wedges from each tail, canonically ordered
     by (dv, v), closed by an equi-join probe into the oriented set."""
-    ort = orient_edges(undirected, a, b)
+    # the oriented edge set feeds THREE consumers (both wedge sides and
+    # the closing-edge probe); materialize it once (round 11) instead of
+    # re-running the degree join + orientation subtree per consumer
+    ort = orient_edges(undirected, a, b).localCheckpoint(eager=False)
     left = ort.select(F.col("u"), F.col("v").alias("x"), F.col("dv").alias("dx"))
     right = ort.select(F.col("u"), F.col("v").alias("y"), F.col("dv").alias("dy"))
     wedges = left.join(right, "u").filter(
