@@ -215,8 +215,13 @@ def connected_components_star(
         # lazy checkpoint: the fingerprint aggregation right below is the
         # action that materializes it — one job per round instead of two
         # (eager checkpoint + separate scan), same lineage truncation
+        # no distinct between the two star ops (round 11): both are
+        # min-aggregations, so duplicate edges cannot change any m(u);
+        # the outer distinct still canonicalizes the round's output.
+        # Dropping it removes one full exchange of the edge list per
+        # round — the rounds x fixed-cost product IS this lane's cost.
         e = (
-            _small_star(_large_star(sym).distinct())
+            _small_star(_large_star(sym))
             .distinct()
             .localCheckpoint(eager=False)
         )
