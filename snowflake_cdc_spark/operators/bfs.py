@@ -88,35 +88,30 @@ def bounded_shortest_paths(
     weights). Per round: one join of the current distance table against
     the edge list + a map-side-combined min — the textbook distributed
     relaxation; localCheckpoint truncates lineage per round."""
+    # Fixed rounds, no early exit (round 11): the per-round
+    # persist+count materialization jobs were pure driver overhead —
+    # each round's LAZY checkpoint already materializes exactly once
+    # (covering its two consumers: next round's join and union) when
+    # the single final action runs, and still truncates lineage.
+    # rounds+1 driver jobs -> 1.
     dist = (
         seeds.select(node_col)
         .distinct()
         .withColumn("d", F.lit(0).cast("bigint"))
-        .persist()
+        .localCheckpoint(eager=False)
     )
-    dist.count()
-    try:
-        for _ in range(rounds):
-            relaxed = (
-                dist.join(edges, dist[node_col] == edges[src_col])
-                .select(
-                    F.col(dst_col).alias(node_col),
-                    (F.col("d") + F.col(weight_col)).alias("d"),
-                )
+    for _ in range(rounds):
+        relaxed = (
+            dist.join(edges, dist[node_col] == edges[src_col])
+            .select(
+                F.col(dst_col).alias(node_col),
+                (F.col("d") + F.col(weight_col)).alias("d"),
             )
-            nxt = (
-                dist.unionByName(relaxed)
-                .groupBy(node_col)
-                .agg(F.min("d").alias("d"))
-                .localCheckpoint(eager=False)
-                .persist()
-            )
-            nxt.count()
-            dist.unpersist()
-            dist = nxt
-        out = dist.localCheckpoint(eager=True)
-        dist.unpersist()
-        return out
-    except Exception:
-        dist.unpersist()
-        raise
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy(node_col)
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint(eager=False)
+        )
+    return dist.localCheckpoint(eager=True)
