@@ -673,10 +673,13 @@ def q187(spark, sf_dir):
     )
     assigned = equidepth_assign(src, "o_totalprice", "o_orderkey", k=10)
     joined = assigned.join(src.select("o_orderkey", "pos"), "o_orderkey")
+    # k-row relation consumed by BOTH the totals agg and the final
+    # projection — materialize once (round 11) or the whole equi-depth
+    # assignment subtree executes twice
     bins = joined.groupBy("bucket").agg(
         F.sum("pos").cast("bigint").alias("n_pos"),
         (F.count(F.lit(1)) - F.sum("pos")).cast("bigint").alias("n_neg"),
-    )
+    ).localCheckpoint(eager=False)
     t = bins.agg(
         F.sum(F.col("n_pos") + 1).cast("bigint").alias("p"),
         F.sum(F.col("n_neg") + 1).cast("bigint").alias("q"),
