@@ -199,12 +199,18 @@ class JoinViewMaintainer:
             # Truncate lineage per batch (components.py discipline): each
             # state references the previous batch's state — without this the
             # final plan re-executes every batch's merges multiplicatively
-            # (measured 21 s -> 9 s at sf0.1 for 3 batches; eager materialization measured 11 s — lazy wins because states the next batch never touches are not forced). In a streaming
+            # (measured 21 s -> 9 s at sf0.1 for 3 batches). Re-measured in
+            # round 11 with the change-feed subtree pre-materialized by the
+            # caller: EAGER wins (7.7 s vs 8.6 lazy) — unmaterialized lazy
+            # checkpoints leave the full previous-batch tree in the logical
+            # plan, so every next-batch operation re-ANALYZES a growing
+            # plan; eager truncation keeps per-batch analysis flat, and all
+            # three states are touched every batch anyway. In a streaming
             # foreachBatch the sink write IS the truncation; localCheckpoint
             # is its batch-mode stand-in.
-            self.fact = self.fact.localCheckpoint(eager=False)
-            self.dim = self.dim.localCheckpoint(eager=False)
-            self.view = self.view.localCheckpoint(eager=False)
+            self.fact = self.fact.localCheckpoint(eager=True)
+            self.dim = self.dim.localCheckpoint(eager=True)
+            self.view = self.view.localCheckpoint(eager=True)
         return self.view
 
     def _write_tbl(self, name: str, df: DataFrame, key: str, gen: str) -> DataFrame:

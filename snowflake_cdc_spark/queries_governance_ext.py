@@ -536,6 +536,9 @@ def q139(spark, sf_dir):
         F.col("row_o_orderkey").alias("o_orderkey"),
         F.col("row_o_totalprice").alias("o_totalprice"),
     )
+    # one materialization of the flattened CDC relation (round 11): each
+    # batch filter re-analyzed the whole wide flatten subtree otherwise
+    fact = fact.localCheckpoint(eager=False)
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     dim_b0 = cust.select(
         "c_custkey", "c_mktsegment",
