@@ -324,7 +324,10 @@ def _dsir_selection(spark, sf_dir):
 
     from snowflake_cdc_spark.operators.rank import skewed_count_rank
 
-    pool = _dsir_pool(spark, sf_dir)
+    # one materialization of the scored pool (round 11): the min-shift
+    # agg, the count agg and the rank machinery's own branches read it
+    # ~4x otherwise, each re-running the gram explode + bucket groupBys
+    pool = _dsir_pool(spark, sf_dir).localCheckpoint(eager=False)
     # skewed_count_rank needs a positive integer count: min-shift the
     # weight (monotone, so the (logw DESC, md5, id) order is unchanged)
     m = pool.agg(F.min("logw").alias("__m"))
