@@ -95,6 +95,11 @@ def costed_vocab(
     artifact) and returned as a literal relation."""
     from snowflake_cdc_spark.operators.rank import rangebucket_rank
 
+    # materialize the piece counts once (round 11): rangebucket_rank
+    # reads its input from three plan branches (extent agg, intra-bucket
+    # rank, bucket counts), so the substring explode + groupBy subtree
+    # would otherwise execute ~3x for the one vocab collect
+    pc = pc.localCheckpoint(eager=False)
     vr = rangebucket_rank(pc.withColumn("neg", -F.col("cnt")), "neg", "piece")
     vb = vr.filter(
         (F.col("rn") <= vocab_size) | (F.length("piece") == 1)

@@ -527,6 +527,11 @@ def _uni_vocab_df(spark, sf_dir):
         .filter(F.length("w") <= _UNI_MAX_WLEN)
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        # one materialization (round 11): consumed by the vocab build
+        # AND by two branches of every downstream DP plan (piece
+        # explode + the word join) — the corpus explode + groupBy
+        # would otherwise re-run per consumer
+        .localCheckpoint(eager=False)
     )
     vc = unigram.costed_vocab(
         spark, unigram.piece_counts(wt, _UNI_MAX_PLEN), _UNI_VOCAB
