@@ -103,6 +103,9 @@ def main() -> None:
     failures: dict[str, str] = {}
     for name, fn in sorted(queries().items()):
         try:
+            # label jobs (guide §1.5) so event logs / the UI map back to
+            # queries — metadata only, no effect on timing
+            spark.sparkContext.setJobDescription(name)
             results[name] = round(time_df(lambda: fn(spark, SF_DIR)), 3)
         except Exception as e:  # keep benching; report the failure
             failures[name] = str(e).split("\n")[0][:200]
@@ -159,6 +162,21 @@ def main() -> None:
     with open(results_path, "w") as f:
         json.dump(full_payload, f, separators=(",", ":"))
     sys.stdout.write(json.dumps(full_payload, separators=(",", ":")) + "\n")
+    # One JSON line PER QUERY (round 12, additions-only): the driver's
+    # stdout tail window is a few KB, so the giant map line above never
+    # parses from the tail — these short lines let any tail capture
+    # recover the last ~100 per-query numbers line-by-line. The map file
+    # and the final summary line below are unchanged.
+    for name in sorted(results):
+        sys.stdout.write(
+            json.dumps({"query": name, "sec": results[name]}, separators=(",", ":"))
+            + "\n"
+        )
+    for name in sorted(failures):
+        sys.stdout.write(
+            json.dumps({"query": name, "error": failures[name]}, separators=(",", ":"))
+            + "\n"
+        )
     # FINAL line = summary only (a few hundred bytes, always fits the
     # tail window). The per-query map lives in bench_queries.json.
     summary = {

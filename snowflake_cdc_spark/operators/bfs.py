@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from snowflake_cdc_spark.operators.util import ckpt_eager, ckpt_lazy
 
 
 def khop_distances(
@@ -48,7 +49,7 @@ def khop_distances(
                 .join(visited.select(node_col), node_col, "left_anti")
                 .withColumn("dist", F.lit(h).cast("int"))
             )
-            new_visited = visited.unionByName(nxt).localCheckpoint(eager=False)
+            new_visited = visited.unionByName(nxt).transform(ckpt_lazy)
             new_visited = new_visited.persist()
             n_now = new_visited.count()
             visited.unpersist()
@@ -64,7 +65,7 @@ def khop_distances(
         # hand back a materialized copy and release the cache entry —
         # the loop's working persist must not leak across repeated calls
         # in one session (the determinism audit runs every query twice)
-        out = visited.localCheckpoint(eager=True)
+        out = visited.transform(ckpt_eager)
         visited.unpersist()
         return out
     except Exception:
@@ -98,7 +99,7 @@ def bounded_shortest_paths(
         seeds.select(node_col)
         .distinct()
         .withColumn("d", F.lit(0).cast("bigint"))
-        .localCheckpoint(eager=False)
+        .transform(ckpt_lazy)
     )
     for _ in range(rounds):
         relaxed = (
@@ -112,6 +113,6 @@ def bounded_shortest_paths(
             dist.unionByName(relaxed)
             .groupBy(node_col)
             .agg(F.min("d").alias("d"))
-            .localCheckpoint(eager=False)
+            .transform(ckpt_lazy)
         )
-    return dist.localCheckpoint(eager=True)
+    return dist.transform(ckpt_eager)

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from snowflake_cdc_spark.operators.util import ckpt_eager, ckpt_lazy
 
 
 def connected_components(
@@ -68,7 +69,7 @@ def connected_components(
         # feeding it (minhash/banding/verify in the dedup lanes) is the
         # expensive part — without this a non-converging probe re-runs
         # the whole detector when star restarts
-        edges = edges.localCheckpoint(eager=False)
+        edges = edges.transform(ckpt_lazy)
         labels, converged = _label_prop(edges, src, dst, probe_iter)
         if converged:
             return labels
@@ -88,7 +89,7 @@ def _label_prop(
     # whole detector runs twice before the loop even starts.
     edges = edges.select(
         F.col(src).alias(src), F.col(dst).alias(dst)
-    ).localCheckpoint(eager=False)
+    ).transform(ckpt_lazy)
     # Symmetrize once and pre-hash-partition on the probe key: the cached
     # InMemoryTableScan reports its outputPartitioning, so the per-round
     # join re-shuffles only the (small) label side, never the edge list.
@@ -103,7 +104,7 @@ def _label_prop(
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
+        .transform(ckpt_eager)
     )
     # Labels are elementwise non-increasing (min is monotone), so the label
     # sum strictly decreases until fixpoint: one cheap scan per round
@@ -130,7 +131,7 @@ def _label_prop(
             )
             # lazy: the fixpoint sum right below materializes it — one job
             # per round instead of eager-checkpoint + separate scan
-            .localCheckpoint(eager=False)
+            .transform(ckpt_lazy)
         )
         cur_sum = _sum(labels)
         if cur_sum == prev_sum:
@@ -195,13 +196,13 @@ def connected_components_star(
             F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
         )
         .distinct()
-        .localCheckpoint()
+        .transform(ckpt_eager)
     )
     all_nodes = (
         e.select(F.col("a").alias("node"))
         .union(e.select(F.col("b").alias("node")))
         .distinct()
-        .localCheckpoint()
+        .transform(ckpt_eager)
     )
     _fp = lambda df: tuple(
         df.agg(
@@ -223,7 +224,7 @@ def connected_components_star(
         e = (
             _small_star(_large_star(sym))
             .distinct()
-            .localCheckpoint(eager=False)
+            .transform(ckpt_lazy)
         )
         cur = _fp(e)
         if cur == prev:

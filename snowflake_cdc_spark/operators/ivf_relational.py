@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from snowflake_cdc_spark.operators.ivf_exact import _pair_dist
 from snowflake_cdc_spark.operators.kmeans_exact import quantize_vectors
+from snowflake_cdc_spark.operators.util import ckpt_eager
 
 
 def _arr_dist(a, b):
@@ -140,8 +141,8 @@ def relational_kmeans_fit(
             assigned = _assign_join(q, centroids)
         # materialize both outputs so the cached quantized corpus can be
         # released here instead of leaking one persisted copy per call
-        centroids = centroids.localCheckpoint(eager=True)
-        assigned = assigned.localCheckpoint(eager=True)
+        centroids = centroids.transform(ckpt_eager)
+        assigned = assigned.transform(ckpt_eager)
         return centroids, assigned
     finally:
         q.unpersist()

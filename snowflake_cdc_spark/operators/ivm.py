@@ -36,6 +36,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, functions as F
 
 from snowflake_cdc_spark.operators.upsert import latest_by_key
+from snowflake_cdc_spark.operators.util import ckpt_eager
 
 
 @dataclass
@@ -208,9 +209,9 @@ class JoinViewMaintainer:
             # three states are touched every batch anyway. In a streaming
             # foreachBatch the sink write IS the truncation; localCheckpoint
             # is its batch-mode stand-in.
-            self.fact = self.fact.localCheckpoint(eager=True)
-            self.dim = self.dim.localCheckpoint(eager=True)
-            self.view = self.view.localCheckpoint(eager=True)
+            self.fact = self.fact.transform(ckpt_eager)
+            self.dim = self.dim.transform(ckpt_eager)
+            self.view = self.view.transform(ckpt_eager)
         return self.view
 
     def _write_tbl(self, name: str, df: DataFrame, key: str, gen: str) -> DataFrame:

@@ -36,6 +36,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from snowflake_cdc_spark.operators.util import ckpt_eager, ckpt_lazy
 
 
 def kcore(
@@ -87,7 +88,7 @@ def kcore(
                 .join(
                     peeled.withColumnRenamed("node", dst_col), dst_col, "left_anti"
                 )
-                .localCheckpoint(eager=False)
+                .transform(ckpt_lazy)
                 .persist()
             )
             nxt.count()
@@ -112,7 +113,7 @@ def kcore(
                 max_rounds,
                 max_rounds,
             )
-        out = deg.filter(F.col("deg") >= k).localCheckpoint(eager=True)
+        out = deg.filter(F.col("deg") >= k).transform(ckpt_eager)
         return out
     finally:
         cur.unpersist()

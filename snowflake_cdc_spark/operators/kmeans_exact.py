@@ -35,6 +35,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from snowflake_cdc_spark.operators.util import ckpt_eager
 
 SCALE = 10_000.0
 OFFSET = 1.0
@@ -136,7 +137,7 @@ def kmeans_fit(
         # lane (probe side, candidate side, label joins) and would
         # otherwise re-run quantize + the k-way assignment expression
         # from the parquet scan once PER consumer action
-        assigned = assigned.localCheckpoint(eager=True)
+        assigned = assigned.transform(ckpt_eager)
         return centroids, assigned
     finally:
         q.unpersist()

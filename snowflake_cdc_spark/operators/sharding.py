@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from snowflake_cdc_spark.functions.text import UNICODE_WORD
 from snowflake_cdc_spark.operators.shuffle import deterministic_shuffle
+from snowflake_cdc_spark.operators.util import ckpt_eager
 
 __all__ = ["shard_assignments", "shard_manifest"]
 
@@ -75,7 +76,7 @@ def shard_assignments(
                 f"CAST(((shuffle_rank - 1) * {n_buckets}) DIV __n AS BIGINT)"
             ),
         )
-        .localCheckpoint(eager=True)
+        .transform(ckpt_eager)
     )
     per_bucket = keyed.groupBy("__rb").agg(F.sum("tok").alias("__bt"))
     offsets = per_bucket.select(

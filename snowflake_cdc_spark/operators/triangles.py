@@ -17,6 +17,7 @@ full DuckDB oracle of the same oriented algorithm).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from snowflake_cdc_spark.operators.util import ckpt_lazy
 
 
 def orient_edges(undirected: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
@@ -49,7 +50,7 @@ def triangle_count(undirected: DataFrame, a: str = "a", b: str = "b") -> DataFra
     # the oriented edge set feeds THREE consumers (both wedge sides and
     # the closing-edge probe); materialize it once (round 11) instead of
     # re-running the degree join + orientation subtree per consumer
-    ort = orient_edges(undirected, a, b).localCheckpoint(eager=False)
+    ort = orient_edges(undirected, a, b).transform(ckpt_lazy)
     left = ort.select(F.col("u"), F.col("v").alias("x"), F.col("dv").alias("dx"))
     right = ort.select(F.col("u"), F.col("v").alias("y"), F.col("dv").alias("dy"))
     wedges = left.join(right, "u").filter(

@@ -38,6 +38,7 @@ import math
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from snowflake_cdc_spark.operators.util import ckpt_lazy
 
 __all__ = [
     "MAX_PLEN",
@@ -99,7 +100,7 @@ def costed_vocab(
     # reads its input from three plan branches (extent agg, intra-bucket
     # rank, bucket counts), so the substring explode + groupBy subtree
     # would otherwise execute ~3x for the one vocab collect
-    pc = pc.localCheckpoint(eager=False)
+    pc = pc.transform(ckpt_lazy)
     vr = rangebucket_rank(pc.withColumn("neg", -F.col("cnt")), "neg", "piece")
     vb = vr.filter(
         (F.col("rn") <= vocab_size) | (F.length("piece") == 1)

@@ -4,6 +4,66 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+CKPT_MODE_KEY = "spark.snowflake_cdc.checkpoint.mode"
+CKPT_DIR_KEY = "spark.snowflake_cdc.checkpoint.dir"
+
+
+def _ckpt(df: DataFrame, eager: bool) -> DataFrame:
+    """Lineage-truncating materialization with a production escape hatch.
+
+    Every iterative/shared-subtree operator truncates lineage through
+    this helper (via ``ckpt_eager``/``ckpt_lazy`` below). The default is
+    ``localCheckpoint`` — cheapest, but its storage is NON-REPLICATED
+    executor state: on a real cluster an executor loss kills the query
+    instead of recomputing. ``spark.snowflake_cdc.checkpoint.mode``
+    switches the posture session-wide without touching operator code:
+
+    - ``local`` (default): ``localCheckpoint`` — bench/dev posture.
+    - ``reliable``: ``DataFrame.checkpoint`` to the directory configured
+      by ``spark.snowflake_cdc.checkpoint.dir`` (or a pre-set
+      ``sparkContext.setCheckpointDir``) — survives executor loss; the
+      production posture for long multi-round jobs.
+
+    A ``persist(DISK_ONLY)`` variant was tried and rejected: persist
+    keeps the logical plan, so for the iterative operators every round
+    REGISTERS a growing nested plan in the CacheManager and every later
+    analysis pays a deep plan-equality sweep against all of them —
+    measured minutes of driver CPU in ``Project.equals`` on a 40-node
+    toy graph. Lineage truncation is the point of these call sites;
+    both remaining modes truncate.
+    """
+    spark = df.sparkSession
+    mode = spark.conf.get(CKPT_MODE_KEY, "local")
+    if mode == "local":
+        return df.localCheckpoint(eager=eager)
+    if mode == "reliable":
+        sc = spark.sparkContext
+        if sc._jsc.sc().getCheckpointDir().isEmpty():
+            ckpt_dir = spark.conf.get(CKPT_DIR_KEY, None)
+            if not ckpt_dir:
+                raise ValueError(
+                    f"{CKPT_MODE_KEY}=reliable needs a checkpoint "
+                    f"directory: set {CKPT_DIR_KEY} or call "
+                    "sparkContext.setCheckpointDir()"
+                )
+            sc.setCheckpointDir(ckpt_dir)
+        return df.checkpoint(eager=eager)
+    raise ValueError(
+        f"unknown {CKPT_MODE_KEY}={mode!r}; expected local|reliable"
+    )
+
+
+def ckpt_eager(df: DataFrame) -> DataFrame:
+    """``df.transform(ckpt_eager)`` — materialize now, truncate lineage."""
+    return _ckpt(df, eager=True)
+
+
+def ckpt_lazy(df: DataFrame) -> DataFrame:
+    """``df.transform(ckpt_lazy)`` — truncate lineage; the first action
+    materializes (one job instead of two for loops whose convergence
+    check is itself an action)."""
+    return _ckpt(df, eager=False)
+
 
 def ensure_persisted(df: DataFrame) -> DataFrame:
     """``persist()`` unless this plan is ALREADY in the cache.

@@ -56,6 +56,7 @@ from snowflake_cdc_spark.operators.expectations import (
 from snowflake_cdc_spark.operators.retrieval import bm25_topk
 from snowflake_cdc_spark.queries import _t, register
 from snowflake_cdc_spark.sources.cdc import CDC_EVENTS_SQL
+from snowflake_cdc_spark.operators.util import ckpt_lazy
 
 # --------------------------------------------------------------------------
 # Q130 — BM25 retrieval: top-10 documents for a 3-term keyword query
@@ -538,7 +539,7 @@ def q139(spark, sf_dir):
     )
     # one materialization of the flattened CDC relation (round 11): each
     # batch filter re-analyzed the whole wide flatten subtree otherwise
-    fact = fact.localCheckpoint(eager=False)
+    fact = fact.transform(ckpt_lazy)
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     dim_b0 = cust.select(
         "c_custkey", "c_mktsegment",

@@ -35,15 +35,17 @@ The oracle re-derives the ENTIRE composition — split, model, every
 score, gram hits, dedup winners, the selection prefix, the BPE merges,
 and the packing sums — in one CTE chain.
 
-Checkpoint posture (r10 what's-wrong #5): the per-stage
-``localCheckpoint`` calls below materialize each stage once so the gate
-and the next stage share one computation — correct and cheap at driver
-SFs, but localCheckpoint storage is NON-REPLICATED executor-local
+Checkpoint posture (r10 what's-wrong #5, wired round 12): the
+per-stage materializations below run each stage once so the gate and
+the next stage share one computation. They route through
+``operators.util.ckpt_eager``/``ckpt_lazy``, whose default
+(``localCheckpoint``) is cheap but NON-REPLICATED executor-local
 state: on a real cluster an executor loss kills the query instead of
-recomputing the lineage. At production scale swap them for
-``spark.sparkContext.setCheckpointDir`` + reliable ``checkpoint()``
-(HDFS/S3-backed) or explicit ``persist(StorageLevel.MEMORY_AND_DISK_2)``
-— same plan shapes, fault-tolerant storage.
+recomputing the lineage. The production escape hatch is the session
+config ``spark.snowflake_cdc.checkpoint.mode`` = ``reliable``
+(HDFS/S3-backed ``checkpoint()``, dir from
+``spark.snowflake_cdc.checkpoint.dir``) — same plan shapes,
+fault-tolerant storage, no operator-code changes.
 """
 
 from __future__ import annotations
@@ -52,6 +54,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from snowflake_cdc_spark.queries import _t, register
+from snowflake_cdc_spark.operators.util import ckpt_eager, ckpt_lazy
 
 # --------------------------------------------------------------------------
 # Q239/Q240 — the end-to-end corpus build
@@ -263,7 +266,7 @@ def _split(spark, sf_dir, docs=None):
     return (
         stratified_split(d)
         .select("doc_id", "source", "pos", "text", "h", "split")
-        .localCheckpoint(eager=False)
+        .transform(ckpt_lazy)
     )
 
 
@@ -311,7 +314,7 @@ def _budget_select(sc_df, budget: int):
             "__rb",
             F.expr(f"CAST(((rk - 1) * {_SEL_BUCKETS}) DIV __n AS BIGINT)"),
         )
-        .localCheckpoint(eager=True)  # both branches read the rank subtree
+        .transform(ckpt_eager)  # both branches read the rank subtree
     )
     per_bucket = keyed.groupBy("__rb").agg(F.sum("n_toks").alias("__bt"))
     offsets = per_bucket.select(
@@ -368,14 +371,14 @@ def _corpus_stages(spark, sf_dir, lr=None, k=None, docs=None):
             _uwords(F.col("text")).alias("ws"),
         )
         .withColumn("n_toks", F.size("ws").cast("bigint"))
-        .localCheckpoint(eager=False)
+        .transform(ckpt_lazy)
     )
 
     # stage 1: NB quality filter (score > 0 against the seed model)
     scored = nb_score(candt.select("doc_id", "ws"), lr, k)
     f1 = candt.join(
         scored.filter(F.col("pred_pos")).select("doc_id"), "doc_id"
-    ).localCheckpoint(eager=False)
+    ).transform(ckpt_lazy)
 
     # stage 2: decontaminate vs the (planted) test split — gram-keyed
     test_g = (
@@ -388,7 +391,7 @@ def _corpus_stages(spark, sf_dir, lr=None, k=None, docs=None):
         .distinct()
     )
     hits = _norm_grams(f1).join(test_g, "gram").select("doc_id").distinct()
-    f2 = f1.join(hits, "doc_id", "left_anti").localCheckpoint(eager=False)
+    f2 = f1.join(hits, "doc_id", "left_anti").transform(ckpt_lazy)
 
     # stage 3: exact dedup — fingerprint groupBy, md5-smallest survives
     w_fp = Window.partitionBy("fp").orderBy("h", "doc_id")
@@ -398,7 +401,7 @@ def _corpus_stages(spark, sf_dir, lr=None, k=None, docs=None):
         .filter(F.col("rn") == 1)
         .select("doc_id")
     )
-    f3 = f2.join(keep, "doc_id").localCheckpoint(eager=False)
+    f3 = f2.join(keep, "doc_id").transform(ckpt_lazy)
 
     # stage 4: token-budget selection (quality = distinct-word count)
     sc4 = f3.select(
@@ -412,7 +415,7 @@ def _corpus_stages(spark, sf_dir, lr=None, k=None, docs=None):
     f4 = (
         _budget_select(sc4, _CB_BUDGET)
         .select("doc_id", "source", "text", "n_toks")
-        .localCheckpoint(eager=False)
+        .transform(ckpt_lazy)
     )
     return {"candt": candt, "f1": f1, "f2": f2, "f3": f3, "f4": f4}
 
@@ -659,7 +662,7 @@ def q242(spark, sf_dir):
         word_frequencies,
     )
 
-    ml = _ml_corpus(spark, sf_dir).localCheckpoint(eager=False)
+    ml = _ml_corpus(spark, sf_dir).transform(ckpt_lazy)
     bwords = byte_word_frequencies(ml)
     bmerges = [tuple(m) for m in train_byte_bpe(bwords, rounds=_CB_ROUNDS).collect()]
     btok = apply_byte_bpe(bwords, bmerges)

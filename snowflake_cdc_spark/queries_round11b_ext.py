@@ -19,6 +19,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from snowflake_cdc_spark.queries import _t, register
+from snowflake_cdc_spark.operators.util import ckpt_lazy
 
 # --------------------------------------------------------------------------
 # Q249 — data-constrained token accounting (epochs + effective tokens)
@@ -531,7 +532,7 @@ def _uni_vocab_df(spark, sf_dir):
         # AND by two branches of every downstream DP plan (piece
         # explode + the word join) — the corpus explode + groupBy
         # would otherwise re-run per consumer
-        .localCheckpoint(eager=False)
+        .transform(ckpt_lazy)
     )
     vc = unigram.costed_vocab(
         spark, unigram.piece_counts(wt, _UNI_MAX_PLEN), _UNI_VOCAB

@@ -23,6 +23,7 @@ from snowflake_cdc_spark.functions.text import UNICODE_WORD
 from snowflake_cdc_spark.operators.kcore import kcore
 from snowflake_cdc_spark.operators.phrase import phrase_search
 from snowflake_cdc_spark.queries import _t, register
+from snowflake_cdc_spark.operators.util import ckpt_eager, ckpt_lazy
 
 # --------------------------------------------------------------------------
 # Q179 — k-core decomposition (iterative peeling, operators/kcore.py)
@@ -103,7 +104,7 @@ def q179(spark, sf_dir):
         # the pair build dominates the lane; materialize it ONCE and
         # let both k-level peels read the checkpoint instead of each
         # re-running the co-purchase join+groupBy
-        .localCheckpoint(eager=True)
+        .transform(ckpt_eager)
     )
     out = None
     for k in (2, 3):
@@ -679,7 +680,7 @@ def q187(spark, sf_dir):
     bins = joined.groupBy("bucket").agg(
         F.sum("pos").cast("bigint").alias("n_pos"),
         (F.count(F.lit(1)) - F.sum("pos")).cast("bigint").alias("n_neg"),
-    ).localCheckpoint(eager=False)
+    ).transform(ckpt_lazy)
     t = bins.agg(
         F.sum(F.col("n_pos") + 1).cast("bigint").alias("p"),
         F.sum(F.col("n_neg") + 1).cast("bigint").alias("q"),
@@ -1097,7 +1098,7 @@ def q192(spark, sf_dir):
     nn = ivf_exact_search(
         centroids, assigned.select("vec_id", "qv", "cell"), queries,
         k=1, nprobe=4, dim=64,
-    ).localCheckpoint(eager=False)  # both self-join sides read it (r11)
+    ).transform(ckpt_lazy)  # both self-join sides read it (r11)
     back = nn.select(
         F.col("query_id").alias("vec_id"), F.col("vec_id").alias("query_id")
     )

@@ -48,6 +48,7 @@ from snowflake_cdc_spark.operators.bpe import (
 )
 from snowflake_cdc_spark.operators.packing import packing_stats
 from snowflake_cdc_spark.queries import _t, register
+from snowflake_cdc_spark.operators.util import ckpt_eager
 
 # --------------------------------------------------------------------------
 # Q209 — tokenizer-aware sequence packing (q114 × q145/q146)
@@ -290,7 +291,7 @@ def q211(spark, sf_dir):
             "__rb",
             F.expr(f"CAST(((rk - 1) * {_SEL_BUCKETS}) DIV __n AS BIGINT)"),
         )
-        .localCheckpoint(eager=True)  # both branches read the rank subtree
+        .transform(ckpt_eager)  # both branches read the rank subtree
     )
     per_bucket = keyed.groupBy("__rb").agg(F.sum("n_toks").alias("__bt"))
     offsets = per_bucket.select(

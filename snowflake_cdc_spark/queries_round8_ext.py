@@ -53,6 +53,7 @@ from snowflake_cdc_spark.functions.text import (
     script_of,
 )
 from snowflake_cdc_spark.queries import _t, register
+from snowflake_cdc_spark.operators.util import ckpt_eager, ckpt_lazy
 
 # --------------------------------------------------------------------------
 # Q220 — Unicode tokenization audit (the multilingual lane)
@@ -327,7 +328,7 @@ def _dsir_selection(spark, sf_dir):
     # one materialization of the scored pool (round 11): the min-shift
     # agg, the count agg and the rank machinery's own branches read it
     # ~4x otherwise, each re-running the gram explode + bucket groupBys
-    pool = _dsir_pool(spark, sf_dir).localCheckpoint(eager=False)
+    pool = _dsir_pool(spark, sf_dir).transform(ckpt_lazy)
     # skewed_count_rank needs a positive integer count: min-shift the
     # weight (monotone, so the (logw DESC, md5, id) order is unchanged)
     m = pool.agg(F.min("logw").alias("__m"))
@@ -344,7 +345,7 @@ def _dsir_selection(spark, sf_dir):
             "__rb",
             F.expr(f"CAST(((rk - 1) * {_DSIR_SEL_BUCKETS}) DIV __n AS BIGINT)"),
         )
-        .localCheckpoint(eager=True)  # both branches read the rank subtree
+        .transform(ckpt_eager)  # both branches read the rank subtree
     )
     per_bucket = keyed.groupBy("__rb").agg(F.sum("n_toks").alias("__bt"))
     offsets = per_bucket.select(
@@ -1153,7 +1154,7 @@ def q227(spark, sf_dir):
         # both the totals branch and the per-term branch read this
         # vocab-sized table — materialize once or the whole DSIR
         # selection subtree executes twice (q139's checkpoint pattern)
-        .localCheckpoint(eager=True)
+        .transform(ckpt_eager)
     )
     t2 = cw.agg(
         F.sum("ct").cast("bigint").alias("nt"),

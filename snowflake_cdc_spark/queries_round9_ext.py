@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from snowflake_cdc_spark.functions.text import UNICODE_WORD
 from snowflake_cdc_spark.operators.histogram import ntile_fill_sql
 from snowflake_cdc_spark.queries import _t, register
+from snowflake_cdc_spark.operators.util import ckpt_lazy
 
 # --------------------------------------------------------------------------
 # Q52c/Q133c/Q144c — fixed-panel ANN recall evaluation (the 100-TB shape)
@@ -227,7 +228,7 @@ def q192b(spark, sf_dir):
     nn = relational_ivf_topk(
         centroids, assigned.select("vec_id", "qv", "cell"), queries,
         k=1, nprobe=4, dim=64,
-    ).localCheckpoint(eager=False)  # both self-join sides read it (r11)
+    ).transform(ckpt_lazy)  # both self-join sides read it (r11)
     back = nn.select(
         F.col("query_id").alias("vec_id"), F.col("vec_id").alias("query_id")
     )
@@ -323,7 +324,7 @@ def _nb_test_scores(spark, sf_dir):
     s = (
         stratified_split(d)
         .select("doc_id", "pos", "ws", "split")
-        .localCheckpoint(eager=False)  # train and test branches share the split
+        .transform(ckpt_lazy)  # train and test branches share the split
     )
     lr, k = nb_train(s.filter(F.col("split") == "train").select("doc_id", "pos", "ws"))
     return nb_score(
@@ -413,9 +414,7 @@ FROM cum, tot ORDER BY band
 def q236(spark, sf_dir):
     from snowflake_cdc_spark.operators.histogram import equidepth_assign
 
-    scored = _nb_test_scores(spark, sf_dir).localCheckpoint(
-        eager=False
-    )  # banding + totals both read the scores
+    scored = _nb_test_scores(spark, sf_dir).transform(ckpt_lazy)  # banding + totals both read the scores
     banded = equidepth_assign(scored, "score_unat", "doc_id", k=_PR_BANDS).select(
         "doc_id", F.col("bucket").alias("band")
     )
@@ -593,7 +592,7 @@ FROM b GROUP BY band ORDER BY band
 def q238(spark, sf_dir):
     from snowflake_cdc_spark.operators.histogram import equidepth_assign
 
-    scored = _nb_test_scores(spark, sf_dir).localCheckpoint(eager=False)
+    scored = _nb_test_scores(spark, sf_dir).transform(ckpt_lazy)
     pp = scored.withColumn(
         "prob_ppm",
         F.expr(

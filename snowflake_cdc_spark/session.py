@@ -59,6 +59,18 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.parquet.filterPushdown", "true")
     )
+    # --- opt-in instrumentation (round 12, VERDICT item 2): both OFF by
+    # default so the driver's bench runs exactly as before; set only when
+    # diagnosing session outliers (GC pauses, per-stage timings).
+    java_opts = os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS")
+    if java_opts:
+        builder = builder.config("spark.driver.extraJavaOptions", java_opts)
+    eventlog_dir = os.environ.get("SPARK_GRAFT_EVENTLOG_DIR")
+    if eventlog_dir:
+        os.makedirs(eventlog_dir, exist_ok=True)
+        builder = builder.config("spark.eventLog.enabled", "true").config(
+            "spark.eventLog.dir", eventlog_dir
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

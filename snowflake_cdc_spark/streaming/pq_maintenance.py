@@ -49,6 +49,7 @@ from snowflake_cdc_spark.operators.pq import (
     encode_with,
     pq_search,
 )
+from snowflake_cdc_spark.operators.util import ckpt_eager
 
 __all__ = ["PqIndexMaintainer"]
 
@@ -71,7 +72,7 @@ class PqIndexMaintainer:
         # per-generation codes tables; generation g's codes decode ONLY
         # against versions[g].codebooks
         self.codes: list[DataFrame] = [
-            index.codes.localCheckpoint(eager=True)
+            index.codes.transform(ckpt_eager)
         ]
         self.monitor = CodebookDriftMonitor(index, threshold_ratio)
         self.retrain_sample = retrain_sample
@@ -106,7 +107,7 @@ class PqIndexMaintainer:
             )
             # build_pq already ran encode_with(new_index, batch_df) —
             # the changed vectors ONLY; prior generations are untouched
-            new_index.codes = new_index.codes.localCheckpoint(eager=True)
+            new_index.codes = new_index.codes.transform(ckpt_eager)
             self.versions.append(new_index)
             self.codes.append(new_index.codes)
             self.monitor = CodebookDriftMonitor(
@@ -116,9 +117,7 @@ class PqIndexMaintainer:
                 (batch_id, len(self.versions) - 1, new_index.extras["train_qerr"])
             )
         else:
-            enc = encode_with(self.current, batch_df).localCheckpoint(
-                eager=True
-            )
+            enc = encode_with(self.current, batch_df).transform(ckpt_eager)
             g = len(self.versions) - 1
             # a re-arriving id WITHIN the same generation would otherwise
             # leave two equal-__gen rows whose row_number tie in search()/
@@ -130,7 +129,7 @@ class PqIndexMaintainer:
             kept = self.codes[g].join(
                 enc.select(cur.id_col), cur.id_col, "left_anti"
             )
-            self.codes[g] = kept.unionByName(enc).localCheckpoint(eager=True)
+            self.codes[g] = kept.unionByName(enc).transform(ckpt_eager)
 
     def run_stream(self, vectors: DataFrame, checkpoint: str):
         """availableNow foreachBatch runner for a streaming vector feed."""
@@ -171,7 +170,7 @@ class PqIndexMaintainer:
             .filter(F.col("__rn") == 1)
             .drop("__rn", "__gen")
         )
-        recoded = encode_with(cur, merged).localCheckpoint(eager=True)
+        recoded = encode_with(cur, merged).transform(ckpt_eager)
         n = len(self.versions)
         self.versions = [cur]
         self.codes = [recoded]
