@@ -87,9 +87,18 @@ def _train_centroids(X, n_cells: int, seed: int, max_iter: int):
         centers.append(X[rng.choice(n, p=probs)])
         d2 = np.minimum(d2, ((X - centers[-1]) ** 2).sum(1))
     C = np.array(centers)
+    # Preallocated distance buffer + in-place ops (round 12): the
+    # per-iteration ``-2 * X @ C.T + c²`` built three n×k temporaries;
+    # at k=256 codewords × 8 subspaces × ~15 iterations the allocations
+    # dominated build_pq's driver time. Same elementwise operations in
+    # the same order — bit-identical assignments and centroids.
+    D = np.empty((n, n_cells), dtype=X.dtype)
     for _ in range(max_iter):
         # ||x-c||² = ||x||² - 2x·c + ||c||²; argmin drops the ||x||² term
-        assign = (-2 * X @ C.T + (C * C).sum(1)[None, :]).argmin(1)
+        np.dot(X, C.T, out=D)
+        D *= -2
+        D += (C * C).sum(1)[None, :]
+        assign = D.argmin(1)
         newC = C.copy()
         for j in range(n_cells):
             members = X[assign == j]
@@ -115,6 +124,15 @@ def build_ivf(
     """``sample_rows``: a pre-collected ``bounded_md5_sample`` result —
     lets a caller training several indexes over the same corpus (see
     ``build_ivfpq``) pay the sample scan once."""
+    from snowflake_cdc_spark.operators.util import fan_out
+
+    # Fan out the corpus BEFORE the assignment UDF (round 12): a corpus
+    # that fits one parquet split otherwise threads the encode UDF, the
+    # ANN pair scans and every recall check through ONE task (event-log
+    # profile: 4.8 s max task on q52/q133/q144 — the same parallelism
+    # collapse fixed in relational_kmeans_fit in round 11). No-op once
+    # the corpus spans enough files/partitions.
+    corpus = fan_out(corpus)
     spark = corpus.sparkSession
     if use_ml:
         from pyspark.ml.clustering import KMeans

@@ -108,8 +108,15 @@ def kmeans_fit(
     (id, qv, cell, dist) from the LAST assignment pass. The building
     block for both the clustering summary (``kmeans_exact``) and the
     fully-oracle-checked IVF search (``operators/ivf_exact.py``)."""
+    from snowflake_cdc_spark.operators.util import fan_out
+
+    # Fan out before quantize+persist (round 12, mirroring
+    # relational_kmeans_fit's round-11 fix): a single-split corpus
+    # otherwise leaves the cached assignment — and every downstream
+    # pair scan over it (ivf_exact search, mutual-NN, label eval) —
+    # on ONE partition / one task. No-op at scale.
     q = quantize_vectors(
-        vectors.select(id_col, vec_col), vec_col
+        fan_out(vectors.select(id_col, vec_col)), vec_col
     ).select(id_col, "qv").persist()
     q.count()
     try:

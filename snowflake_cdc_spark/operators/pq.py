@@ -133,6 +133,11 @@ def build_pq(
     ``sample_rows`` = pre-collected sample (see ``build_ivf``)."""
     import numpy as np
 
+    from snowflake_cdc_spark.operators.util import fan_out
+
+    # parallelize the encode pass and every downstream pair scan over
+    # single-split corpora (round 12, see build_ivf) — no-op at scale
+    corpus = fan_out(corpus)
     rows = (
         sample_rows
         if sample_rows is not None

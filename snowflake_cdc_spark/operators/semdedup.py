@@ -108,11 +108,22 @@ def semantic_dup_pairs(
         mem = _drop_oversized_buckets(
             mem, ["cell"], cell_cap, "semantic_dup_pairs"
         )
-    a = mem.select(
-        "cell",
-        F.col(id_col).alias("vec_a"),
-        F.col("qc").alias("qa"),
-        F.col("n2").alias("na2"),
+    # Fan out the STREAM side of the pair join (round 12): the whole
+    # chain above inherits the embedding scan's partitioning (ONE
+    # partition at bench SF — small file), so the broadcast pair join +
+    # the per-pair dot ran as a single 6-second task (event-log stage
+    # profile: 1 task, 6.3 s, zero GC). Per-row work here is |cell|
+    # pair evaluations, exactly fan_out's small-but-expensive contract;
+    # at corpus scale the relation is wide already and fan_out no-ops.
+    from snowflake_cdc_spark.operators.util import fan_out
+
+    a = fan_out(
+        mem.select(
+            "cell",
+            F.col(id_col).alias("vec_a"),
+            F.col("qc").alias("qa"),
+            F.col("n2").alias("na2"),
+        )
     )
     b = mem.select(
         "cell",

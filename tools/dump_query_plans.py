@@ -1,6 +1,6 @@
 #!/usr/bin/env python
 """Dump ``explain('formatted')`` for named declared queries into
-``plans/r11/<query>_<tag>.txt`` — the optimization round's before/after
+``plans/r12/<query>_<tag>.txt`` — the optimization round's before/after
 plan evidence. Usage:
 
     python tools/dump_query_plans.py before q241_byte_bpe_train ...
@@ -24,7 +24,7 @@ sys.path.insert(0, _REPO_ROOT)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
-OUT_DIR = os.path.join(_REPO_ROOT, "plans", "r11")
+OUT_DIR = os.path.join(_REPO_ROOT, "plans", "r12")
 
 
 def main() -> None:
