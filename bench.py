@@ -48,6 +48,39 @@ def time_df(fn, runs: int = RUNS) -> float:
     return min(times) if runs <= 2 else statistics.median(times)
 
 
+def warm_session(spark) -> None:
+    """One-time session warmup: JVM/codegen (range agg), Hadoop FS +
+    parquet reader init (small scan), Python worker pool (tiny
+    mapInPandas) — so these one-time costs don't land on whichever
+    query happens to run first. Shared by bench.py and
+    tools/bench_some.py (ADVICE r11: one definition of the timing
+    discipline, not a copy)."""
+    spark.range(10_000_000).selectExpr("sum(id)").collect()
+    try:
+        warm = spark.read.parquet(f"{SF_DIR}/region.parquet")
+        warm.mapInPandas(lambda it: it, schema=warm.schema).collect()
+    except Exception:
+        pass
+
+
+def clear_between_queries(spark) -> None:
+    """Between-query isolation: drop DataFrame caches AND RDD-level
+    persists (localCheckpoint storage), then force a full GC so an
+    old-gen pause lands OUTSIDE the next measurement window."""
+    spark.catalog.clearCache()
+    try:
+        jsc = spark.sparkContext._jsc.sc()
+        it = jsc.getPersistentRDDs().values().iterator()
+        while it.hasNext():
+            it.next().unpersist(False)
+    except Exception:
+        pass
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
+
+
 def bench_cdc_e2e(spark) -> dict[str, float]:
     """E2E-1/2 (BASELINE.md): CDC snapshot, batch and streaming."""
     from pyspark.sql import functions as F
@@ -89,15 +122,7 @@ def main() -> None:
     from snowflake_cdc_spark.session import get_spark
 
     spark = get_spark(app_name="bench", cpus=int(CPUS))
-    # Warm-up absorbs one-time session costs so they don't land on whichever
-    # query happens to run first: JVM/codegen (range agg), Hadoop FS + parquet
-    # reader init (small scan), Python worker pool startup (tiny mapInPandas).
-    spark.range(10_000_000).selectExpr("sum(id)").collect()
-    try:
-        warm = spark.read.parquet(f"{SF_DIR}/region.parquet")
-        warm.mapInPandas(lambda it: it, schema=warm.schema).collect()
-    except Exception:
-        pass
+    warm_session(spark)
 
     results: dict[str, float] = {}
     failures: dict[str, str] = {}
@@ -112,25 +137,7 @@ def main() -> None:
         finally:
             # operators persist() intermediates; drop them so queries are
             # timed independently instead of competing for cache memory
-            spark.catalog.clearCache()
-            # clearCache misses RDD-level persists (localCheckpoint in the
-            # iterative operators) — unpersist those too
-            try:
-                jsc = spark.sparkContext._jsc.sc()
-                it = jsc.getPersistentRDDs().values().iterator()
-                while it.hasNext():
-                    it.next().unpersist(False)
-            except Exception:
-                pass
-            # Full GC *between* timed queries: a 48g heap accumulates
-            # broadcast/codegen debris over 100+ plans, and an old-gen
-            # collection pausing mid-query shows up as a 3-10x outlier on
-            # whichever query it lands on. Collecting here moves that pause
-            # outside the measurement window.
-            try:
-                spark.sparkContext._jvm.System.gc()
-            except Exception:
-                pass
+            clear_between_queries(spark)
     try:
         e2e_runs = [bench_cdc_e2e(spark) for _ in range(min(RUNS, 2))]
         results.update(

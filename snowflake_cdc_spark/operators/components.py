@@ -93,11 +93,16 @@ def _label_prop(
     # Symmetrize once and pre-hash-partition on the probe key: the cached
     # InMemoryTableScan reports its outputPartitioning, so the per-round
     # join re-shuffles only the (small) label side, never the edge list.
+    # REBALANCE instead of repartition (round 12): same hash
+    # distribution on "a", but AQE sizes the partition count from the
+    # data (1 partition for a bench-SF graph instead of the static 32 —
+    # every per-round stage over the cached edge list was 32 tasks of
+    # microseconds each; at scale it splits/coalesces to real sizes).
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
-        .repartition(F.col("a"))
+        .hint("rebalance", "a")
         .persist()
     )
     labels = (

@@ -108,23 +108,24 @@ def semantic_dup_pairs(
         mem = _drop_oversized_buckets(
             mem, ["cell"], cell_cap, "semantic_dup_pairs"
         )
-    # Fan out the STREAM side of the pair join (round 12): the whole
-    # chain above inherits the embedding scan's partitioning (ONE
-    # partition at bench SF — small file), so the broadcast pair join +
-    # the per-pair dot ran as a single 6-second task (event-log stage
-    # profile: 1 task, 6.3 s, zero GC). Per-row work here is |cell|
-    # pair evaluations, exactly fan_out's small-but-expensive contract;
-    # at corpus scale the relation is wide already and fan_out no-ops.
-    from snowflake_cdc_spark.operators.util import fan_out
-
-    a = fan_out(
-        mem.select(
-            "cell",
-            F.col(id_col).alias("vec_a"),
-            F.col("qc").alias("qa"),
-            F.col("n2").alias("na2"),
-        )
-    )
+    # Round-robin the STREAM side of the pair join UNCONDITIONALLY
+    # (round 12): each a-row carries |cell| pair evaluations, so the
+    # stage's work is quadratic in cell population while its INPUT
+    # bytes are linear — both the static scan split (1 partition at
+    # bench SF; a 6.3 s single task in the event log) and AQE's
+    # input-byte-sized coalescing (4 partitions at the 10x probe, a
+    # 793 s serial wall at ANY core count) under-parallelize it.
+    # An explicit repartition is exempt from AQE coalescing, spreads
+    # the pair work evenly regardless of hot cells (rows of one cell
+    # scatter round-robin), and its own cost — one narrow shuffle of
+    # (id, qc, n2) — is linear, paid once, and negligible next to the
+    # O(Σ|cell|²) stage it widens.
+    a = mem.select(
+        "cell",
+        F.col(id_col).alias("vec_a"),
+        F.col("qc").alias("qa"),
+        F.col("n2").alias("na2"),
+    ).repartition(mem.sparkSession.sparkContext.defaultParallelism)
     b = mem.select(
         "cell",
         F.col(id_col).alias("vec_b"),
@@ -165,6 +166,16 @@ def semantic_dup_pairs(
     # the whole pair stage (the hottest stage of the 100-TB shape) ran
     # INTERPRETED (round-10 judge finding). With the barrier the stage
     # compiles and does 1 dot per pair instead of 3.
+    from snowflake_cdc_spark.operators.util import ckpt_lazy
+
+    # Materialize the (tiny) surviving pair set before returning
+    # (round 12): there is NO exchange between the pair scan and the
+    # caller's consumers, so a trailing orderBy's RangePartitioning
+    # SAMPLING pass — or any second action — re-executes the whole
+    # O(Σ|cell|²) scan (jstack'd at the 10x probe: every busy task in
+    # generate_doConsume under reservoirSampleAndCount, then the sort
+    # itself recomputing the scan). One lineage cut makes every
+    # consumer read the scan's output instead of re-running it.
     return (
         a.join(b, "cell")
         .filter(F.col("vec_a") < F.col("vec_b"))
@@ -184,6 +195,7 @@ def semantic_dup_pairs(
             )
         )
         .select("cell", "vec_a", "vec_b", "dot")
+        .transform(ckpt_lazy)
     )
 
 

@@ -50,6 +50,11 @@ def triangle_count(undirected: DataFrame, a: str = "a", b: str = "b") -> DataFra
     # the oriented edge set feeds THREE consumers (both wedge sides and
     # the closing-edge probe); materialize it once (round 11) instead of
     # re-running the degree join + orientation subtree per consumer
+    # the UNDIRECTED edge relation is itself read three times inside
+    # orient_edges (two degree branches + the orientation join); for
+    # q137 it is a lineitem self-join + distinct — materialize it once
+    # (round 12), same treatment its oriented output already gets
+    undirected = undirected.transform(ckpt_lazy)
     ort = orient_edges(undirected, a, b).transform(ckpt_lazy)
     left = ort.select(F.col("u"), F.col("v").alias("x"), F.col("dv").alias("dx"))
     right = ort.select(F.col("u"), F.col("v").alias("y"), F.col("dv").alias("dy"))

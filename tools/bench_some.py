@@ -8,6 +8,8 @@ sweep. Usage:
 
 Prints one ``name: sec`` line per query and a total. Same session
 config as bench.py (session.get_spark, local[$SPARK_GRAFT_CPUS]).
+The warmup / timing / between-query-cleanup discipline is IMPORTED
+from bench.py (ADVICE r11) so the two tools cannot silently diverge.
 """
 
 from __future__ import annotations
@@ -19,9 +21,13 @@ import time
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _REPO_ROOT)
 
-SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-CPUS = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
-RUNS = int(os.environ.get("BENCH_RUNS", "2"))
+from bench import (  # noqa: E402  (bench.py owns the methodology)
+    CPUS,
+    RUNS,
+    SF_DIR,
+    clear_between_queries,
+    warm_session,
+)
 
 
 def main() -> None:
@@ -30,12 +36,7 @@ def main() -> None:
 
     names = sys.argv[1:]
     spark = get_spark(app_name="bench_some", cpus=int(CPUS))
-    spark.range(10_000_000).selectExpr("sum(id)").collect()
-    try:
-        warm = spark.read.parquet(f"{SF_DIR}/region.parquet")
-        warm.mapInPandas(lambda it: it, schema=warm.schema).collect()
-    except Exception:
-        pass
+    warm_session(spark)
 
     reg = queries()
     total = 0.0
@@ -47,18 +48,7 @@ def main() -> None:
             df = fn(spark, SF_DIR)
             df.write.mode("overwrite").format("noop").save()
             times.append(time.perf_counter() - t0)
-        spark.catalog.clearCache()
-        try:
-            jsc = spark.sparkContext._jsc.sc()
-            it = jsc.getPersistentRDDs().values().iterator()
-            while it.hasNext():
-                it.next().unpersist(False)
-        except Exception:
-            pass
-        try:
-            spark.sparkContext._jvm.System.gc()
-        except Exception:
-            pass
+        clear_between_queries(spark)
         t = min(times)
         total += t
         print(f"{name}: {t:.3f}  (runs: {', '.join(f'{x:.3f}' for x in times)})",
