@@ -28,6 +28,10 @@ from snowflake_cdc_spark.operators.pq import build_pq
 from snowflake_cdc_spark.streaming.pq_maintenance import PqIndexMaintainer
 from tests.conftest import canon_rows
 
+# deep-soak lane: excluded from the default fast run (pytest.ini,
+# VERDICT r11 item 7) — run with `pytest -m "" tests/`
+pytestmark = pytest.mark.slow
+
 
 # ----------------------------------------------------------- 1. q233
 

@@ -19,6 +19,12 @@ from snowflake_cdc_spark.queries_round10_ext import (
 )
 from tests.conftest import SF_SMOKE
 
+import pytest
+
+# deep-soak lane: excluded from the default fast run (pytest.ini,
+# VERDICT r11 item 7) — run with `pytest -m "" tests/`
+pytestmark = pytest.mark.slow
+
 
 def test_funnel_stage_semantics(spark):
     stages = _corpus_stages(spark, SF_SMOKE)

@@ -13,6 +13,10 @@ import pytest
 
 from snowflake_cdc_spark.streaming.field_stats import FieldStatsMaintainer
 
+# deep-soak lane: excluded from the default fast run (pytest.ini,
+# VERDICT r11 item 7) — run with `pytest -m "" tests/`
+pytestmark = pytest.mark.slow
+
 T0 = datetime.datetime(2024, 3, 1, 0, 0, 0)
 
 

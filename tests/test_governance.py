@@ -17,6 +17,12 @@ from snowflake_cdc_spark.operators.expectations import (
 )
 from snowflake_cdc_spark.operators.retrieval import bm25_topk
 
+import pytest
+
+# deep-soak lane: excluded from the default fast run (pytest.ini,
+# VERDICT r11 item 7) — run with `pytest -m "" tests/`
+pytestmark = pytest.mark.slow
+
 
 def _canon(df):
     return sorted(tuple(r) for r in df.collect())

@@ -12,6 +12,10 @@ import pytest
 
 from snowflake_cdc_spark.streaming.markov_stream import TransitionMaintainer
 
+# deep-soak lane: excluded from the default fast run (pytest.ini,
+# VERDICT r11 item 7) — run with `pytest -m "" tests/`
+pytestmark = pytest.mark.slow
+
 
 def _ev(spark, rows):
     """rows: (user, second, seq, type)."""

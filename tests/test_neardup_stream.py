@@ -16,6 +16,10 @@ from snowflake_cdc_spark.operators.components import connected_components
 from snowflake_cdc_spark.operators.dedup import minhash_lsh_pairs
 from snowflake_cdc_spark.streaming.neardup_stream import NearDupMaintainer
 
+# deep-soak lane: excluded from the default fast run (pytest.ini,
+# VERDICT r11 item 7) — run with `pytest -m "" tests/`
+pytestmark = pytest.mark.slow
+
 BASE = "the quick brown fox jumps over the lazy dog again and again today"
 SCHEMA = "doc_id long, text string"
 

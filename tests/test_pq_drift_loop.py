@@ -11,6 +11,10 @@ from pyspark.sql import functions as F
 from snowflake_cdc_spark.operators.pq import build_pq, encode_with, pq_search
 from snowflake_cdc_spark.streaming.pq_maintenance import PqIndexMaintainer
 
+# deep-soak lane: excluded from the default fast run (pytest.ini,
+# VERDICT r11 item 7) — run with `pytest -m "" tests/`
+pytestmark = pytest.mark.slow
+
 DIM, M, K = 8, 4, 16
 SCHEMA = "vec_id long, embedding array<double>"
 Q_SCHEMA = "query_id long, query_vec array<double>"

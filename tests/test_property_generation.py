@@ -18,6 +18,12 @@ from pyspark.sql import functions as F
 from snowflake_cdc_spark.sinks.parquet_sink import ParquetSnapshotSink
 from tests.conftest import prop_settings
 
+import pytest
+
+# deep-soak lane: excluded from the default fast run (pytest.ini,
+# VERDICT r11 item 7) — run with `pytest -m "" tests/`
+pytestmark = pytest.mark.slow
+
 TABLES = ("A", "B")
 
 # an op is ("merge", table_idx, hi) or ("publish",)

@@ -17,6 +17,10 @@ from hypothesis import strategies as st
 
 from snowflake_cdc_spark.operators.ivm import JoinViewMaintainer
 
+# deep-soak lane: excluded from the default fast run (pytest.ini,
+# VERDICT r11 item 7) — run with `pytest -m "" tests/`
+pytestmark = pytest.mark.slow
+
 
 @st.composite
 def scenario(draw):

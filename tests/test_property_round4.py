@@ -15,6 +15,12 @@ from hypothesis import strategies as st
 from snowflake_cdc_spark.operators.funnel import funnel_counts
 from snowflake_cdc_spark.operators.sweepline import peak_concurrency_by_bucket
 
+import pytest
+
+# deep-soak lane: excluded from the default fast run (pytest.ini,
+# VERDICT r11 item 7) — run with `pytest -m "" tests/`
+pytestmark = pytest.mark.slow
+
 BASE = datetime(2024, 1, 1)
 
 

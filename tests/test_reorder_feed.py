@@ -13,6 +13,12 @@ from datetime import datetime, timedelta
 from snowflake_cdc_spark.streaming.reorder import watermarked_feed
 from snowflake_cdc_spark.streaming.session_stream import SessionMaintainer
 
+import pytest
+
+# deep-soak lane: excluded from the default fast run (pytest.ini,
+# VERDICT r11 item 7) — run with `pytest -m "" tests/`
+pytestmark = pytest.mark.slow
+
 BASE = datetime(2024, 1, 1)
 
 

@@ -22,6 +22,12 @@ from snowflake_cdc_spark.operators.kmeans_exact import kmeans_fit
 from snowflake_cdc_spark.queries import _t
 from snowflake_cdc_spark.queries_round9_ext import _md5_panel, q192b, q235
 
+import pytest
+
+# deep-soak lane: excluded from the default fast run (pytest.ini,
+# VERDICT r11 item 7) — run with `pytest -m "" tests/`
+pytestmark = pytest.mark.slow
+
 SF = "/root/testdata/sf0.001"
 
 

@@ -10,6 +10,10 @@ import pytest
 
 from snowflake_cdc_spark.streaming.session_stream import SessionMaintainer
 
+# deep-soak lane: excluded from the default fast run (pytest.ini,
+# VERDICT r11 item 7) — run with `pytest -m "" tests/`
+pytestmark = pytest.mark.slow
+
 GAP = 100  # seconds
 
 

@@ -9,6 +9,12 @@ import datetime as dt
 
 from snowflake_cdc_spark.streaming.dedup_stream import dedup_stream
 
+import pytest
+
+# deep-soak lane: excluded from the default fast run (pytest.ini,
+# VERDICT r11 item 7) — run with `pytest -m "" tests/`
+pytestmark = pytest.mark.slow
+
 T0 = dt.datetime(2024, 1, 1, 12, 0, 0)
 
 
